@@ -1,0 +1,89 @@
+"""Float-parity helpers (SURVEY.md §5.1 rule 1, strengthened).
+
+Problem: `sum(double)` is order-dependent; Spark (parallel partial
+aggregation) and DuckDB (its own order) accumulate differently. At
+sf0.01 the big money sums reach ~1e9, where accumulated ulp noise can
+exceed the `round(x, 4)` granularity — rounding alone does NOT
+guarantee hash-parity.
+
+Fix: sum through DECIMAL. `CAST(x AS DECIMAL(38, s))` rounds the
+identical IEEE double to the identical decimal on both engines (no
+halfway ties exist: no double is exactly *.5e-s), decimal addition is
+exact and order-independent, and the final `CAST(... AS DOUBLE)` is
+nearest-double of the same exact decimal → bit-identical results on
+both engines, at any parallelism, at any scale. This is also the right
+100 TB answer: exact aggregation independent of partitioning.
+
+Per-row arithmetic (e.g. `l_extendedprice*(1-l_discount)`) is safe in
+double: both engines execute the same IEEE ops on the same inputs.
+Only ACCUMULATION across rows needs the decimal detour.
+
+Helpers come in pairs: a PySpark Column builder and a DuckDB SQL
+string builder, generated from the same parameters so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 38 digits total; scale 6 leaves 32 integer digits — room for a
+# 100 TB-scale sum of 1e9-magnitude values with 1e21 headroom.
+_PREC = 38
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent exact sum of a double column → double."""
+    return F.sum(_c(col).cast(f"decimal({_PREC},{scale})")).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent avg: exact decimal sum / exact count, divided
+    in double (identical IEEE division on both engines)."""
+    return dsum(col, scale) / F.count(_c(col))
+
+
+def sql_davg(expr: str, scale: int = 6) -> str:
+    return f"({sql_dsum(expr, scale)} / COUNT({expr}))"
+
+
+def r4(col: Column) -> Column:
+    """Display rounding for already-bit-identical doubles (harmless) or
+    for intrinsically noisy-but-tiny values (stddev/corr, |x|≲1e4
+    where 1e-4 granularity dwarfs the noise)."""
+    return F.round(col, 4)
+
+
+def sql_r4(expr: str) -> str:
+    return f"round({expr}, 4)"
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns: element products in
+    double, accumulated strictly left-to-right (F.aggregate is a left
+    fold) — bit-identical to the DuckDB mirror below. Stays fully
+    JVM-side (higher-order functions, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB mirror of `dot`: same element-wise double products, same
+    left-to-right fold via list_reduce → bit-identical doubles."""
+    prods = (
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+    return f"list_reduce({prods}, (acc, x) -> acc + x)"

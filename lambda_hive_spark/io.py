@@ -1,0 +1,42 @@
+"""Table loaders for the fixture corpus (FIXTURES.md).
+
+Load pattern prescribed by TESTDATA.md:14-15:
+`spark.read.parquet(f"{sf_dir}/{name}.parquet")`. Schemas come from the
+parquet footers — never `inferSchema` (SURVEY.md §1.2).
+
+At 100 TB these reads become partitioned-directory scans; everything
+downstream (predicate pushdown, column pruning, partition pruning) is
+Catalyst's job because all operators are declarative (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor
+# (region 5 rows, nation 25 — bounded by the real world, not by sf).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Mirror the driver's DuckDB pre-registered views so `spark.sql`
+    strings can name bare tables (SURVEY.md §3 entry point 3)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

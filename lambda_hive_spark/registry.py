@@ -1,0 +1,58 @@
+"""Operator registry — the engine's only engine-owned structure
+besides the orchestrator DAG (SURVEY.md §3).
+
+Each operator from SURVEY.md §2 registers here exactly once with:
+- a Spark callable `(spark, sf_dir) -> DataFrame` (the declarative
+  plan; Catalyst owns optimization), and
+- optionally a DuckDB-dialect oracle SQL string used by the driver's
+  t2 hash-compare gate (`__spark_entry__.py`). Ops without an oracle
+  get the weaker rows-only check — used sparingly (approx/LSH/ids).
+
+The registered callable is wrapped to pin runtime parity confs
+(UTC timezone) because the driver hands us ITS SparkSession.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_OPS: dict[str, Op] = {}
+
+
+def op(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        if name in _OPS:
+            raise ValueError(f"duplicate op registration: {name}")
+        _OPS[name] = Op(name, wrapped, oracle, tuple(tags), (fn.__doc__ or "").strip())
+        return wrapped
+
+    return deco
+
+
+def all_ops() -> dict[str, Op]:
+    """Import operator modules (triggering registration) and return the
+    full registry."""
+    import lambda_hive_spark.operators  # noqa: F401  (side-effect import)
+
+    return dict(_OPS)

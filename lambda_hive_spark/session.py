@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-aware defaults.
+
+Settings rationale (SURVEY.md §4, §6):
+- UTC session timezone: required for DuckDB-oracle parity on
+  `date_trunc`/`year` over the timestamp[ms]/timestamp[ns] fixture
+  columns (SURVEY.md §5.1 rule 3).
+- AQE on (Spark 4 default) so skew-join split / partition coalescing
+  re-plan at runtime — the 100 TB story relies on it.
+- `spark.sql.shuffle.partitions` defaults to the local core count via
+  env `SPARK_GRAFT_CPUS`; on a real cluster this would be ~2-3x total
+  executor cores (AQE coalesces down, so err high).
+- Arrow enabled: every Python<->JVM hop (toPandas, pandas_udf,
+  applyInPandas) is Arrow-batched, never row-at-a-time pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "lambda_hive_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity/perf confs to a session we did not
+    create (the driver hands us its own session in `__spark_entry__`)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
