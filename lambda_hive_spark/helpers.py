@@ -57,14 +57,16 @@ def sql_davg(expr: str, scale: int = 6) -> str:
 
 
 def r4(col: Column) -> Column:
-    """Display rounding for already-bit-identical doubles (harmless) or
-    for intrinsically noisy-but-tiny values (stddev/corr, |x|≲1e4
-    where 1e-4 granularity dwarfs the noise)."""
+    """Display rounding — for ROWS-ONLY ops. Never use in a sql-oracle
+    op: Spark rounds the double's shortest decimal repr (BigDecimal
+    HALF_UP) while DuckDB rounds the binary value (x*1e4 → rint), so
+    identical inputs can round differently whenever the shortest repr
+    terminates in a half at the target scale (common with 2-decimal
+    money data: observed spark=101226.8121 vs duckdb=101226.812).
+    Oracle-checked ops instead emit either raw per-row doubles
+    (bit-identical IEEE ops) or decimal-exact aggregates (above) —
+    both hash-match without any rounding."""
     return F.round(col, 4)
-
-
-def sql_r4(expr: str) -> str:
-    return f"round({expr}, 4)"
 
 
 def dot(a: Column, b: Column) -> Column:

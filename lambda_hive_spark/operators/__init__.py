@@ -1,4 +1,10 @@
 """Operator modules — importing this package registers every op from
 SURVEY.md §2 into `lambda_hive_spark.registry`."""
 
-from lambda_hive_spark.operators import aggregates  # noqa: F401
+from lambda_hive_spark.operators import (  # noqa: F401
+    aggregates,
+    relational,
+    scans,
+    setops,
+    sorts,
+)

@@ -6,7 +6,8 @@ per (partition, group), not per input row. Group keys are
 low-cardinality (returnflag×linestatus = 6; flags/status/priority
 likewise), so there is no skew concern at 100 TB. Float sums go
 through the decimal-exact pattern (helpers.py) — order-independent,
-hence partitioning-independent.
+hence partitioning-independent — and are NEVER rounded (round()
+itself is engine-divergent; see helpers.r4).
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import davg, dsum, r4, sql_davg, sql_dsum, sql_r4
+from lambda_hive_spark.helpers import davg, dsum, sql_davg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -22,13 +23,13 @@ _Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  {sql_r4(sql_dsum('l_quantity'))} AS sum_qty,
-  {sql_r4(sql_dsum('l_extendedprice'))} AS sum_base_price,
-  {sql_r4(sql_dsum('l_extendedprice * (1 - l_discount)'))} AS sum_disc_price,
-  {sql_r4(sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)'))} AS sum_charge,
-  {sql_r4(sql_davg('l_quantity'))} AS avg_qty,
-  {sql_r4(sql_davg('l_extendedprice'))} AS avg_price,
-  {sql_r4(sql_davg('l_discount'))} AS avg_disc,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,13 +52,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(dsum("l_quantity")).alias("sum_qty"),
-            r4(dsum("l_extendedprice")).alias("sum_base_price"),
-            r4(dsum(disc_price)).alias("sum_disc_price"),
-            r4(dsum(charge)).alias("sum_charge"),
-            r4(davg("l_quantity")).alias("avg_qty"),
-            r4(davg("l_extendedprice")).alias("avg_price"),
-            r4(davg("l_discount")).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -71,22 +72,23 @@ op("agg_hash", oracle=_Q1_ORACLE)(q1_pricing_summary)
     oracle=f"""
 SELECT
   COUNT(*) AS n_rows,
-  {sql_r4(sql_dsum('o_totalprice'))} AS sum_price,
-  {sql_r4(sql_davg('o_totalprice'))} AS avg_price,
-  {sql_r4('MIN(o_totalprice)')} AS min_price,
-  {sql_r4('MAX(o_totalprice)')} AS max_price,
+  {sql_dsum('o_totalprice')} AS sum_price,
+  {sql_davg('o_totalprice')} AS avg_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
   COUNT(DISTINCT o_custkey) AS n_customers
 FROM orders
 """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungrouped aggregates over orders (SURVEY.md §2.4 agg_global)."""
+    """Ungrouped aggregates over orders (SURVEY.md §2.4 agg_global).
+    min/max of doubles are order-independent — no decimal detour."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        r4(dsum("o_totalprice")).alias("sum_price"),
-        r4(davg("o_totalprice")).alias("avg_price"),
-        r4(F.min("o_totalprice")).alias("min_price"),
-        r4(F.max("o_totalprice")).alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )

@@ -1,0 +1,108 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+Scale notes: scans are single parquet files in the fixtures; at 100 TB
+they become partitioned directories and the SAME declarative plans get
+partition pruning + predicate pushdown + column pruning for free from
+Catalyst (plan-asserted in tests/test_plans.py). Sinks write via the
+distributed committer — no driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+# Scratch space for sink/source round-trips (inside the repo; the
+# sandbox forbids writes outside /root/repo).
+_SCRATCH = "/root/repo/.tmp"
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@op("scan_parquet", oracle="SELECT * FROM orders")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of one table, schema from the parquet footer."""
+    return table(spark, sf_dir, "orders")
+
+
+@op("scan_projected", oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem")
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan — ReadSchema must shrink to 3 columns
+    (asserted in tests/test_plans.py)."""
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@op(
+    "scan_filtered",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity > 45
+""",
+)
+def scan_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown scan — both conjuncts reach PushedFilters."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@op("source_csv_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingestion with explicit schema (never inferSchema):
+    round-trip nation through both formats and read them back. The
+    lossless int/string round-trip makes this sql-checkable."""
+    n = table(spark, sf_dir, "nation")
+    csv_dir, json_dir = _scratch("nation_csv"), _scratch("nation_json")
+    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.write.mode("overwrite").json(json_dir)
+    csv_df = spark.read.schema(_NATION_SCHEMA).option("header", True).csv(csv_dir)
+    json_df = spark.read.schema(_NATION_SCHEMA).json(json_dir)
+    # Return CSV∪JSON de-duplicated — equals nation iff both reads are faithful.
+    return csv_df.unionByName(json_df).distinct()
+
+
+@op(
+    "sink_parquet",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to parquet via the distributed committer and
+    read it back — checks the write path end-to-end."""
+    out = _scratch("orders_by_status")
+    (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

@@ -1,0 +1,45 @@
+"""Plan-shape assertions (SURVEY.md §4/§5.2): the 100 TB claims —
+pushdown, pruning, top-k, partial aggregation — must be visible in the
+physical plan, not just believed."""
+
+from __future__ import annotations
+
+from lambda_hive_spark.registry import all_ops
+from tests.conftest import SF_DIR
+
+OPS = all_ops()
+
+
+def _plan(spark, name: str) -> str:
+    return OPS[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "scan_filtered")
+    assert "PushedFilters: [" in plan
+    assert "LessThanOrEqual" in plan or "GreaterThanOrEqual" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scan_projected")
+    # ReadSchema must contain only the 3 selected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_flagship_partial_final_agg(spark):
+    plan = _plan(spark, "agg_hash")
+    assert "partial_" in plan, "map-side partial aggregation missing"
+    assert "HashAggregate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "topk")
+    assert "TakeOrderedAndProject" in plan, "top-k should not plan a full sort"
+
+
+def test_whole_stage_codegen(spark):
+    # starred stages ("*(1) Project ...") mark whole-stage codegen spans
+    plan = _plan(spark, "project_compute")
+    assert "*(1)" in plan
