@@ -12,6 +12,7 @@ Catalyst's job because all operators are declarative (SURVEY.md §4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,6 +33,16 @@ BROADCAST_DIMS = ("region", "nation")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+        # to read natively (PARQUET_TYPE_ILLEGAL). Read nanos as long,
+        # then convert with INTEGER division (epoch-ns ~1.7e18 exceeds
+        # double's 2^53 — float division would corrupt microseconds).
+        # The corpus has zero sub-µs residue (FIXTURES.md), so this is
+        # lossless and matches DuckDB's ns values at µs precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -3,8 +3,10 @@ SURVEY.md §2 into `lambda_hive_spark.registry`."""
 
 from lambda_hive_spark.operators import (  # noqa: F401
     aggregates,
+    joins,
     relational,
     scans,
     setops,
     sorts,
+    windows,
 )

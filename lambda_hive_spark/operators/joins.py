@@ -1,0 +1,300 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale notes per strategy:
+- Equi joins on fact tables shuffle both sides on the key; AQE picks
+  shuffled-hash vs sort-merge and splits skewed partitions at runtime.
+- Dimension joins use explicit `broadcast()` hints — region/nation/
+  supplier/part stay broadcast-able at any sf because their size is
+  bounded by the real world (BROADCAST_DIMS in io.py).
+- Theta/band joins plan as BroadcastNestedLoopJoin — only ever used
+  with a bounded (broadcastable) side; the band join documents the
+  bucketed prefilter that makes it linear at 100 TB.
+- The as-of join is the classic union+window trick: one shuffle on
+  (user_id), no per-row Python, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "join_inner_hash",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer; Catalyst/AQE pick the physical
+    strategy (shuffled hash at this size ratio)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@op(
+    "join_broadcast",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast of a bounded dimension (nation, 25 rows at every sf) —
+    zero shuffle on the fact side; plan-asserted BroadcastHashJoin."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@op(
+    "join_left",
+    oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero urgent orders
+    (COUNT(col) skips the null-extended rows on both engines)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@op(
+    "join_right",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — customers kept even when no qualifying order."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 400000.0), "right"
+    ).select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+_REV95 = f"SELECT o_custkey, {sql_dsum('o_totalprice')} AS rev FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey"
+_REV96 = f"SELECT o_custkey, {sql_dsum('o_totalprice')} AS rev FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey"
+
+
+@op(
+    "join_full",
+    oracle=f"""
+SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey, a.rev AS rev_1995, b.rev AS rev_1996
+FROM ({_REV95}) a FULL OUTER JOIN ({_REV96}) b ON a.o_custkey = b.o_custkey
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-customer revenue in two years."""
+
+    def rev(year: int) -> DataFrame:
+        return (
+            table(spark, sf_dir, "orders")
+            .filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(dsum("o_totalprice").alias("rev"))
+        )
+
+    a, b = rev(1995).alias("a"), rev(1996).alias("b")
+    return a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full").select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        F.col("a.rev").alias("rev_1995"),
+        F.col("b.rev").alias("rev_1996"),
+    )
+
+
+@op(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join — no duplication of the left side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@op(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@op(
+    "join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product — bounded inputs only (5×25 here)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@op(
+    "join_theta",
+    oracle="""
+SELECT s1.s_suppkey AS richer, s2.s_suppkey AS poorer
+FROM supplier s1 JOIN supplier s2
+  ON s1.s_acctbal > s2.s_acctbal AND s1.s_nationkey <> s2.s_nationkey
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi join → BroadcastNestedLoopJoin; supplier is a
+    bounded dimension, so the broadcast is safe at any sf."""
+    s1 = table(spark, sf_dir, "supplier").alias("s1")
+    s2 = table(spark, sf_dir, "supplier").alias("s2")
+    return s1.join(
+        F.broadcast(s2),
+        (F.col("s1.s_acctbal") > F.col("s2.s_acctbal"))
+        & (F.col("s1.s_nationkey") != F.col("s2.s_nationkey")),
+    ).select(F.col("s1.s_suppkey").alias("richer"), F.col("s2.s_suppkey").alias("poorer"))
+
+
+@op(
+    "join_range",
+    oracle="""
+SELECT p.p_partkey, COUNT(s.s_suppkey) AS n_band_suppliers
+FROM part p LEFT JOIN supplier s
+  ON s.s_acctbal BETWEEN p.p_retailprice - 50.0 AND p.p_retailprice + 50.0
+GROUP BY p.p_partkey
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join (interval containment). Here supplier broadcasts; at
+    100 TB with two fact tables, prefilter by bucketing both sides on
+    floor(value/band_width) and equi-joining adjacent buckets to keep
+    the nested-loop local to a bucket."""
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    cond = F.col("s_acctbal").between(
+        F.col("p_retailprice") - 50.0, F.col("p_retailprice") + 50.0
+    )
+    return (
+        p.join(F.broadcast(s), cond, "left")
+        .groupBy("p_partkey")
+        .agg(F.count("s_suppkey").alias("n_band_suppliers"))
+    )
+
+
+@op(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value, c.click_value AS last_click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click value by the
+    same user at-or-before its timestamp. Spark has no native batch
+    as-of, so: union both sides tagged, window last(ignorenulls) per
+    user ordered by (ts, tag) — clicks sort before purchases at equal
+    ts, making the join inclusive. One shuffle on user_id; state is
+    O(1) per row. DuckDB oracle uses its native ASOF JOIN.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", F.lit(0).alias("tag"), "click_value",
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("double").alias("purchase_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("click_value"),
+        "event_id", F.col("value").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "purchase_value", "last_click_value"
+    )
+
+
+@op(
+    "join_multiway",
+    oracle=f"""
+SELECT r.r_name, n.n_name, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H-Q5 shape): broadcast the bounded dims
+    (region, nation), shuffle-join the facts, aggregate down. The fact
+    join keys are uniform (orderkey), so no salting needed; AQE would
+    split stragglers anyway."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )

@@ -39,6 +39,16 @@ def test_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, "top-k should not plan a full sort"
 
 
+def test_broadcast_join_planned(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 2, "region+nation should broadcast"
+
+
 def test_whole_stage_codegen(spark):
     # starred stages ("*(1) Project ...") mark whole-stage codegen spans
     plan = _plan(spark, "project_compute")
