@@ -2,7 +2,9 @@
 SURVEY.md §2 into `lambda_hive_spark.registry`."""
 
 from lambda_hive_spark.operators import (  # noqa: F401
+    advagg,
     aggregates,
+    functions,
     joins,
     relational,
     scans,

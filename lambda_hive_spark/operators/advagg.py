@@ -1,0 +1,261 @@
+"""Advanced aggregation (SURVEY.md §2.4 remainder): distinct/approx
+aggregates, moment statistics, exact percentiles, collect, grouping
+sets / rollup / cube, pivot.
+
+Parity notes:
+- Moment stats (variance/stddev/corr) are order-dependent if computed
+  by the engines' native streaming implementations; instead they are
+  derived HERE from decimal-exact sums (Σx, Σx², Σxy) with identical
+  double arithmetic on both sides → bit-identical. The two-pass
+  formula is numerically fine at these magnitudes (mean²/var ≪ 1e12).
+- Exact percentiles over integral-valued quantities with q ∈ {.25,
+  .5, .75}: every interpolation step is exact in binary floating
+  point, so both engines' formulas agree exactly.
+- collect_list/collect_set are always array_sort-ed (§5.1 rule 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_distinct_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM DISTINCT — distinct set is engine-independent; the
+    sum goes through decimal so its order doesn't matter either."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_distinct_qty"),
+    )
+
+
+@op("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality — approximate, engine-specific → rows-only.
+    Our own suite checks it lands within rsd of the exact count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_STATS_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum('l_quantity * l_quantity')} AS sxx,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_extendedprice * l_extendedprice', 2)} AS syy,
+         {sql_dsum('l_quantity * l_extendedprice', 2)} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sx / n) AS mean_qty,
+       ((sxx - sx * sx / n) / (n - 1)) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       ((sxy - sx * sy / n) / (n - 1)) AS covar_qty_price,
+       ((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+FROM s
+"""
+
+
+@op("agg_stats", oracle=_STATS_SQL)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev/covariance/correlation from decimal-exact
+    moments — identical double arithmetic on both engines (see module
+    docstring). Scale: one pass over the data, map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p, 2).alias("syy"),
+        dsum(q * p, 2).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_qty = (sxx - sx * sx / n) / (n - 1)
+    var_price = (syy - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        covar.alias("covar_qty_price"),
+        (covar / (F.sqrt(var_qty) * F.sqrt(var_price))).alias("corr_qty_price"),
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       quantile_cont(l_quantity, 0.99) AS q99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles over integral-valued
+    quantities — every interpolation is exact in binary fp. At 100 TB
+    swap to percentile_approx (t-digest) — kept exact here because the
+    oracle must hash-match."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(q, 0.25).alias("q25"),
+        F.percentile(q, 0.5).alias("median_qty"),
+        F.percentile(q, 0.75).alias("q75"),
+        F.percentile(q, 0.99).alias("q99"),
+    )
+
+
+@op(
+    "agg_collect",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+       CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set, array_sort-ed then string-joined: sql-oracle ops
+    never emit array columns (list reprs differ across engines'
+    pandas conversion — see tests/test_parity.py no-array policy)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL frontend over direct parquet paths
+    (SURVEY.md §3 entry point 3 — no temp views, no session state)."""
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM parquet.`{sf_dir}/orders.parquet`
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle=f"""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT) AS gid
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total, with
+    grouping_id to disambiguate the NULL-filled rollup rows."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@op(
+    "agg_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All subset totals over (status, priority)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("total"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@op(
+    "agg_pivot",
+    oracle=f"""
+SELECT user_id,
+       {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS {t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns (explicit value list so the schema
+    is static — required for both the oracle and a 100 TB plan: a
+    dynamic pivot needs an extra pass to discover values)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"))
+    )
+
+
+@op(
+    "agg_partial_final",
+    oracle=f"""
+SELECT l_suppkey, COUNT(*) AS n_items, {sql_dsum('l_quantity')} AS total_qty
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-cardinality groupBy whose plan must contain partial_count/
+    partial_sum before the shuffle (asserted in tests/test_plans.py) —
+    the map-side combine that makes 100 TB aggregation feasible."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity").alias("total_qty"),
+    )

@@ -30,6 +30,19 @@ def test_rows_only_runs(spark, name):
     assert df.count() >= 0, name
 
 
+@pytest.mark.parametrize("name", SQL_OPS)
+def test_no_array_outputs_in_sql_ops(spark, name):
+    """Policy: sql-oracle ops never emit array/map/struct columns —
+    engines' pandas conversions represent them differently (numpy
+    array vs list), which a naive driver-side hash would trip on.
+    Serialize with concat_ws/array_to_string instead."""
+    df = OPS[name].fn(spark, SF_DIR)
+    for f in df.schema.fields:
+        assert f.dataType.typeName() not in ("array", "map", "struct"), (
+            f"{name}.{f.name} is {f.dataType.typeName()}"
+        )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
