@@ -6,6 +6,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llm,
     relational,
     scans,
     setops,

@@ -1,0 +1,690 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.10): deduplication,
+similarity search, text analysis, multimodal projection — the
+training-data-pipeline surface mandated by BASELINE.json:6.
+
+Scale design (the whole point of these ops):
+- Exact dedup groups on a 64-bit hash of the text, not the text
+  itself — the shuffle carries 8 bytes + doc_id per row at 100 TB.
+- Near-dup = MinHash banding (candidate generation, linear) + exact
+  Jaccard verification (quadratic only within tiny buckets). No
+  all-pairs stage ever runs at scale; the exact-all-pairs variants
+  exist to give DuckDB-checkable semantics at sf0.01.
+- Similarity search = brute-force top-k as the checkable baseline
+  (broadcast the bounded query set, never the corpus) and a seeded
+  random-projection LSH join as the scale path.
+- Everything stays in JVM built-ins (higher-order functions) except
+  SimHash, which is an Arrow-batched pandas_udf (vectorized, no
+  row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from lambda_hive_spark.helpers import davg, dot, dsum, sql_davg, sql_dot, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+# --------------------------------------------------------------------------
+# shared building blocks
+# --------------------------------------------------------------------------
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+def _shingles(tokens):
+    """Distinct 3-word shingles, JVM-side (sequence+transform+slice).
+    Guarded for <3-token docs (Spark's sequence(1,0) counts DOWN)."""
+    n = F.size(tokens)
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# DuckDB mirror of _shingles (list slicing is 1-based inclusive).
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> array_to_string((string_split(text,' '))[i:i+2], ' ')))"
+)
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(_tokens()).alias("shingles")
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@op(
+    "dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(lang) AS lang
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by a hash of the content, keep the smallest
+    doc_id. Hash-grouping (not text-grouping) keeps the 100 TB shuffle
+    narrow; md5 here because the oracle must share the key."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang").alias("lang"),
+        )
+        .drop("md5(text)")
+        .select("keep_id", "n_copies", "lang")
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) AS jaccard
+FROM pairs p
+JOIN sh x ON x.doc_id = p.doc_a
+JOIN sh y ON y.doc_id = p.doc_b
+WHERE (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) >= 0.6
+"""
+
+
+@op("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (J ≥ 0.6). The candidate
+    stage joins on shared shingles — every pair with J > 0 shares one,
+    so this is exact, and the join never materializes non-overlapping
+    pairs. At 100 TB add a document-frequency cap on shingles (drop
+    stop-shingles) to bound bucket sizes; the fixture vocabulary has
+    no such hot shingles."""
+    sh = _docs_with_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+_N_BANDS = 8
+
+
+@op("dedup_near_minhash")
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection — the 100 TB path. Per doc:
+    8 one-hash bands (sig_b = min over shingles of xxhash64(s, b));
+    candidate pairs collide in ≥1 band (P = 1-(1-J)^8 ≈ 0.9993 at
+    J=0.6); exact Jaccard verify on candidates only. xxhash64 has no
+    DuckDB twin → rows-only oracle; the exact sibling op above is the
+    sql-checked semantics."""
+    sh = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_min(
+                    F.transform("shingles", lambda s: F.xxhash64(s, F.lit(b)))
+                ).alias("sig"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    e = sh.select("doc_id", "shingles", F.explode(bands).alias("bs")).select(
+        "doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sha"),
+            F.col("b.shingles").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return cand.select(
+        "doc_a", "doc_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.6)
+
+
+def _make_simhash64():
+    """Build the SimHash pandas_udf lazily — pandas_udf("long") parses
+    DDL and needs an active session, so it cannot live at module
+    import time (the driver imports __spark_entry__ before creating
+    its SparkSession)."""
+
+    @pandas_udf("long")
+    def _simhash64(texts: pd.Series) -> pd.Series:
+        # 64-bit SimHash over distinct tokens (md5-derived token
+        # hashes), Arrow-batched — one batch of docs per call.
+        import hashlib
+
+        import numpy as np
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in set(t.split(" ")):
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                # h can exceed int64 — shift in uint64 space
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits == np.uint64(1), 1, -1)
+            sig = 0
+            for bit in np.nonzero(votes > 0)[0]:
+                sig |= 1 << int(bit)
+            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    return _simhash64
+
+
+@op("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per doc, banded into 4×16-bit
+    chunks for candidate generation (any pair within Hamming distance
+    3 agrees on ≥1 chunk by pigeonhole — exact recall), then Hamming
+    verify via bit_count(xor), threshold 3 (the Manku et al. 2007
+    standard for 64-bit fingerprints). Deterministic; rows-only oracle
+    (md5 bit-slicing has no cheap DuckDB twin).
+
+    Measured on this corpus: weakly discriminative — all documents
+    share one small vocabulary, so signatures cluster (planted
+    J≈0.99 pairs sit at hamming 0-8, random pairs at 5.6±2.0). The
+    MinHash/Jaccard ops are the effective detectors here; SimHash
+    earns its keep on corpora with heterogeneous vocabularies."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _make_simhash64()(F.col("text")).alias("sig")
+    )
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("sig", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ]
+        )
+    ).alias("ck")
+    e = d.select("doc_id", "sig", chunks).select(
+        "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@op(
+    "dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {sql_dot('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {sql_dot('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; unit-norm ⇒ cosine =
+    dot). All-pairs is the sf0.01-checkable semantics; the scale path
+    is sim_pairs_threshold (LSH). Dot products are left-fold double on
+    both engines → bit-identical."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_dot('q.embedding', 'c.embedding')} AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@op("sim_knn_exact", oracle=_KNN_ORACLE)
+def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for a bounded query set: the
+    QUERIES broadcast (never the corpus), each executor scores its
+    partition of the corpus, per-query top-k via window. At 100 TB
+    this is one corpus scan per query batch — the right baseline; the
+    LSH variant below trades recall for candidate pruning."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@op("sim_knn_approx")
+def sim_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via seeded random-projection LSH (MLlib BRP):
+    unit-norm ⇒ cos ≥ τ ⇔ ||a-b||² ≤ 2-2τ, so a Euclidean-distance
+    similarity join implements cosine ANN. Deterministic under the
+    fixed seed, but engine-specific → rows-only oracle."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    # cos τ=0.2 → dist threshold sqrt(2-2*0.2) ≈ 1.265
+    joined = model.approxSimilarityJoin(q, e, 1.265, distCol="dist")
+    return joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("neighbor_id"),
+        F.col("dist"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+
+@op("sim_pairs_threshold")
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cos ≥ τ via LSH similarity join — the scale path
+    for dedup_embedding (which is its exact, sql-checked sibling)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    )
+    model = lsh.fit(e)
+    # cos τ=0.4 → dist ≤ sqrt(2-0.8) ≈ 1.0954
+    joined = model.approxSimilarityJoin(e, e, 1.0954, distCol="dist")
+    return joined.select(
+        F.col("datasetA.vec_id").alias("vec_a"),
+        F.col("datasetB.vec_id").alias("vec_b"),
+        F.col("dist"),
+    ).filter(F.col("vec_a") < F.col("vec_b"))
+
+
+@op(
+    "classify_centroid",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (SELECT label, pos, AVG(val) AS c FROM ex GROUP BY label, pos),
+scores AS (
+  SELECT e.vec_id, c.label, SUM(e.val * c.c) AS dot
+  FROM ex e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.label
+),
+ranked AS (
+  SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, label ASC) AS rn
+  FROM scores
+)
+SELECT vec_id, CAST(label AS BIGINT) AS pred_label FROM ranked WHERE rn = 1
+""",
+)
+def classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification in long form: posexplode →
+    per-(label,pos) mean → score every vector against every centroid →
+    argmax. Output is integer-only: float noise in the unordered avg
+    (~1e-15 rel) cannot flip an argmax whose margins are ~1e-2. At
+    100 TB the centroid table (10×64 rows) broadcasts."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"col": "val"})
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .select(F.col("label").alias("c_label"), F.col("pos").alias("c_pos"), "c")
+    )
+    scores = (
+        ex.join(F.broadcast(cent), F.col("pos") == F.col("c_pos"))
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("c_label").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").cast("long").alias("pred_label"))
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@op(
+    "text_tokenize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_SQL_STOPLIST}, t))) AS BIGINT) AS n_stopwords,
+       (CAST(len(text) - len(replace(text, ' ', '')) + 1 AS DOUBLE)) AS n_sep_check
+FROM documents
+""",
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + stopword counting, all JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("long").alias("n_stopwords"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("double")
+        .alias("n_sep_check"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS idf,
+       tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf, n JOIN df ON tf.term = df.term
+"""
+
+
+@op("text_tf_idf", oracle=_TFIDF_ORACLE)
+def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: explode → tf per (doc,term), df per term, idf=ln(N/df)
+    rounded to 6 (transcendental; see functions.py note), tfidf exact
+    product. df table broadcasts at scale (vocabulary-bounded)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # scalar, known at plan time; not a per-row collect
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    return tf.join(F.broadcast(df.select("term", idf.alias("idf"))), "term").select(
+        "doc_id", "term", "tf", "idf", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+
+
+@op(
+    "text_lang_stats",
+    oracle=f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       {sql_davg('n_chars')} AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition stats per (lang, source)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@op(
+    "text_ngram",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, bg AS bigram, COUNT(*) AS n
+FROM t, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS u(bg)
+GROUP BY doc_id, bg
+""",
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram extraction + per-doc counts."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(string_split(text,' '), t -> list_contains({lst}, t)))"
+
+
+@op(
+    "text_langid",
+    oracle=f"""
+SELECT doc_id,
+       CASE
+         WHEN {_sql_hits('en')} >= {_sql_hits('es')} AND {_sql_hits('en')} >= {_sql_hits('fr')}
+              AND {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} > 0 THEN 'en'
+         WHEN {_sql_hits('es')} >= {_sql_hits('fr')} AND {_sql_hits('es')} >= {_sql_hits('de')}
+              AND {_sql_hits('es')} > 0 THEN 'es'
+         WHEN {_sql_hits('fr')} >= {_sql_hits('de')} AND {_sql_hits('fr')} > 0 THEN 'fr'
+         WHEN {_sql_hits('de')} > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM documents
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram heuristic): count hits against
+    per-language stopword profiles, argmax with a fixed precedence.
+    The synthetic corpus shares one vocabulary, so predictions are
+    'unknown'-heavy — the operator (not the corpus) is under test."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+
+    def hits(lang: str):
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    en, es, fr, de = hits("en"), hits("es"), hits("fr"), hits("de")
+    pred = (
+        F.when((en >= es) & (en >= fr) & (en >= de) & (en > 0), "en")
+        .when((es >= fr) & (es >= de) & (es > 0), "es")
+        .when((fr >= de) & (fr > 0), "fr")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+@op(
+    "text_quality",
+    oracle=f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       (CAST(len(text) AS DOUBLE) / len(string_split(text, ' '))) AS avg_token_len,
+       (CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
+        / len(string_split(text, ' '))) AS stopword_ratio,
+       (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) AS ttr,
+       CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+             AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) > 0.3
+            THEN 1 ELSE 0 END AS keep
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length bounds, type-token ratio, stopword
+    ratio → a keep/drop gate, the standard pre-training filter shape.
+    All per-row double arithmetic (bit-identical)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    keep = F.when((n_tok.between(10, 1000)) & (ttr > 0.3), 1).otherwise(0)
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n_tok
+        ).alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        keep.alias("keep"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab_size
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-normalized fingerprint: md5 of the sorted distinct
+    vocabulary — order/duplication-insensitive doc identity, the key
+    for fuzzy-dedup bucketing."""
+    d = table(spark, sf_dir, "documents")
+    vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
+    return d.select(
+        "doc_id",
+        F.md5(vocab).alias("fingerprint"),
+        F.size(F.array_distinct(_tokens())).cast("long").alias("vocab_size"),
+    )
+
+
+@op(
+    "multimodal_project",
+    oracle=f"""
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(len(e.embedding) AS BIGINT) AS dim,
+       {sql_dot('e.embedding', 'e.embedding')} AS sq_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified multimodal row: text metadata ⋈ vector features on
+    doc_id=vec_id. Scalars only in the checked output (no-array
+    policy); the array column itself flows through the join."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("label").cast("long").alias("label"),
+        F.size(emb).cast("long").alias("dim"),
+        dot(emb, emb).alias("sq_norm"),
+    )
