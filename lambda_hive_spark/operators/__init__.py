@@ -11,5 +11,6 @@ from lambda_hive_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    streams,
     windows,
 )

@@ -1,0 +1,153 @@
+"""Streaming operators (SURVEY.md §2.9) — registered surface.
+
+Each op applies a mode-agnostic plan builder from
+`lambda_hive_spark.streaming.plans` to the batch `events` table, so
+the driver's DuckDB gate hash-checks the *semantics*; the identical
+builders run as true Structured Streaming queries in
+tests/test_streaming.py. Ops that inherently require a streaming
+runtime (`scan_stream`, `stream_watermark`, `stream_sink`) execute a
+real `trigger(availableNow=True)` query inside the op and return the
+materialized result.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+from lambda_hive_spark.streaming import core, plans
+
+
+@op("scan_stream", oracle="SELECT * FROM events")
+def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` consumed as an unbounded file-source stream, drained
+    with availableNow into a (test-only) memory sink. The oracle
+    checks the stream delivered every row exactly once."""
+    stream = core.events_stream(spark, core.landing_dir(sf_dir))
+    return core.run_available_now(stream)
+
+
+@op(
+    "stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute counts (batch mode of plans.tumbling)."""
+    return plans.tumbling(table(spark, sf_dir, "events"))
+
+
+@op(
+    "stream_sliding",
+    oracle="""
+SELECT time_bucket(INTERVAL '5 minutes', ts) - k * (INTERVAL '5 minutes') AS w_start,
+       event_type, COUNT(*) AS n
+FROM events, UNNEST([0, 1]) AS t(k)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-min/5-min counts; the oracle expands each event into
+    its two covering windows explicitly."""
+    return plans.sliding(table(spark, sf_dir, "events"))
+
+
+@op(
+    "stream_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL '30 minutes' AS sess_end, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap session windows; the oracle is the classic
+    gaps-and-islands rewrite (lag → new-session flag → running sum)."""
+    return plans.session(table(spark, sf_dir, "events"))
+
+
+@op("stream_dedup", oracle="SELECT * FROM events")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup by event_id: the op feeds the events table
+    twice (simulating at-least-once redelivery) through plans.dedup;
+    the oracle asserts the original table comes back exactly."""
+    ev = table(spark, sf_dir, "events")
+    return plans.dedup(ev.unionByName(ev))
+
+
+@op("stream_watermark")  # rows-only: emitted-window set depends on the watermark frontier
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming watermarked aggregation in append mode — only
+    windows the event-time watermark has closed are emitted, so the
+    trailing open windows are withheld (hence no batch-SQL oracle)."""
+    stream = core.events_stream(spark, core.landing_dir(sf_dir))
+    return core.run_available_now(plans.watermarked_counts(stream), mode="append")
+
+
+@op(
+    "stream_stateful",
+    oracle="""
+WITH last_err AS (
+  SELECT user_id, MAX(ts) AS let FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT e.user_id, COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE e.event_type = 'purchase'
+                        AND (l.let IS NULL OR e.ts > l.let)) AS purchases_since_error
+FROM events e LEFT JOIN last_err l USING (user_id)
+GROUP BY e.user_id
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running state (purchases since last error) — batch twin
+    of the applyInPandasWithState streaming op (tests run both and
+    compare). The oracle re-derives the final state relationally."""
+    return plans.stateful_batch(table(spark, sf_dir, "events"))
+
+
+@op(
+    "stream_join",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, e.value, p.first_ts, p.lifetime_events
+FROM events e
+JOIN (SELECT user_id, MIN(ts) AS first_ts, COUNT(*) AS lifetime_events
+      FROM events GROUP BY user_id) p USING (user_id)
+""",
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join against a broadcast per-user
+    profile dim (batch mode of plans.enrich)."""
+    ev = table(spark, sf_dir, "events")
+    return plans.enrich(ev, plans.user_profile(ev))
+
+
+@op("stream_sink", oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
+def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once parquet sink: stream events → date-partitioned
+    parquet via the streaming committer, then read the sink back and
+    aggregate — the oracle checks nothing was lost or duplicated."""
+    out = core.scratch_dir("sink")
+    core.to_parquet_sink(core.events_stream(spark, core.landing_dir(sf_dir)), out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

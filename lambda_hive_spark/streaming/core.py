@@ -1,0 +1,113 @@
+"""Streaming source/sink plumbing over the `events` fixture.
+
+The `events` table is the append-only stream (SURVEY.md §1.1): at
+100 TB this is a date-partitioned landing directory that files arrive
+into continuously; Spark's file source tracks arrivals exactly-once
+via the checkpoint's file log. Locally we simulate arrival by
+symlinking (or splitting) the fixture parquet into a scratch landing
+dir — the fixture itself is read-only.
+
+Timestamp note (FIXTURES.md): `events.ts` is parquet TIMESTAMP(NANOS),
+which Spark 4 only reads as long (`nanosAsLong`). The stream source
+therefore declares `ts` as LongType and converts to a µs timestamp
+with integer division — identical to the batch loader in `io.py`, so
+batch and stream plans see the same column type.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SCRATCH = "/root/repo/.tmp/streaming"
+
+# Fixed by the parquet footers (FIXTURES.md) — streaming sources must
+# declare their schema up front; never inferred.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos (see module doc)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def scratch_dir(name: str) -> str:
+    path = os.path.join(_SCRATCH, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def landing_dir(sf_dir: str) -> str:
+    """A directory the file-stream source can watch, containing the
+    events fixture (symlink — zero copy, fixture stays read-only)."""
+    land = scratch_dir("landing")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(land, "events.parquet"))
+    return land
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """`events` as an unbounded source: readStream over a landing dir.
+
+    `max_files_per_trigger` bounds each micro-batch (arrival-order
+    replay in tests); None lets availableNow drain everything at once.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    df: DataFrame, mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Execute a streaming plan to completion over all currently
+    available data and return the materialized result.
+
+    Memory sink is the dev/test harness only — it collects to the
+    driver. Production sinks are `to_parquet_sink` (below) or Kafka;
+    the plan object is identical either way.
+    """
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
+def to_parquet_sink(df: DataFrame, out_dir: str, timeout_s: int = 300) -> None:
+    """Production-shaped sink: exactly-once parquet append via the
+    streaming committer + checkpoint. At 100 TB this is partitioned by
+    event date so downstream readers get partition pruning."""
+    query = (
+        df.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+
+
+def cleanup_scratch() -> None:
+    shutil.rmtree(_SCRATCH, ignore_errors=True)

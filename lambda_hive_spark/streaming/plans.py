@@ -1,0 +1,170 @@
+"""Mode-agnostic streaming plan builders (SURVEY.md §2.9).
+
+Each function takes an `events`-shaped DataFrame — batch OR streaming,
+the caller chooses — and returns the transformed DataFrame. Batch mode
+feeds the driver's DuckDB hash-gate (operators/streams.py); streaming
+mode runs under `trigger(availableNow=True)` in tests/test_streaming.py.
+One plan, two execution modes: Spark's unified semantics guarantee the
+batch result equals the streaming result once all data has arrived
+(watermark permitting), which is exactly what the tests assert.
+
+Scale notes per builder are inline; the common ones: windowed
+aggregations shuffle on (window, key) — bounded state because the
+watermark evicts closed windows; `dropDuplicates` state is likewise
+watermark-bounded. Without a watermark those operators would
+accumulate state forever at 100 TB — every streaming test runs them
+watermarked.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATEFUL_SCHEMA = "user_id long, n_events long, purchases_since_error long"
+
+
+def tumbling(events: DataFrame) -> DataFrame:
+    """Per-5-minute event counts by type. State = one row per open
+    window; map-side partial aggregation before the (window, type)
+    shuffle, so executor traffic is windows, not events."""
+    return (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def sliding(events: DataFrame) -> DataFrame:
+    """10-minute windows advancing every 5 — each event lands in
+    exactly two windows (Spark expands window instances before the
+    aggregate, so cost is 2× rows, not 2× passes)."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+    `session_window` runs identically in batch and streaming (Spark 4
+    merges overlapping candidate sessions in the state store);
+    session end = last event + gap."""
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once by event_id. Streaming callers pass a watermark so
+    the seen-ids state is evictable (unbounded otherwise — the 100 TB
+    failure mode); batch callers leave it None."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["event_id"])
+
+
+def watermarked_counts(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Tumbling counts tolerating `delay` of event-time lateness.
+    Append mode emits each window exactly once, when the watermark
+    passes its end; state for emitted windows is evicted (bounded
+    state at scale). Late rows merge into still-open window state
+    (verified behavior of this Spark build — the watermark gates
+    emission and eviction, asserted in tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def enrich(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each event with a per-user profile
+    dim. The static side is broadcast — re-resolved per micro-batch,
+    no shuffle of the stream side at any scale."""
+    return events.join(F.broadcast(profile), "user_id", "inner").select(
+        "event_id", "user_id", "event_type", "value", "first_ts", "lifetime_events"
+    )
+
+
+def user_profile(events_batch: DataFrame) -> DataFrame:
+    """The static dim for `enrich`: per-user first-seen ts + lifetime
+    count (bounded by |users|, broadcastable)."""
+    return events_batch.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.count("*").alias("lifetime_events")
+    )
+
+
+def _stateful_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Shared per-user state transition: fold events in ts order,
+    counting purchases and resetting on each error."""
+    pdf = pdf.sort_values("ts")
+    purchases = 0
+    for et in pdf["event_type"]:
+        if et == "error":
+            purchases = 0
+        elif et == "purchase":
+            purchases += 1
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "purchases_since_error": [purchases],
+        }
+    )
+
+
+def stateful_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming stateful op: per-user running state
+    (purchases since the last error), computed with Arrow-batched
+    `applyInPandas` — one group per user, no driver collect."""
+    return events.groupBy("user_id").applyInPandas(_stateful_pdf, STATEFUL_SCHEMA)
+
+
+def stateful_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """True streaming stateful operator via `applyInPandasWithState`:
+    the per-user (n_events, purchases_since_error) tuple lives in the
+    state store across micro-batches. State size = O(|users|), not
+    O(events) — the 100 TB-safe shape."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_events, purchases = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        n_events += len(rows)
+        for et in rows["event_type"]:
+            if et == "error":
+                purchases = 0
+            elif et == "purchase":
+                purchases += 1
+        state.update((n_events, purchases))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "purchases_since_error": [purchases],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_SCHEMA,
+        stateStructType="n_events long, purchases_since_error long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,151 @@
+"""True Structured Streaming tests (SURVEY.md §2.9, §5.2).
+
+The batch twins of these plans are hash-checked against DuckDB by
+test_parity.py; here the SAME plan builders run as real streaming
+queries — incremental file arrival, watermark late-data drops,
+at-least-once redelivery dedup, and cross-batch state-store updates —
+asserting the streaming result converges to the batch result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.streaming import core, plans
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+def _stamp_arrival(path: str, order: int) -> None:
+    """FileStreamSource picks up files in modification-time order;
+    same-second copies tie unpredictably, so pin arrival order."""
+    t = time.time() - 3600 + order * 60
+    os.utime(path, (t, t))
+
+
+@pytest.fixture()
+def events_batch(spark):
+    return table(spark, SF_SMALL, "events")
+
+
+@pytest.fixture()
+def arrival_dirs(spark, events_batch, tmp_path):
+    """Split events into 3 parquet files by time order, simulating
+    in-order arrival into a landing dir."""
+    land = str(tmp_path / "landing")
+    staging = str(tmp_path / "staging")
+    ev = events_batch.withColumn(
+        "bucket", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    os.makedirs(land)
+    for b in (1, 2, 3):
+        part = str(tmp_path / f"part{b}")
+        (
+            ev.filter(F.col("bucket") == b)
+            .drop("bucket")
+            .withColumn("ts", F.unix_micros("ts") * 1000)  # back to raw nanos shape
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(land, f"arrival-{b}.parquet")
+        shutil.copy(os.path.join(part, src), dst)
+        _stamp_arrival(dst, b)
+    return land
+
+
+def test_incremental_tumbling_converges_to_batch(spark, events_batch, arrival_dirs):
+    """3 micro-batches (one file each, complete mode) end at exactly
+    the batch answer."""
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    got = core.run_available_now(plans.tumbling(stream), mode="complete")
+    assert _rows(got) == _rows(plans.tumbling(events_batch))
+
+
+def test_watermark_append_frontier(spark, events_batch, arrival_dirs):
+    """Append mode with a 10-minute watermark: every window is emitted
+    EXACTLY once, the emitted set is complete up to the final watermark
+    frontier (max event time − delay), and windows the frontier has not
+    passed are withheld.
+
+    Note on late rows (verified empirically on this Spark 4.1 build):
+    rows behind the watermark are still MERGED into not-yet-flushed
+    window state rather than dropped row-wise — the watermark gates
+    *emission*, giving exactly-once-per-window output; state for
+    emitted windows is evicted, which is what bounds state at scale.
+    """
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    got = core.run_available_now(plans.watermarked_counts(stream), mode="append")
+
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    # frontier: windows whose end (= start + 5 min) the final watermark
+    # (= max_ts − 10 min) has passed are finalized and emitted.
+    closed = plans.tumbling(events_batch).filter(
+        F.col("w_start") + F.expr("INTERVAL 15 minutes") <= F.lit(max_ts)
+    )
+    open_ = plans.tumbling(events_batch).filter(
+        F.col("w_start") + F.expr("INTERVAL 15 minutes") > F.lit(max_ts)
+    )
+    assert _rows(got) == _rows(closed)
+    # exactly-once per (window, type): no duplicate emissions
+    assert got.count() == got.select("w_start", "event_type").distinct().count()
+    # the trailing open windows exist in batch mode but are withheld here
+    assert open_.count() > 0
+
+
+def test_streaming_dedup_under_redelivery(spark, events_batch, arrival_dirs, tmp_path):
+    """The same 3 files delivered twice (at-least-once source) dedup
+    back to exactly one copy per event_id."""
+    land = str(tmp_path / "redelivery")
+    shutil.copytree(arrival_dirs, land)
+    for f in os.listdir(arrival_dirs):
+        shutil.copy(os.path.join(arrival_dirs, f), os.path.join(land, f"re-{f}"))
+    stream = core.events_stream(spark, land, max_files_per_trigger=2)
+    got = core.run_available_now(plans.dedup(stream, watermark="30 days"))
+    assert got.count() == events_batch.count()
+    assert got.select(F.count_distinct("event_id")).collect()[0][0] == events_batch.count()
+
+
+def test_stateful_stream_matches_batch_twin(spark, events_batch, arrival_dirs):
+    """applyInPandasWithState across 3 in-order micro-batches ends in
+    the same per-user state as the batch applyInPandas twin."""
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    updates = core.run_available_now(plans.stateful_stream(stream), mode="update")
+    # update mode emits one row per user per touching batch: the last
+    # update per user is the final state.
+    from pyspark.sql import Window
+
+    final = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert _rows(final) == _rows(plans.stateful_batch(events_batch))
+
+
+def test_parquet_sink_roundtrip(spark, events_batch, arrival_dirs, tmp_path):
+    """Streaming parquet sink writes every row exactly once, with the
+    date partition column for downstream pruning."""
+    out = str(tmp_path / "sink_out")
+    core.to_parquet_sink(core.events_stream(spark, arrival_dirs), out)
+    back = spark.read.parquet(out)
+    assert back.count() == events_batch.count()
+    assert "event_date" in back.columns
+    # partition dirs exist → a date-filtered read prunes at 100 TB
+    assert any(d.startswith("event_date=") for d in os.listdir(out))
