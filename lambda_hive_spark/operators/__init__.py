@@ -12,5 +12,6 @@ from lambda_hive_spark.operators import (  # noqa: F401
     setops,
     sorts,
     streams,
+    udx,
     windows,
 )

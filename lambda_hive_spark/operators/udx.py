@@ -1,0 +1,233 @@
+"""UDF / UDAF / UDTF surface + orchestrator ops (SURVEY.md §2.11) and
+the §2.8 map-function op.
+
+UDx policy (the "UDFs are the slow path" rule): every Python crossing
+is Arrow-batched — `pandas_udf` for scalars, `applyInPandas` for
+grouped custom aggregation. The lone row-at-a-time construct is the
+Python UDTF, registered deliberately as the 1→N table-function surface
+demo; anything hot-path stays in JVM built-ins.
+
+Float-parity: custom aggregates accumulate in integer cents (the data
+has 2-decimal money), so Python's summation order cannot diverge from
+DuckDB's — same trick as helpers.dsum, done pandas-side.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from lambda_hive_spark.helpers import sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.orchestrator import Dag
+from lambda_hive_spark.registry import op
+
+# NOTE: pandas_udf / udtf objects are built INSIDE the ops, not at
+# module scope — their decorators touch the active SparkContext (DDL
+# schema parsing), and this module is imported by executor workers
+# when they unpickle the plain helper functions below.
+
+
+def _charge_pdf(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized per-row charge — the same IEEE mul/sub ops the oracle
+    runs, so results are bit-identical without rounding."""
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+@op(
+    "udf_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+WHERE l_quantity >= 48
+""",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (one Python batch per Arrow
+    chunk, ~10-100× over row UDFs; SNIPPETS.md §2-3 pattern)."""
+    charge = pandas_udf(_charge_pdf, T.DoubleType())
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+def _segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "n_customers": [len(pdf)],
+            "sum_acctbal": [cents.sum() / 100.0],
+            "max_acctbal": [pdf["c_acctbal"].max()],
+        }
+    )
+
+
+@op(
+    "udaf_grouped",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_acctbal,
+       MAX(c_acctbal) AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via Arrow-batched applyInPandas (one
+    pandas frame per segment, executor-side — no driver collect). Sums
+    run in integer cents for order-independent exactness."""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            _segment_stats,
+            "c_mktsegment string, n_customers long, sum_acctbal double, max_acctbal double",
+        )
+    )
+
+
+class _SplitWords:
+    """1→N table function: one output row per word of the input."""
+
+    def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+        for i, w in enumerate(text.split(" ")):
+            yield w, i + 1
+
+
+@op(
+    "udtf",
+    oracle="""
+SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word,
+       CAST(unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS BIGINT) AS pos
+FROM part
+""",
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (Spark 4 table-function surface);
+    the oracle zips DuckDB's parallel unnests. Row-at-a-time Python —
+    kept off hot paths by policy (module doc)."""
+    spark.udtf.register("split_words", udtf(_SplitWords, returnType="word string, pos bigint"))
+    table(spark, sf_dir, "part").createOrReplaceTempView("udtf_part")
+    return spark.sql(
+        "SELECT p.p_partkey, t.word, t.pos FROM udtf_part p, LATERAL split_words(p.p_name) t"
+    )
+
+
+@op(
+    "fn_map",
+    oracle="""
+SELECT event_id, array_to_string(json_keys(props), ',') AS ks_csv,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over parsed `props` JSON (completes §2.8):
+    from_json → map, then map_keys / element_at / map_from_entries
+    (rebuild the map from its zipped entries before the lookup)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    rebuilt = F.map_from_entries(F.arrays_zip(F.map_keys(m), F.map_values(m)))
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("ks_csv"),
+        F.element_at(rebuilt, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    )
+
+
+@op(
+    "orchestrate_dag",
+    oracle=f"""
+SELECT o_orderpriority,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def orchestrate_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract→transform→load DAG on the thin orchestrator: two
+    parallel extracts feed a transform; load materializes to parquet
+    and the op returns the read-back (so the oracle checks the whole
+    pipeline, including the sink)."""
+    from lambda_hive_spark.helpers import dsum
+    from lambda_hive_spark.operators.scans import _scratch
+
+    out = _scratch("dag_load")
+
+    def transform(s: SparkSession, deps: dict) -> DataFrame:
+        li, o = deps["extract_lineitem"], deps["extract_orders"]
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    def load(s: SparkSession, deps: dict) -> None:
+        deps["transform"].write.mode("overwrite").parquet(out)
+
+    dag = (
+        Dag()
+        .add("extract_lineitem", lambda s: table(s, sf_dir, "lineitem"))
+        .add("extract_orders", lambda s: table(s, sf_dir, "orders"))
+        .add("transform", transform, deps=("extract_lineitem", "extract_orders"))
+        .add("load", load, deps=("transform",), retries=1)
+    )
+    run = dag.run(spark, max_parallel=4)
+    if run.failed:
+        raise next(iter(run.failed.values()))
+    return spark.read.parquet(out)
+
+
+@op(
+    "orchestrate_schedule",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total
+FROM orders GROUP BY 1
+""",
+)
+def orchestrate_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill-style scheduled runs: one DAG job per order-year
+    partition (the time trigger is host-side cron / availableNow; the
+    engine's contract is per-window idempotent jobs), unioned into the
+    full history. At 100 TB each job prunes to its year's partitions."""
+    from functools import reduce
+
+    from lambda_hive_spark.helpers import dsum
+
+    o = table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min(F.year("o_orderdate")), F.max(F.year("o_orderdate"))).collect()[0]
+
+    def window_job(yr: int):
+        def job(s: SparkSession) -> DataFrame:
+            return (
+                o.filter(F.year("o_orderdate") == yr)
+                .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+                .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+            )
+
+        return job
+
+    dag = Dag()
+    for yr in range(lo, hi + 1):
+        dag.add(f"backfill_{yr}", window_job(yr))
+    run = dag.run(spark, max_parallel=8)
+    if run.failed:
+        raise next(iter(run.failed.values()))
+    return reduce(DataFrame.unionByName, (run.results[f"backfill_{y}"] for y in range(lo, hi + 1)))
