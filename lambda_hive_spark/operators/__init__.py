@@ -7,6 +7,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm,
+    multimodal,
     relational,
     scans,
     setops,

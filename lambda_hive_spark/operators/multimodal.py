@@ -1,0 +1,197 @@
+"""Multimodal binary-column pipeline (task brief: first-class at
+100 TB alongside SURVEY.md §2.10).
+
+Model: media (image/audio/video) rides as an opaque `binary` payload
+column with typed metadata; all per-item compute (decode, feature
+extraction, resize, frame sampling) runs as Arrow-batched pandas
+iterators over `mapInPandas` — executor-side, one Arrow batch at a
+time, never a driver collect. The fixtures carry no real media, so the
+payload is the document's UTF-8 bytes and the *codec* step is stubbed
+(`decode_media` below raises NotImplementedError until a real codec
+lib is present) — but everything Spark-side is real and oracle-checked:
+schema, binary Arrow transfer, batch iteration, partitioning.
+
+At 100 TB: payloads dominate row size → keep
+`spark.sql.files.maxPartitionBytes` at default 128 MB so scan tasks
+stay memory-bounded, and select metadata columns FIRST (column pruning
+skips payload bytes entirely for metadata-only queries — parquet
+stores the binary column separately).
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+THUMB = 8  # fake-resize target (long edge)
+
+
+def decode_media(payload: bytes, modality: str):
+    """The real codec boundary. Image/audio libs are not in this
+    container (task brief) — the Spark plumbing around this stub is
+    real; swap in PIL/librosa/pyav here when available."""
+    try:
+        import PIL.Image  # noqa: F401  (not installed here)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"no codec available for modality={modality!r}; "
+            "install PIL/librosa/pyav or use the deterministic fake path"
+        ) from exc
+
+
+def fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: 'dimensions' derived from the first
+    two payload bytes — stands in for a real header parse."""
+    return payload[0] % 64 + 1, payload[1] % 64 + 1
+
+
+def payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, modality, n_bytes): the
+    canonical multimodal ingest projection."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text").alias("modality"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+@op(
+    "mm_ingest",
+    oracle="""
+SELECT doc_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents
+""",
+)
+def mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingest: opaque payload + typed metadata + content hash
+    (the dedup/lineage key for media at scale). All JVM built-ins."""
+    p = payload_df(spark, sf_dir)
+    return p.select(
+        "doc_id", "modality", "n_bytes", F.lower(F.sha2("payload", 256)).alias("content_hash")
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        pay = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pay.map(len).astype("int64"),
+                "n_space_bytes": pay.map(lambda b: b.count(b" ")).astype("int64"),
+                "first_byte": pay.map(lambda b: b[0]).astype("int64"),
+                "last_byte": pay.map(lambda b: b[-1]).astype("int64"),
+            }
+        )
+
+
+@op(
+    "mm_feature_extract",
+    oracle="""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(ascii(right(text, 1)) AS BIGINT) AS last_byte
+FROM documents
+""",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item feature extraction over raw payload bytes via
+    Arrow-batched mapInPandas (the shape a real pixel/sample featurizer
+    takes). Oracle mirrors the byte math on the source text — exact
+    because the corpus is ASCII (1 byte = 1 char)."""
+    return payload_df(spark, sf_dir).mapInPandas(
+        _feature_batches,
+        "doc_id long, n_bytes long, n_space_bytes long, first_byte long, last_byte long",
+    )
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows: dict[str, list] = {"doc_id": [], "width": [], "height": [], "thumb_w": [], "thumb_h": []}
+    for pdf in batches:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h = fake_dims(payload)
+            long_edge = max(w, h)
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["thumb_w"].append(max(1, w * THUMB // long_edge))
+            rows["thumb_h"].append(max(1, h * THUMB // long_edge))
+    yield pd.DataFrame(rows)
+
+
+@op(
+    "mm_resize_stub",
+    oracle=f"""
+SELECT doc_id,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS BIGINT) AS width,
+       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS BIGINT) AS height,
+       CAST(greatest(1, (ascii(substr(text, 1, 1)) % 64 + 1) * {THUMB}
+            // greatest(ascii(substr(text, 1, 1)) % 64 + 1,
+                        ascii(substr(text, 2, 1)) % 64 + 1)) AS BIGINT) AS thumb_w,
+       CAST(greatest(1, (ascii(substr(text, 2, 1)) % 64 + 1) * {THUMB}
+            // greatest(ascii(substr(text, 1, 1)) % 64 + 1,
+                        ascii(substr(text, 2, 1)) % 64 + 1)) AS BIGINT) AS thumb_h
+FROM documents
+""",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize with the codec stubbed by a deterministic header
+    parse (`fake_dims`): aspect-preserving integer thumbnail math in
+    mapInPandas. The real decoder slots into `decode_media` without
+    touching the Spark plumbing."""
+    return payload_df(spark, sf_dir).mapInPandas(
+        _resize_batches, "doc_id long, width long, height long, thumb_w long, thumb_h long"
+    )
+
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_n_bytes": [], "frame_sha": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_n_bytes"].append(len(frame))
+                out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@op(
+    "mm_frame_sample",
+    oracle=f"""
+SELECT doc_id, i AS frame_idx,
+       least({FRAME_BYTES}, length(text) - i * {FRAME_BYTES}) AS frame_n_bytes,
+       sha256(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_sha
+FROM documents,
+     UNNEST(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT),
+                  {FRAME_STRIDE})) AS t(i)
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: slice the payload into fixed
+    {FRAME_BYTES}-byte frames, keep every {FRAME_STRIDE}th, fingerprint
+    each — a 1→N mapInPandas expansion whose per-frame hashes the
+    oracle reproduces byte-for-byte."""
+    return payload_df(spark, sf_dir).mapInPandas(
+        _frame_batches, "doc_id long, frame_idx long, frame_n_bytes long, frame_sha string"
+    )
