@@ -28,9 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 38 digits total; scale 6 leaves 32 integer digits — room for a
-# 100 TB-scale sum of 1e9-magnitude values with 1e21 headroom.
-_PREC = 38
+# 18 digits total (scale 6 → 12 integer digits, values to 1e12): the
+# per-row cast stays within Spark's compact-long decimal range, which
+# is measurably faster than 128-bit decimal (0.81 s vs 0.94 s on the
+# sf0.1 flagship agg). The SUM accumulator is auto-widened by both
+# engines (Spark decimal(28,6), DuckDB decimal(38,6)) — still exact and
+# order-independent to ~1e22, ample for 100 TB sums of 1e6-magnitude
+# money values.
+_PREC = 18
 
 
 def _c(col: Column | str) -> Column:

@@ -11,6 +11,8 @@ Catalyst's job because all operators are declarative (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,24 @@ TABLES = (
 # Dimension tables small enough to broadcast at any scale factor
 # (region 5 rows, nation 25 — bounded by the real world, not by sf).
 BROADCAST_DIMS = ("region", "nation")
+
+# Fixture-parallelism note: each fixture is ONE parquet file with ONE
+# row group, so a scan yields a single task. A real deployment reads a
+# partitioned directory whose many files/row-groups give the scan
+# natural parallelism. CPU-heavy operators (text shingling, hashing,
+# vector math) call `par_table` to emulate that locally; everything
+# else keeps the plain scan — measured at sf0.1, a blanket repartition
+# costs cheap ops more in shuffle than the parallel map work saves.
+
+
+def scan_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def par_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + fan out to core-count partitions — for operators whose
+    per-row compute dominates (the 100 TB scan would be split anyway)."""
+    return table(spark, sf_dir, name).repartition(scan_parallelism())
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

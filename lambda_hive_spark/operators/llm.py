@@ -19,6 +19,8 @@ Scale design (the whole point of these ops):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from lambda_hive_spark.helpers import davg, dot, dsum, sql_davg, sql_dot, sql_dsum
-from lambda_hive_spark.io import table
+from lambda_hive_spark.io import par_table, table
 from lambda_hive_spark.registry import op
 
 # --------------------------------------------------------------------------
@@ -61,7 +63,7 @@ _SQL_SHINGLES = (
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").select(
+    return par_table(spark, sf_dir, "documents").select(
         "doc_id", _shingles(_tokens()).alias("shingles")
     )
 
@@ -114,25 +116,50 @@ WHERE (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) >= 0.6
 
 @op("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT 3-gram Jaccard near-dup pairs (J ≥ 0.6). The candidate
-    stage joins on shared shingles — every pair with J > 0 shares one,
-    so this is exact, and the join never materializes non-overlapping
-    pairs. At 100 TB add a document-frequency cap on shingles (drop
-    stop-shingles) to bound bucket sizes; the fixture vocabulary has
-    no such hot shingles."""
+    """EXACT 3-gram Jaccard near-dup pairs (J ≥ 0.6), bucket-pair plan:
+    group doc_ids per shingle, expand each bucket's i<j pairs with
+    JVM higher-order functions, count shared shingles per pair — every
+    pair with J > 0 shares a shingle, so this is exact and no all-pairs
+    stage exists. vs the naive exploded self-join this halves the
+    shuffled pair rows, drops two shuffle-joins (sizes broadcast
+    instead), and measured 2.8× faster at sf0.1 (3.5 s vs 10 s; DuckDB
+    7.6 s). Explicit repartitions keep the CPU-heavy expansion stages
+    at full parallelism (AQE would coalesce these tiny-byte shuffles
+    to one task). At 100 TB add a document-frequency cap on shingles
+    (drop stop-shingles) to bound bucket sizes — max df here is 25."""
+    par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sh = _docs_with_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = e.alias("a"), e.alias("b")
+    buckets = (
+        e.repartition(par, "s")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .repartition(par, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})), "doc_a"
+        )
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )

@@ -50,6 +50,6 @@ def test_multiway_join_broadcasts_dims(spark):
 
 
 def test_whole_stage_codegen(spark):
-    # starred stages ("*(1) Project ...") mark whole-stage codegen spans
+    # starred stages ("*(n) Project ...") mark whole-stage codegen spans
     plan = _plan(spark, "project_compute")
-    assert "*(1)" in plan
+    assert "*(" in plan
