@@ -4,6 +4,7 @@ SURVEY.md §2 into `lambda_hive_spark.registry`."""
 from lambda_hive_spark.operators import (  # noqa: F401
     advagg,
     aggregates,
+    analytics,
     extras,
     functions,
     joins,

@@ -1,0 +1,205 @@
+"""Analytics patterns: subquery family (exercising Catalyst's
+decorrelation rewrites), skew-salted aggregation, event funnels,
+cohort retention, and a partition-pruned sink round-trip.
+
+The subquery ops deliberately go through `spark.sql` so the ANTLR
+parser + `RewriteCorrelatedScalarSubquery` / semi-join planning run
+end-to-end (plan shapes asserted in tests/test_plans.py). AVG over
+`l_quantity` is parity-safe in plain double: the column is integral
+(1..50, verified), so partial sums are exact at any partition order.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import register_views, table
+from lambda_hive_spark.operators.scans import _scratch
+from lambda_hive_spark.registry import op
+
+_SCALAR_SUBQ = f"""
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (SELECT {sql_dsum("p_retailprice")} / COUNT(*) FROM part)
+"""
+
+
+@op("subq_scalar", oracle=_SCALAR_SUBQ)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (price above corpus mean); the
+    mean is the order-independent exact-decimal average so the
+    comparison boundary cannot flip between engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_IN_SUBQ = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+@op("subq_in", oracle=_IN_SUBQ)
+def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — planned as a left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_IN_SUBQ)
+
+
+_EXISTS_SUBQ = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+@op("subq_exists_corr", oracle=_EXISTS_SUBQ)
+def subq_exists_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated to a semi join by Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SUBQ)
+
+
+_CORR_SCALAR = """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+FROM lineitem l
+WHERE l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@op("subq_scalar_corr", oracle=_CORR_SCALAR)
+def subq_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar aggregate (quantity below
+    half the part's mean) — RewriteCorrelatedScalarSubquery turns the
+    per-row subquery into one aggregate + join; plain AVG is safe
+    because l_quantity is integral (module doc)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SCALAR)
+
+
+_SALT_BUCKETS = 16
+
+
+@op(
+    "join_skew_salted",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum("value")} AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 5-hot-key distribution:
+    stage 1 aggregates (key, salt) so each hot key spreads across
+    {_SALT_BUCKETS} reducers; stage 2 merges the partials. Results are
+    exactly the plain groupBy (oracle) — decimal partials re-sum
+    exactly. This is the manual skew pattern for when AQE's runtime
+    skew-split isn't available (e.g. pre-shuffle hot producers)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALT_BUCKETS))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(F.col("value").cast("decimal(18,6)")).alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("pv").cast("double").alias("total_value")
+    )
+
+
+@op(
+    "funnel_conversion",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+  SELECT DISTINCT f.user_id
+  FROM first_signup f JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f.signup_ts
+    AND e.ts <= f.signup_ts + INTERVAL '7 days'
+)
+SELECT (SELECT COUNT(*) FROM first_signup) AS n_signed_up,
+       (SELECT COUNT(*) FROM converted) AS n_converted
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase-within-7-days funnel: first signup per user,
+    semi-join purchases inside the window, two scalar counts. The
+    per-user dim is bounded → broadcast at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .filter(
+            (F.col("ts") > F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 days"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return first.agg(F.count(F.lit(1)).alias("n_signed_up")).crossJoin(
+        conv.agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+
+
+@op(
+    "retention_cohort",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week, strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS activity_week,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: cohort = week of first event,
+    activity = week of each event, distinct active users per cell.
+    The cohort dim is |users|-bounded → broadcast."""
+    ev = table(spark, sf_dir, "events")
+    week = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_week", week(F.col("ts")).alias("activity_week"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@op(
+    "sink_partitioned",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type, COUNT(*) AS n
+FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY 1, 2
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink + pruned read-back: write events
+    partitionBy(event_date), read back filtered to one day — the scan
+    lists only that partition directory (PartitionFilters asserted in
+    tests/test_plans.py). THE layout decision for time-series data at
+    100 TB."""
+    out = _scratch("events_partitioned")
+    ev = table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-15")
+    return (
+        back.groupBy(F.col("event_date").cast("string").alias("event_date"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -139,6 +139,27 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plans.enrich(ev, plans.user_profile(ev))
 
 
+@op(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,
+       p.ts AS p_ts, e.ts AS e_ts
+FROM events p JOIN events e
+  ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL '30 minutes'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream join (errors within
+    30 min after each purchase, per user); the true streaming run with
+    watermarks on both sides is tested in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return plans.purchase_error_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+
 @op("stream_sink", oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
 def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once parquet sink: stream events → date-partitioned

@@ -108,6 +108,31 @@ def user_profile(events_batch: DataFrame) -> DataFrame:
     )
 
 
+def purchase_error_join(
+    purchases: DataFrame, errors: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner join: each purchase matched
+    to the same user's errors within `window` after it. In streaming
+    mode both inputs must be watermarked and the time-range condition
+    is what lets Spark evict buffered rows — without it, stream-stream
+    join state grows forever (the 100 TB failure mode)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    e = errors.select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return p.join(
+        e,
+        (p.user_id == e.e_user)
+        & (e.e_ts > p.p_ts)
+        & (e.e_ts <= p.p_ts + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("purchase_id", "user_id", "error_id", "p_ts", "e_ts")
+
+
 def _stateful_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Shared per-user state transition: fold events in ts order,
     counting purchases and resetting on each error."""

@@ -53,3 +53,14 @@ def test_whole_stage_codegen(spark):
     # starred stages ("*(n) Project ...") mark whole-stage codegen spans
     plan = _plan(spark, "project_compute")
     assert "*(" in plan
+
+
+def test_correlated_exists_becomes_semi_join(spark):
+    plan = _plan(spark, "subq_exists_corr")
+    assert "SemiBuildRight" in plan or "LeftSemi" in plan, "EXISTS not decorrelated to semi join"
+
+
+def test_partitioned_sink_prunes(spark):
+    plan = _plan(spark, "sink_partitioned")
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "event_date" in part_lines[0], "date filter not pushed to partitions"

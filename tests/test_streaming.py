@@ -139,6 +139,21 @@ def test_stateful_stream_matches_batch_twin(spark, events_batch, arrival_dirs):
     assert _rows(final) == _rows(plans.stateful_batch(events_batch))
 
 
+def test_stream_stream_join_matches_batch(spark, events_batch, arrival_dirs):
+    """Watermarked stream-stream join over 3 in-order micro-batches
+    converges to the batch twin (the time-range condition bounds the
+    buffered state on both sides)."""
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark("ts", "1 hour")
+    errors = stream.filter(F.col("event_type") == "error").withWatermark("ts", "1 hour")
+    got = core.run_available_now(plans.purchase_error_join(purchases, errors))
+    want = plans.purchase_error_join(
+        events_batch.filter(F.col("event_type") == "purchase"),
+        events_batch.filter(F.col("event_type") == "error"),
+    )
+    assert _rows(got) == _rows(want)
+
+
 def test_parquet_sink_roundtrip(spark, events_batch, arrival_dirs, tmp_path):
     """Streaming parquet sink writes every row exactly once, with the
     date partition column for downstream pruning."""
