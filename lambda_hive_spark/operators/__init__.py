@@ -9,6 +9,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     functions,
     joins,
     llm,
+    maintenance,
     multimodal,
     relational,
     scans,

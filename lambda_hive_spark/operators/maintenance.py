@@ -1,0 +1,152 @@
+"""Storage-layout & pipeline-maintenance operators: bucketed
+co-located joins, upsert/merge, small-file compaction, stratified
+sampling. These are the operational patterns that decide whether a
+100 TB deployment is fast (bucketing kills the big-join shuffle;
+compaction keeps scan task counts sane) — expressed, like everything
+else, as declarative Spark plans.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.operators.scans import _scratch
+from lambda_hive_spark.registry import op
+
+_N_BUCKETS = 8
+
+
+@op(
+    "join_bucket_colocated",
+    oracle=f"""
+SELECT o_orderkey, COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS order_value
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables are saved bucketed
+    (+sorted) on the join key with the same bucket count, so the
+    SortMergeJoin — and the groupBy on the same key after it — run
+    with ZERO exchanges (asserted in tests/test_plans.py). THE answer
+    to the recurring big fact-fact join at 100 TB: pay the shuffle
+    once at write time, never at read time. `hint("merge")` pins SMJ
+    so the plan shape is stable across sf sizes."""
+    for tbl in ("orders_bucketed", "lineitem_bucketed"):
+        # a fresh session's in-memory catalog forgets managed tables but
+        # their warehouse dirs survive — drop both metadata and location
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl
+        )
+        shutil.rmtree(loc, ignore_errors=True)
+    table(spark, sf_dir, "orders").write.bucketBy(_N_BUCKETS, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").format("parquet").saveAsTable("orders_bucketed")
+    table(spark, sf_dir, "lineitem").write.bucketBy(_N_BUCKETS, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").format("parquet").saveAsTable("lineitem_bucketed")
+    o = spark.table("orders_bucketed").hint("merge")
+    li = spark.table("lineitem_bucketed")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("order_value"))
+    )
+
+
+@op(
+    "merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice, 'P' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT b.o_orderkey,
+       COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+       COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+FROM orders b LEFT JOIN updates u USING (o_orderkey)
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: updates win per key via
+    outer join + COALESCE. At 100 TB both sides hash-partition on the
+    merge key (or use the bucketed layout above) and the rewrite is
+    one co-partitioned join — the pattern under every Delta/Iceberg
+    MERGE. The update set here is deterministic (keys ≡ 0 mod 10,
+    price bumped 10%, status→'P')."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("u_totalprice"),
+        F.lit("P").alias("u_orderstatus"),
+    )
+    u = updates.withColumnsRenamed({"o_custkey": "u_custkey"})
+    return base.join(u, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("u_custkey", "o_custkey").alias("o_custkey"),
+        F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("u_orderstatus", "o_orderstatus").alias("o_orderstatus"),
+    )
+
+
+_TARGET_FILE_ROWS = 50_000
+
+
+@op("maintenance_compact")  # rows-only: file counts are engine/layout facts, not SQL
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: scatter events into 64 tiny files (the
+    pathological ingest pattern), then rewrite toward a target rows-
+    per-file. Returns before/after file counts + row conservation. At
+    100 TB this runs per partition-directory; without it, scan task
+    counts explode and the NameNode/listing becomes the bottleneck."""
+    scattered = _scratch("compact_in")
+    compacted = _scratch("compact_out")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(scattered)
+    small = spark.read.parquet(scattered)
+    n_rows = small.count()
+    n_out = max(1, -(-n_rows // _TARGET_FILE_ROWS))  # ceil
+    small.coalesce(n_out).write.mode("overwrite").parquet(compacted)
+
+    def _count_parquet(d: str) -> int:
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    back = spark.read.parquet(compacted)
+    return spark.createDataFrame(
+        [
+            (
+                _count_parquet(scattered),
+                _count_parquet(compacted),
+                n_rows,
+                back.count(),
+            )
+        ],
+        "files_before long, files_after long, rows_before long, rows_after long",
+    )
+
+
+@op("sample_stratified")  # rows-only: sampling is seed/engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: per-stratum Bernoulli fractions (seeded) —
+    downsample hot event types, keep rare ones whole; the standard
+    rebalancing step before expensive per-row model scoring."""
+    fractions = {"click": 0.1, "view": 0.1, "signup": 1.0, "purchase": 1.0, "error": 0.5}
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

@@ -64,3 +64,11 @@ def test_partitioned_sink_prunes(spark):
     plan = _plan(spark, "sink_partitioned")
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines and "event_date" in part_lines[0], "date filter not pushed to partitions"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key: SMJ and the
+    follow-on groupBy must run with zero shuffles."""
+    plan = _plan(spark, "join_bucket_colocated")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 0, "bucketed join should not shuffle"
