@@ -1,0 +1,136 @@
+"""Property-style checks (SURVEY.md §5.2): algebraic invariants that
+must hold regardless of data values, plus a hypothesis-driven
+Spark≡DuckDB equivalence over randomized predicates."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def test_union_all_count_additivity(spark):
+    o = table(spark, SF_SMALL, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    assert a.unionByName(b).count() == a.count() + b.count() == o.count()
+
+
+def test_topk_is_sorted_prefix(spark):
+    o = table(spark, SF_SMALL, "orders")
+    full = [r.o_orderkey for r in o.orderBy(F.desc("o_totalprice"), "o_orderkey").collect()]
+    top = [
+        r.o_orderkey
+        for r in o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(25).collect()
+    ]
+    assert top == full[:25]
+
+
+def test_semi_anti_partition_left(spark):
+    c = table(spark, SF_SMALL, "customer")
+    o = table(spark, SF_SMALL, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == c.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_intersect_except_partition(spark):
+    o = table(spark, SF_SMALL, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+    b = table(spark, SF_SMALL, "orders").filter(F.col("o_totalprice") > 100000).select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+    assert o.intersect(b).count() + o.exceptAll(b.distinct()).distinct().count() == o.count()
+
+
+def test_dedup_exact_conserves_rows(spark):
+    out = OPS["dedup_exact"].fn(spark, SF_SMALL)
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_jaccard_pairs_are_canonical_and_bounded(spark):
+    out = OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    for r in out:
+        assert r.doc_a < r.doc_b
+        assert 0.6 <= r.jaccard <= 1.0
+
+
+def test_merge_upsert_preserves_keys_and_applies_updates(spark):
+    out = OPS["merge_upsert"].fn(spark, SF_SMALL)
+    base = table(spark, SF_SMALL, "orders")
+    assert out.count() == base.count()
+    updated = out.filter(F.col("o_orderkey") % 10 == 0)
+    assert updated.filter(F.col("o_orderstatus") != "P").count() == 0
+
+
+def test_window_topk_groups_bounded_and_subset(spark):
+    """Every customer's top-3 rows are ≤3 and each appears in the full
+    orders table with its own top price ordering respected."""
+    out = OPS["win_topk_per_group"].fn(spark, SF_SMALL)
+    sizes = out.groupBy("o_custkey").count()
+    assert sizes.filter(F.col("count") > 3).count() == 0
+    o = table(spark, SF_SMALL, "orders")
+    per_cust_max = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("mx"))
+    top1 = out.groupBy("o_custkey").agg(F.max("o_totalprice").alias("top_price"))
+    joined = top1.join(per_cust_max, "o_custkey")
+    assert joined.filter(F.col("top_price") != F.col("mx")).count() == 0
+
+
+@pytest.fixture(scope="module")
+def duck_small():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_SMALL}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    qty=st.integers(min_value=1, max_value=50),
+    disc=st.floats(min_value=0.0, max_value=0.1, allow_nan=False),
+)
+def test_filter_agrees_with_duckdb_on_random_predicates(spark_h, duck_h, qty, disc):
+    """For arbitrary (quantity, discount) thresholds the Spark plan and
+    DuckDB must select exactly the same rows — the predicate-boundary
+    equivalence the whole oracle harness rests on."""
+    li = table(spark_h, SF_SMALL, "lineitem")
+    got = li.filter((F.col("l_quantity") >= qty) & (F.col("l_discount") <= disc)).count()
+    want = duck_h.execute(
+        f"SELECT COUNT(*) FROM lineitem WHERE l_quantity >= {qty} AND l_discount <= {disc}"
+    ).fetchone()[0]
+    assert got == want
+
+
+# hypothesis can't use function-scoped fixtures; bridge via module scope
+@pytest.fixture(scope="module")
+def _bridge(spark, duck_small):
+    global _SPARK, _DUCK
+    _SPARK, _DUCK = spark, duck_small
+    return True
+
+
+@pytest.fixture()
+def spark_h(_bridge):
+    return _SPARK
+
+
+@pytest.fixture()
+def duck_h(_bridge):
+    return _DUCK
