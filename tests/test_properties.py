@@ -134,3 +134,18 @@ def spark_h(_bridge):
 @pytest.fixture()
 def duck_h(_bridge):
     return _DUCK
+
+
+def test_minhash_candidates_verify_to_exact_subset(spark):
+    """MinHash+LSH output is exact-verified, so it must be a subset of
+    the exact all-pairs result; with 8 bands the miss probability at
+    J>=0.6 is ~1e-3, so recall should be near-total."""
+    exact = {
+        (r.doc_a, r.doc_b) for r in OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    near = {
+        (r.doc_a, r.doc_b) for r in OPS["dedup_near_minhash"].fn(spark, SF_SMALL).collect()
+    }
+    assert near <= exact
+    if exact:
+        assert len(near) / len(exact) >= 0.95

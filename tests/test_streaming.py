@@ -164,3 +164,18 @@ def test_parquet_sink_roundtrip(spark, events_batch, arrival_dirs, tmp_path):
     assert "event_date" in back.columns
     # partition dirs exist → a date-filtered read prunes at 100 TB
     assert any(d.startswith("event_date=") for d in os.listdir(out))
+
+
+def test_streaming_session_windows_converge(spark, events_batch, arrival_dirs):
+    """session_window in a real watermarked streaming query: every
+    emitted session matches the batch result (sessions still open at
+    the frontier are withheld in append mode)."""
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    got = core.run_available_now(
+        plans.session(stream.withWatermark("ts", "1 hour")), mode="append"
+    )
+    want = {tuple(r) for r in plans.session(events_batch).collect()}
+    emitted = {tuple(r) for r in got.collect()}
+    assert emitted <= want
+    # everything but the per-user trailing sessions must be out
+    assert len(emitted) >= len(want) - events_batch.select("user_id").distinct().count()
