@@ -11,6 +11,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     llm,
     maintenance,
     multimodal,
+    pipeline,
     relational,
     scans,
     setops,

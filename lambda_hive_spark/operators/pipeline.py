@@ -1,0 +1,129 @@
+"""Composed end-to-end pipeline operators: the pieces (language ID,
+quality scoring, dedup, token accounting, compliance deletes,
+vector compression) chained the way a real pre-training data pipeline
+chains them. Each stays one declarative Spark plan — Catalyst fuses
+the stages, so "pipeline" costs no extra passes.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "pipeline_quality_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr,
+         md5(text) AS content_key
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND n_tokens BETWEEN 10 AND 1000 AND ttr > 0.3
+),
+deduped AS (
+  SELECT content_key, MIN(doc_id) AS doc_id FROM kept GROUP BY content_key
+)
+SELECT k.source, COUNT(*) AS n_docs, CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+FROM deduped d JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY k.source
+""",
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training filter: language gate → length +
+    type-token-ratio quality gate → exact content dedup (keep lowest
+    doc_id) → per-source token accounting. One logical plan; at 100 TB
+    the only shuffles are the dedup groupBy and the final rollup —
+    both on narrow hashed keys."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    kept = (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            n_tok.alias("n_tokens"),
+            ttr.alias("ttr"),
+            F.md5("text").alias("content_key"),
+        )
+        .filter((F.col("lang") == "en") & F.col("n_tokens").between(10, 1000) & (ttr > 0.3))
+    )
+    deduped = kept.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        deduped.join(kept, ["content_key", "doc_id"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@op(
+    "purge_users",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events WHERE user_id NOT IN (0, 1, 2)
+GROUP BY event_type
+""",
+)
+def purge_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance delete (GDPR-style): anti-join the purge list out of
+    the event log and account for what remains. The purge list is
+    bounded → broadcast; at 100 TB this is the rewrite step of each
+    affected partition, no full shuffle."""
+    ev = table(spark, sf_dir, "events")
+    purge = spark.range(3).select(F.col("id").alias("user_id"))  # users 0,1,2
+    return (
+        ev.join(F.broadcast(purge), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@op(
+    "vec_quantize_int8",
+    oracle="""
+WITH stats AS (
+  SELECT vec_id, label, embedding,
+         list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+         list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+  FROM embeddings
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, lo, hi,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255 - 128) AS BIGINT)
+       )) AS BIGINT) AS q_checksum
+FROM stats
+""",
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization per vector (min/max affine → [-128,
+    127]) — the 4× storage compression step before ANN indexing at
+    scale. floor() keeps both engines bit-identical (no round-half
+    ambiguity); the oracle checks the integer checksum of every
+    quantized vector plus the dequant params."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    lo, hi = F.array_min(emb), F.array_max(emb)
+    q = F.transform(emb, lambda x: F.floor((x - lo) / (hi - lo) * 255 - 128).cast("long"))
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_checksum"),
+    )
