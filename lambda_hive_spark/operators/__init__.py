@@ -16,6 +16,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    stats,
     streams,
     udx,
     windows,

@@ -1,0 +1,146 @@
+"""Statistical feature-engineering operators: per-dimension vector
+stats, z-score normalization, and banded edit-distance dedup.
+
+Parity technique: means/variances accumulate through scale-12
+decimal (order-independent on each engine) and the OUTPUTS are
+rounded well above the residual cross-engine noise. The noise exists
+because DuckDB's double->DECIMAL(18,12) cast multiplies in double
+space (rint(x*1e12), up to 1 unit-last-place off) while Spark's
+BigDecimal cast rounds exactly -- measured ~1e-14 drift on means.
+Rounding at 1e-6..1e-8 sits ~6 orders above that noise and ~6 below
+data resolution, so a value landing on a round-half boundary has
+probability ~1e-7 (vs ~coin-flip if one rounds raw double sums,
+helpers.r4). Scale-6 money sums don't have this problem: 2-decimal
+inputs times 1e6 are exactly representable doubles.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "vec_stats",
+    oracle=f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+       round({sql_dsum("val", 12)} / COUNT(*), 8) AS mean,
+       round(({sql_dsum("val * val", 12)} - COUNT(*) * POW({sql_dsum("val", 12)} / COUNT(*), 2))
+         / (COUNT(*) - 1), 8) AS var
+FROM ex GROUP BY pos
+""",
+)
+def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (the fit step of feature
+    normalization): posexplode → decimal-exact mean/variance per
+    coordinate. 64 output rows regardless of corpus size — the
+    shuffle carries (pos, partial sums), nothing else."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode(F.col("embedding").cast("array<double>"))).withColumnsRenamed(
+        {"col": "val"}
+    )
+    n = F.count(F.lit(1))
+    mean = dsum("val", 12) / n
+    var = (dsum(F.col("val") * F.col("val"), 12) - n * F.pow(mean, 2)) / (n - 1)
+    return ex.groupBy(F.col("pos").cast("bigint").alias("pos")).agg(
+        n.alias("n"), F.round(mean, 8).alias("mean"), F.round(var, 8).alias("var")
+    )
+
+
+@op(
+    "zscore_normalize",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         {sql_dsum("value", 12)} / COUNT(*) AS mu,
+         sqrt(({sql_dsum("value * value", 12)}
+               - COUNT(*) * POW({sql_dsum("value", 12)} / COUNT(*), 2)) / (COUNT(*) - 1)) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, round((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+""",
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score: group stats from decimal-exact sums,
+    broadcast back onto every row (|groups| is bounded — never a
+    window over the full table at scale)."""
+    ev = table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    mu = dsum("value", 12) / n
+    sigma = F.sqrt(
+        (dsum(F.col("value") * F.col("value"), 12) - n * F.pow(mu, 2)) / (n - 1)
+    )
+    stats = ev.groupBy("event_type").agg(mu.alias("mu"), sigma.alias("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+_BAND = 20  # length-band width; |len diff| > band ⇒ distance > 0.3·len anyway
+
+
+@op(
+    "dedup_edit_distance",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= {_BAND}
+WHERE levenshtein(a.text, b.text) <= CAST(0.3 * greatest(a.L, b.L) AS BIGINT)
+""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by edit distance with length banding: a pair can
+    only be within 30% edit distance if lengths differ by ≤ that, so
+    each doc joins only its own and adjacent length bands (the b side
+    is replicated to 3 bands → every candidate pair meets exactly
+    once). Levenshtein is an exact integer — parity is trivial. At
+    100 TB the band is the shuffle key and the quadratic work stays
+    inside bands."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    a = d.withColumn("band", F.floor(F.col("L") / _BAND))
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("L").alias("L_b"),
+        F.explode(
+            F.array(
+                F.floor(F.col("L") / _BAND) - 1,
+                F.floor(F.col("L") / _BAND),
+                F.floor(F.col("L") / _BAND) + 1,
+            )
+        ).alias("band"),
+    )
+    lev = F.levenshtein("text", "text_b")
+    return (
+        a.join(b, "band")
+        .filter(
+            (F.col("doc_id") < F.col("doc_b"))
+            & (F.abs(F.col("L") - F.col("L_b")) <= _BAND)
+            & (lev <= F.floor(0.3 * F.greatest("L", "L_b")))
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            lev.cast("long").alias("edit_dist"),
+        )
+    )
