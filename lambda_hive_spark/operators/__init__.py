@@ -10,6 +10,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     joins,
     llm,
     maintenance,
+    misc_agg,
     multimodal,
     pipeline,
     relational,
