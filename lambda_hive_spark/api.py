@@ -1,0 +1,74 @@
+"""User-facing engine facade — the single import a reference user
+switches to:
+
+    from lambda_hive_spark.api import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.01")   # or Engine(spark=...)
+    eng.table("orders")                  # DataFrame over a fixture table
+    eng.sql("SELECT count(*) FROM lineitem")       # SQL frontend
+    eng.run("agg_hash")                  # any registered operator by name
+    eng.ops()                            # the full operator inventory
+    eng.stream_events(landing_dir)       # unbounded events source
+    eng.dag()                            # workflow-DAG builder
+
+Everything is a thin delegation to the modules that own the logic —
+the facade adds discoverability, not behavior.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lambda_hive_spark import io
+from lambda_hive_spark.orchestrator import Dag
+from lambda_hive_spark.registry import Op, all_ops
+from lambda_hive_spark.session import get_spark, tune_runtime
+
+
+class Engine:
+    """A session + a fixture directory + the operator registry."""
+
+    def __init__(self, sf_dir: str, spark: SparkSession | None = None) -> None:
+        self.sf_dir = sf_dir
+        self.spark = tune_runtime(spark) if spark is not None else get_spark()
+        self._views_registered = False
+
+    # -- data access ---------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return io.table(self.spark, self.sf_dir, name)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL over the ten fixture tables (views registered lazily)."""
+        if not self._views_registered:
+            io.register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    # -- operators -----------------------------------------------------
+    def ops(self) -> dict[str, Op]:
+        return all_ops()
+
+    def run(self, op_name: str) -> DataFrame:
+        ops = all_ops()
+        if op_name not in ops:
+            raise KeyError(
+                f"unknown op {op_name!r}; known ops: {', '.join(sorted(ops))}"
+            )
+        return ops[op_name].fn(self.spark, self.sf_dir)
+
+    def oracle(self, op_name: str) -> str | None:
+        """The DuckDB-dialect twin of an op (None for rows-only ops)."""
+        return all_ops()[op_name].oracle
+
+    # -- streaming / orchestration ------------------------------------
+    def stream_events(self, landing_dir: str | None = None, **kwargs) -> DataFrame:
+        from lambda_hive_spark.streaming import core
+
+        return core.events_stream(
+            self.spark, landing_dir or core.landing_dir(self.sf_dir), **kwargs
+        )
+
+    def dag(self) -> Dag:
+        return Dag()

@@ -1,0 +1,41 @@
+"""Engine facade surface (lambda_hive_spark.api)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lambda_hive_spark.api import Engine
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(SF_SMALL, spark=spark)
+
+
+def test_table_and_sql(eng):
+    assert eng.table("orders").count() == 1500
+    assert eng.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n == 1500
+
+
+def test_run_known_op_and_oracle(eng):
+    df = eng.run("agg_hash")
+    assert df.count() > 0
+    assert "SELECT" in eng.oracle("agg_hash").upper()
+    assert eng.oracle("sim_knn_ivf") is None  # rows-only op
+
+
+def test_run_unknown_op_raises(eng):
+    with pytest.raises(KeyError, match="unknown op"):
+        eng.run("definitely_not_an_op")
+
+
+def test_ops_inventory_complete(eng):
+    ops = eng.ops()
+    assert len(ops) >= 126
+    assert "dedup_ngram_jaccard" in ops and "stream_tumbling" in ops
+
+
+def test_dag_builder(eng):
+    run = eng.dag().add("one", lambda s: 1).run(eng.spark)
+    assert run.results == {"one": 1}
