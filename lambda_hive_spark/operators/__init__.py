@@ -7,6 +7,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     analytics,
     extras,
     functions,
+    functions2,
     joins,
     llm,
     maintenance,

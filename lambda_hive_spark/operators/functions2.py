@@ -1,0 +1,112 @@
+"""Second tranche of the scalar function surface (SURVEY.md §2.8
+extension): more string functions, bitwise ops, more date functions —
+all JVM built-ins with 1:1 DuckDB twins.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "fn_string2",
+    oracle="""
+SELECT p_partkey,
+       array_to_string(list_transform(string_split(p_name, ' '),
+                       w -> upper(w[1]) || lower(w[2:])), ' ') AS name_title,
+       reverse(p_brand) AS brand_rev,
+       repeat(p_brand, 2) AS brand_x2,
+       translate(p_type, 'AEO', 'aeo') AS type_translated,
+       replace(p_name, ' ', '_') AS name_snake,
+       split_part(p_name, ' ', 1) AS first_word,
+       left(p_name, 3) AS name_left3,
+       right(p_name, 3) AS name_right3,
+       contains(p_name, 'widget') AS has_widget,
+       starts_with(p_name, 'small') AS is_small,
+       ends_with(p_name, 'bolt') AS is_bolt
+FROM part
+""",
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface #2: initcap/reverse/repeat/translate/replace/
+    split_part/left/right/contains/starts_with/ends_with."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("name_title"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.translate("p_type", "AEO", "aeo").alias("type_translated"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.left(F.col("p_name"), F.lit(3)).alias("name_left3"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_right3"),
+        F.contains(F.col("p_name"), F.lit("widget")).alias("has_widget"),
+        F.startswith(F.col("p_name"), F.lit("small")).alias("is_small"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+    )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 1 AS with_low_bit,
+       xor(event_id, 255) AS xored,
+       event_id << 2 AS shifted_l,
+       event_id >> 2 AS shifted_r,
+       CAST(bit_count(event_id) AS BIGINT) AS n_bits
+FROM events
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor/shifts/popcount."""
+    ev = table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(1)).alias("with_low_bit"),
+        eid.bitwiseXOR(F.lit(255)).alias("xored"),
+        F.shiftleft(eid, 2).alias("shifted_l"),
+        F.shiftright(eid, 2).alias("shifted_r"),
+        F.bit_count(eid).cast("bigint").alias("n_bits"),
+    )
+
+
+@op(
+    "fn_date2",
+    oracle="""
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3_months,
+       strftime(CAST(o_orderdate - INTERVAL 90 DAY AS DATE), '%Y-%m-%d') AS minus_90_days,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+FROM orders
+""",
+)
+def fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date surface #2: quarter/dayofyear/ISO week/add_months/date_sub/
+    datediff (both engines use ISO 8601 week numbering)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("bigint").alias("q"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.date_sub(d, 90), "yyyy-MM-dd").alias("minus_90_days"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch_start"
+        ),
+    )

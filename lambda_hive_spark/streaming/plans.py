@@ -193,3 +193,57 @@ def stateful_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_stream_tws(events: DataFrame) -> DataFrame:
+    """Same per-user state machine as `stateful_stream`, on Spark 4's
+    newest stateful API (`transformWithStateInPandas` + a
+    StatefulProcessor with typed ValueState). The state store schema
+    is declared per-variable, which is what enables state TTL and
+    schema evolution at scale. NOTE: the TWS Python runtime requires
+    `google.protobuf` (not in this container), so the test for this
+    builder auto-skips here; `stateful_stream` (applyInPandasWithState)
+    is the covered twin."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class PurchasesSinceError(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [StructField("n_events", LongType()), StructField("purchases", LongType())]
+            )
+            self._state = handle.getValueState("purchase_state", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_events, purchases = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                n_events += len(pdf)
+                for et in pdf["event_type"]:
+                    if et == "error":
+                        purchases = 0
+                    elif et == "purchase":
+                        purchases += 1
+            self._state.update((n_events, purchases))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "purchases_since_error": [purchases],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=PurchasesSinceError(),
+        outputStructType=STATEFUL_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

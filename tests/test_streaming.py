@@ -179,3 +179,25 @@ def test_streaming_session_windows_converge(spark, events_batch, arrival_dirs):
     assert emitted <= want
     # everything but the per-user trailing sessions must be out
     assert len(emitted) >= len(want) - events_batch.select("user_id").distinct().count()
+
+
+def test_transform_with_state_matches_batch_twin(spark, events_batch, arrival_dirs):
+    """Spark 4 transformWithStateInPandas (typed ValueState processor)
+    over 3 in-order micro-batches ends in the same per-user state as
+    the batch applyInPandas twin. The TWS runtime speaks protobuf to
+    the state server — skipped where google.protobuf is unavailable
+    (this container); applyInPandasWithState covers the semantics."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import Window
+
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    updates = core.run_available_now(plans.stateful_stream_tws(stream), mode="update")
+    final = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events"))),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert _rows(final) == _rows(plans.stateful_batch(events_batch))
