@@ -62,6 +62,19 @@ class Engine:
         """The DuckDB-dialect twin of an op (None for rows-only ops)."""
         return all_ops()[op_name].oracle
 
+    def explain(self, op_name: str) -> str:
+        """The executed physical plan of an op — the review artifact
+        for every would-this-scale question."""
+        df = self.run(op_name)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def cache_table(self, name: str) -> DataFrame:
+        """Register + cache a fixture table (InMemoryTableScan on
+        subsequent reads — for dims reused across many queries)."""
+        io.table(self.spark, self.sf_dir, name).createOrReplaceTempView(name)
+        self.spark.catalog.cacheTable(name)
+        return self.spark.table(name)
+
     # -- streaming / orchestration ------------------------------------
     def stream_events(self, landing_dir: str | None = None, **kwargs) -> DataFrame:
         from lambda_hive_spark.streaming import core

@@ -39,3 +39,14 @@ def test_ops_inventory_complete(eng):
 def test_dag_builder(eng):
     run = eng.dag().add("one", lambda s: 1).run(eng.spark)
     assert run.results == {"one": 1}
+
+
+def test_explain_and_cache(eng):
+    plan = eng.explain("scan_filtered")
+    assert "PushedFilters" in plan
+    cached = eng.cache_table("nation")
+    assert cached.count() == 25
+    assert eng.spark.catalog.isCached("nation")
+    plan2 = cached._jdf.queryExecution().executedPlan().toString()
+    assert "In-memory table" in plan2 or "InMemoryRelation" in plan2
+    eng.spark.catalog.uncacheTable("nation")
