@@ -42,11 +42,10 @@ def events_batch(spark):
 def arrival_dirs(spark, events_batch, tmp_path):
     """Split events into 3 parquet files by time order, simulating
     in-order arrival into a landing dir."""
+    from pyspark.sql import Window
+
     land = str(tmp_path / "landing")
-    staging = str(tmp_path / "staging")
-    ev = events_batch.withColumn(
-        "bucket", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
-    )
+    ev = events_batch.withColumn("bucket", F.ntile(3).over(Window.orderBy("ts")))
     os.makedirs(land)
     for b in (1, 2, 3):
         part = str(tmp_path / f"part{b}")
