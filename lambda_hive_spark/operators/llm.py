@@ -715,3 +715,66 @@ def multimodal_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(emb).cast("long").alias("dim"),
         dot(emb, emb).alias("sq_norm"),
     )
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sim AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
+  WHERE (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM sim UNION ALL SELECT doc_b, doc_a FROM sim),
+verts AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node WHERE r.lab < e.v
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@op("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (cluster id = min doc_id in the component) — the actual
+    dedup deliverable: keep one doc per cluster. Iterative min-label
+    propagation; each round is one join + one groupBy-min, and the
+    driver touches only a scalar convergence checksum (never the
+    data). Components here have tiny diameters, so 2-3 rounds; at
+    100 TB swap in the large-star/small-star variant of the same loop.
+    The oracle recomputes components with a recursive CTE, pruned to
+    min-label paths so it terminates."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)  # cut lineage per round
+    prev_sum = None
+    for _ in range(20):
+        neighbor = (
+            labels.join(edges, labels.node == edges.u)
+            .select(F.col("v").alias("node"), "lab")
+        )
+        labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]  # scalar only
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
