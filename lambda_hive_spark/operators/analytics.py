@@ -97,7 +97,7 @@ FROM events GROUP BY event_type
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation over a 5-hot-key distribution:
     stage 1 aggregates (key, salt) so each hot key spreads across
-    {_SALT_BUCKETS} reducers; stage 2 merges the partials. Results are
+    16 reducers; stage 2 merges the partials. Results are
     exactly the plain groupBy (oracle) — decimal partials re-sum
     exactly. This is the manual skew pattern for when AQE's runtime
     skew-split isn't available (e.g. pre-shuffle hot producers)."""

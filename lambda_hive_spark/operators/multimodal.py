@@ -189,9 +189,9 @@ FROM documents,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: slice the payload into fixed
-    {FRAME_BYTES}-byte frames, keep every {FRAME_STRIDE}th, fingerprint
-    each — a 1→N mapInPandas expansion whose per-frame hashes the
-    oracle reproduces byte-for-byte."""
+    256-byte frames, keep every 4th, fingerprint each — a 1→N
+    mapInPandas expansion whose per-frame hashes the oracle
+    reproduces byte-for-byte."""
     return payload_df(spark, sf_dir).mapInPandas(
         _frame_batches, "doc_id long, frame_idx long, frame_n_bytes long, frame_sha string"
     )
