@@ -88,3 +88,30 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+@op(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a pure filter+global-agg
+    whose four predicates ALL reach PushedFilters; the canonical
+    scan-efficiency benchmark."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.05)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

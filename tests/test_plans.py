@@ -72,3 +72,17 @@ def test_bucketed_join_has_no_exchange(spark):
     plan = _plan(spark, "join_bucket_colocated")
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 0, "bucketed join should not shuffle"
+
+
+def test_topk_per_group_plans_window_group_limit(spark):
+    """rank-filter pattern: Spark 3.5+ prunes per-group rows before the
+    full window sort via WindowGroupLimit."""
+    plan = _plan(spark, "win_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q6_pushes_all_predicates(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, f"{frag} not pushed"
