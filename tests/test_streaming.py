@@ -200,3 +200,42 @@ def test_transform_with_state_matches_batch_twin(spark, events_batch, arrival_di
         .drop("rn")
     )
     assert _rows(final) == _rows(plans.stateful_batch(events_batch))
+
+
+def test_checkpoint_recovery_exactly_once(spark, events_batch, arrival_dirs, tmp_path):
+    """Restart semantics: a parquet-sink query stopped after draining
+    two files and RESTARTED with the same checkpoint processes ONLY
+    the file that arrived in between — every row lands exactly once.
+    This is the recovery guarantee a 100 TB pipeline leans on."""
+    land = str(tmp_path / "recovery_landing")
+    os.makedirs(land)
+    files = sorted(os.listdir(arrival_dirs))
+    # phase 1: only the first two files have arrived
+    for f in files[:2]:
+        shutil.copy(os.path.join(arrival_dirs, f), os.path.join(land, f))
+        _stamp_arrival(os.path.join(land, f), int(f.split("-")[1].split(".")[0]))
+    out = str(tmp_path / "recovery_out")
+    ckpt = str(tmp_path / "recovery_ckpt")
+
+    def run_once():
+        q = (
+            core.events_stream(spark, land)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_phase1 = spark.read.parquet(out).count()
+    assert 0 < n_phase1 < events_batch.count()
+    # phase 2: third file arrives; restart from the same checkpoint
+    shutil.copy(os.path.join(arrival_dirs, files[2]), os.path.join(land, files[2]))
+    _stamp_arrival(os.path.join(land, files[2]), 3)
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == events_batch.count()  # nothing lost...
+    assert back.select(F.count_distinct("event_id")).collect()[0][0] == events_batch.count()
+    # ...and nothing duplicated: phase-1 rows were not reprocessed
