@@ -64,16 +64,16 @@ WITH s AS (
          {sql_dsum('l_quantity')} AS sx,
          {sql_dsum('l_quantity * l_quantity')} AS sxx,
          {sql_dsum('l_extendedprice')} AS sy,
-         {sql_dsum('l_extendedprice * l_extendedprice', 2)} AS syy,
-         {sql_dsum('l_quantity * l_extendedprice', 2)} AS sxy
+         {sql_dsum('l_extendedprice * l_extendedprice', 4)} AS syy,
+         {sql_dsum('l_quantity * l_extendedprice', 4)} AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        (sx / n) AS mean_qty,
        ((sxx - sx * sx / n) / (n - 1)) AS var_qty,
        sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-       ((sxy - sx * sy / n) / (n - 1)) AS covar_qty_price,
-       ((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qty_price
+       round((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+       round(((sxy - sx * sy / n) / (n - 1)) / (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))), 8) AS corr_qty_price
 FROM s
 """
 
@@ -82,7 +82,17 @@ FROM s
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance/stddev/covariance/correlation from decimal-exact
     moments — identical double arithmetic on both engines (see module
-    docstring). Scale: one pass over the data, map-side partials."""
+    docstring). Scale: one pass over the data, map-side partials.
+
+    Moment scales are chosen so every per-row cast is EXACT (products
+    of 2-decimal prices are exact 4-decimal numbers → scale 4; any
+    coarser scale creates genuine .xx50 halfway ties where Spark's
+    HALF_UP and DuckDB's rint disagree — caught at sf0.1). The two
+    price-moment sums exceed double's 15.9 significant digits, where
+    the engines' decimal→double casts can differ by 1 ulp (DuckDB
+    double-rounds via int128→double→divide), so the price-derived
+    outputs are rounded just above that noise; quantity-only moments
+    stay within exact-double range and ship unrounded."""
     li = table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
@@ -90,8 +100,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(q).alias("sx"),
         dsum(q * q).alias("sxx"),
         dsum(p).alias("sy"),
-        dsum(p * p, 2).alias("syy"),
-        dsum(q * p, 2).alias("sxy"),
+        dsum(p * p, 4).alias("syy"),
+        dsum(q * p, 4).alias("sxy"),
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
     var_qty = (sxx - sx * sx / n) / (n - 1)
@@ -103,8 +113,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean_qty"),
         var_qty.alias("var_qty"),
         F.sqrt(var_qty).alias("stddev_qty"),
-        covar.alias("covar_qty_price"),
-        (covar / (F.sqrt(var_qty) * F.sqrt(var_price))).alias("corr_qty_price"),
+        F.round(covar, 4).alias("covar_qty_price"),
+        F.round(covar / (F.sqrt(var_qty) * F.sqrt(var_price)), 8).alias("corr_qty_price"),
     )
 
 
