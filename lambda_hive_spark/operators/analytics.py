@@ -203,3 +203,36 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.col("event_date").cast("string").alias("event_date"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@op(
+    "fulfillment_lag",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)
+         / COUNT(*) AS avg_lag_days,
+       quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.5) AS p50_lag,
+       quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.95) AS p95_lag
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per priority class: integer
+    day-diffs make every sum and interpolated percentile exact in
+    double, so no decimal detour is needed. The canonical SLA query
+    shape over the fact-fact join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(lag.cast("double")) / F.count(F.lit(1))).alias("avg_lag_days"),
+            F.percentile(lag, 0.5).alias("p50_lag"),
+            F.percentile(lag, 0.95).alias("p95_lag"),
+        )
+    )
