@@ -188,8 +188,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_N_BANDS)
         ]
     )
-    e = sh.select("doc_id", "shingles", F.explode(bands).alias("bs")).select(
-        "doc_id", "shingles", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    # Stage 1 — LSH banding. Candidate generation is id-ONLY: the
+    # banded self-join carries (doc_id, band, sig) rows, never the
+    # shingle arrays, so the shuffle payload per candidate is 16 bytes
+    # regardless of document length (the round-1 version shipped both
+    # full shingle arrays through this join — the one flagged scale
+    # defect).
+    e = sh.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a, b = e.alias("a"), e.alias("b")
     cand = (
@@ -199,19 +205,37 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sha"),
-            F.col("b.shingles").alias("shb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("sha", "shb"))
-    union = F.size("sha") + F.size("shb") - inter
-    return cand.select(
-        "doc_a", "doc_b", (inter / union).alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.6)
+    # Stage 2 — exact verify via the shared-shingle-count plan (same
+    # shape as dedup_ngram_jaccard's): join the candidate ids to the
+    # exploded 8-byte shingle hashes on each side; a shingle common to
+    # both docs survives the second equi-join, so COUNT(*) per pair is
+    # the exact intersection size. Sizes are broadcast. All shuffled
+    # rows are fixed-width scalars.
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    expl = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("sh")
+    )
+    shared = (
+        cand.join(expl.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            expl.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})), "doc_a"
+        )
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
 
 
 def _make_simhash64():

@@ -24,7 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_SCRATCH = "/root/repo/.tmp/streaming"
+# Scratch root: env-overridable, else repo-relative (two levels above
+# this package), never a hardcoded absolute checkout path.
+_SCRATCH = os.path.join(
+    os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"),
+    ),
+    "streaming",
+)
 
 # Fixed by the parquet footers (FIXTURES.md) — streaming sources must
 # declare their schema up front; never inferred.
@@ -89,7 +97,11 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        # Still running at timeout: reading the memory sink now would
+        # return a partial mid-stream table. Stop and fail loudly.
+        query.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in {timeout_s}s")
     return df.sparkSession.table(name)
 
 

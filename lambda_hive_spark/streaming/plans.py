@@ -68,11 +68,20 @@ def session(events: DataFrame) -> DataFrame:
 
 
 def dedup(events: DataFrame, watermark: str | None = None) -> DataFrame:
-    """Exactly-once by event_id. Streaming callers pass a watermark so
-    the seen-ids state is evictable (unbounded otherwise — the 100 TB
-    failure mode); batch callers leave it None."""
+    """Exactly-once by event_id. Streaming callers pass a watermark and
+    get `dropDuplicatesWithinWatermark`, whose seen-ids state IS
+    evicted once the watermark passes an id's event time — plain
+    `dropDuplicates(['event_id'])` would keep state for every distinct
+    id forever even under a watermark, because the dedup key set does
+    not include the event-time column (the 100 TB failure mode).
+    Duplicates are guaranteed dropped when they arrive within the
+    watermark delay of the first occurrence — the delivery-retry window
+    a log replayer actually produces. Batch callers leave watermark
+    None and get exact global dedup."""
     if watermark is not None:
-        events = events.withWatermark("ts", watermark)
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
     return events.dropDuplicates(["event_id"])
 
 
