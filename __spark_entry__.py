@@ -17,20 +17,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lambda_hive_spark.registry import all_ops
+from lambda_hive_spark.registry import all_ops, op_source_hash
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _graded_names() -> set[str]:
     """Op names already driver-graded in a prior round (GRADED.json is a
-    manifest {round: [op, ...]} updated each round from CORRECTNESS_r{N})."""
+    manifest {round: [op, ...], "hashes": {op: fp}} maintained by
+    tools/update_graded.py from each CORRECTNESS_r{N}).  An op whose
+    implementation changed since grading (fingerprint mismatch) is
+    treated as ungraded so the driver re-verifies it."""
     try:
         with open(os.path.join(_REPO, "GRADED.json")) as f:
             manifest = json.load(f)
     except (OSError, ValueError):
         return set()
-    return {name for names in manifest.values() for name in names}
+    hashes = manifest.get("hashes", {})
+    names = {
+        name
+        for key, entries in manifest.items()
+        if key != "hashes" and isinstance(entries, list)
+        for name in entries
+    }
+    if not hashes:
+        return names
+    ops = all_ops()
+    return {
+        name
+        for name in names
+        if name not in ops
+        or hashes.get(name) is None  # pre-hash manifest entry: trust it
+        or hashes[name] == op_source_hash(ops[name])
+    }
 
 
 def _ordered_ops():

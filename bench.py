@@ -42,10 +42,61 @@ HEADLINE = (
 
 N_RUNS = 3
 
+# Multi-rowgroup corpus (BASELINE.md §scale-smoke shape): the sf0.1
+# fixtures are ONE file / ONE row group each, so every sub-second scan
+# is a single task and Spark's ~0.3 s scheduling floor dominates the
+# per-query ratio. The scale section replicates the hot tables with
+# shifted keys into 32-file directories — scans parallelize across 32
+# tasks, which is the signal that matters for the 100 TB question.
+# Clone counts match tests/test_scale_smoke.py (documents ×3 because
+# the clones are real duplicates: pair work grows quadratically).
+SCALE_TABLES = {
+    "lineitem": ("l_orderkey", 10),
+    "documents": ("doc_id", 3),
+    "embeddings": ("vec_id", 10),
+}
+SCALE_HEADLINE = (
+    "agg_hash",            # 6M-row scan + groupBy
+    "distinct_rows",       # 6M-row full-width shuffle dedup
+    "text_tf_idf",         # 15k docs, explode + two-level agg
+    "dedup_ngram_jaccard", # 15k docs, 9× pair work (real duplicates)
+    "sim_knn_exact",       # 10 queries × 5k corpus vectors
+)
+SCALE_RUNS = 1  # single timed run after warm-up — queries are 10-100× bigger
 
-def _time_spark(fn, spark, sf_dir: str) -> float:
+
+def _scale_corpus(spark, sf_dir: str) -> str:
+    """Materialize (once, cached in scratch) an sf-dir-shaped corpus
+    with the SCALE_TABLES replicated into 32-file parquet directories;
+    all other tables symlink to the fixtures."""
+    from pyspark.sql import functions as F
+
+    from lambda_hive_spark.io import TABLES
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo, ".tmp"))
+    out_dir = os.path.join(scratch, f"bench_scale_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t in SCALE_TABLES:
+            if os.path.isdir(dst) and os.path.exists(os.path.join(dst, "_SUCCESS")):
+                continue
+            key, copies = SCALE_TABLES[t]
+            base = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            shift = base.agg(F.max(key)).collect()[0][0] + 1
+            big = base
+            for i in range(1, copies):
+                big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))
+            big.repartition(32).write.mode("overwrite").parquet(dst)
+        elif not os.path.lexists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    return out_dir
+
+
+def _time_spark(fn, spark, sf_dir: str, runs: int = N_RUNS) -> float:
     times = []
-    for i in range(N_RUNS + 1):
+    for i in range(runs + 1):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -54,9 +105,9 @@ def _time_spark(fn, spark, sf_dir: str) -> float:
     return statistics.median(times)
 
 
-def _time_duck(con, sql: str) -> float:
+def _time_duck(con, sql: str, runs: int = N_RUNS) -> float:
     times = []
-    for i in range(N_RUNS + 1):
+    for i in range(runs + 1):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         dt = time.perf_counter() - t0
@@ -85,6 +136,30 @@ def main() -> None:
         if op_.oracle:
             duck[name] = round(_time_duck(con, op_.oracle), 4)
 
+    # Multi-rowgroup section (skippable via SPARK_GRAFT_BENCH_SCALE=0
+    # for quick iteration loops).
+    scale: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0":
+        scale_dir = _scale_corpus(spark, sf_dir)
+        scale_con = duck_connection(scale_dir)
+        s_queries: dict[str, float] = {}
+        s_duck: dict[str, float] = {}
+        for name in SCALE_HEADLINE:
+            op_ = ops[name]
+            s_queries[name] = round(_time_spark(op_.fn, spark, scale_dir, SCALE_RUNS), 4)
+            if op_.oracle:
+                s_duck[name] = round(_time_duck(scale_con, op_.oracle, SCALE_RUNS), 4)
+        scale_con.close()
+        scale = {
+            "metric": "scale_multirowgroup_total_wall_sec",
+            "value": round(sum(s_queries.values()), 4),
+            "queries": s_queries,
+            "duckdb_sec": s_duck,
+            "duckdb_total_sec": round(sum(s_duck.values()), 4),
+            "copies": {t: c for t, (_, c) in SCALE_TABLES.items()},
+            "runs": SCALE_RUNS,
+        }
+
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
@@ -96,6 +171,7 @@ def main() -> None:
                 "sf": float(sf),
                 "duckdb_sec": duck,
                 "duckdb_total_sec": round(sum(duck.values()), 4),
+                "scale": scale,
                 "config": {
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                     "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

@@ -62,9 +62,19 @@ class Engine:
         """The DuckDB-dialect twin of an op (None for rows-only ops)."""
         return all_ops()[op_name].oracle
 
-    def explain(self, op_name: str) -> str:
+    def explain(self, op_name: str, allow_side_effects: bool = False) -> str:
         """The executed physical plan of an op — the review artifact
-        for every would-this-scale question."""
+        for every would-this-scale question.
+
+        Ops tagged ``side_effect`` (sinks, bucketed-table builders,
+        compaction, orchestrators, streaming runs) *execute writes* to
+        produce their result, so explaining them is not read-only;
+        refuse unless the caller opts in with ``allow_side_effects``."""
+        if "side_effect" in all_ops()[op_name].tags and not allow_side_effects:
+            raise ValueError(
+                f"op {op_name!r} writes tables/files when run; "
+                "explain(op, allow_side_effects=True) to accept that"
+            )
         df = self.run(op_name)
         return df._jdf.queryExecution().executedPlan().toString()
 

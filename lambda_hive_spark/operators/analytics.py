@@ -188,6 +188,7 @@ SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type, COUNT(*
 FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
 GROUP BY 1, 2
 """,
+    tags=("side_effect",),
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink + pruned read-back: write events

@@ -125,9 +125,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead), and measured 2.8× faster at sf0.1 (3.5 s vs 10 s; DuckDB
     7.6 s). Explicit repartitions keep the CPU-heavy expansion stages
     at full parallelism (AQE would coalesce these tiny-byte shuffles
-    to one task). At 100 TB add a document-frequency cap on shingles
-    (drop stop-shingles) to bound bucket sizes — max df here is 25."""
+    to one task).
+
+    Stop-shingle df-cap: buckets with document frequency above
+    ``SPARK_GRAFT_JACCARD_MAX_DF`` (default 10_000) are dropped before
+    pair expansion, bounding any bucket's pair fan-out at
+    max_df·(max_df-1)/2 regardless of corpus pathology (a boilerplate
+    shingle shared by 1M docs would otherwise expand 5·10¹¹ pairs).
+    Dropping a stop-shingle only *undercounts* `shared`, so the cap is
+    conservative (never invents a dup pair); with df ≪ max_df — fixture
+    max df is 25 — results are exactly the uncapped ones. Cap behavior
+    is exercised with a tiny max_df in tests/test_scale_smoke.py."""
     par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    max_df = int(os.environ.get("SPARK_GRAFT_JACCARD_MAX_DF", "10000"))
     sh = _docs_with_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     e = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -135,7 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.repartition(par, "s")
         .groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(F.size("ids").between(2, max_df))
     )
     n = F.size("ids")
     pair_arr = F.flatten(

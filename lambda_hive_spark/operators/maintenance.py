@@ -31,6 +31,7 @@ SELECT o_orderkey, COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS order_v
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderkey
 """,
+    tags=("side_effect",),
 )
 def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join: both fact tables are saved bucketed
@@ -105,7 +106,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TARGET_FILE_ROWS = 50_000
 
 
-@op("maintenance_compact")  # rows-only: file counts are engine/layout facts, not SQL
+@op("maintenance_compact", tags=("side_effect",))  # rows-only: file counts are engine/layout facts, not SQL
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: scatter events into 64 tiny files (the
     pathological ingest pattern), then rewrite toward a target rows-

@@ -67,6 +67,7 @@ FROM events
 WHERE CAST(ts AS DATE) = DATE '2024-01-05' OR CAST(ts AS DATE) = DATE '2024-01-20'
 GROUP BY 1
 """,
+    tags=("side_effect",),
 )
 def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-wise join: the date-partitioned event layout joined

@@ -19,9 +19,13 @@ from pyspark.sql import types as T
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
-# Scratch space for sink/source round-trips (inside the repo; the
-# sandbox forbids writes outside /root/repo).
-_SCRATCH = "/root/repo/.tmp"
+# Scratch space for sink/source round-trips: env-overridable, else
+# repo-relative (two levels above this package) — same pattern as
+# streaming/core.py, never a hardcoded absolute checkout path.
+_SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCRATCH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"),
+)
 
 
 def _scratch(name: str) -> str:
@@ -68,7 +72,7 @@ _NATION_SCHEMA = T.StructType(
 )
 
 
-@op("source_csv_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+@op("source_csv_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation", tags=("side_effect",))
 def source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON ingestion with explicit schema (never inferSchema):
     round-trip nation through both formats and read them back. The
@@ -90,6 +94,7 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus
 """,
+    tags=("side_effect",),
 )
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate to parquet via the distributed committer and

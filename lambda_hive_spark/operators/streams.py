@@ -22,7 +22,7 @@ from lambda_hive_spark.registry import op
 from lambda_hive_spark.streaming import core, plans
 
 
-@op("scan_stream", oracle="SELECT * FROM events")
+@op("scan_stream", oracle="SELECT * FROM events", tags=("side_effect",))
 def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` consumed as an unbounded file-source stream, drained
     with availableNow into a (test-only) memory sink. The oracle
@@ -33,6 +33,7 @@ def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_tumbling",
+    tags=("side_effect",),
     oracle="""
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2
@@ -45,6 +46,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_sliding",
+    tags=("side_effect",),
     oracle="""
 SELECT time_bucket(INTERVAL '5 minutes', ts) - k * (INTERVAL '5 minutes') AS w_start,
        event_type, COUNT(*) AS n
@@ -60,6 +62,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_session",
+    tags=("side_effect",),
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts,
@@ -85,7 +88,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plans.session(table(spark, sf_dir, "events"))
 
 
-@op("stream_dedup", oracle="SELECT * FROM events")
+@op("stream_dedup", oracle="SELECT * FROM events", tags=("side_effect",))
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once dedup by event_id: the op feeds the events table
     twice (simulating at-least-once redelivery) through plans.dedup;
@@ -94,7 +97,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plans.dedup(ev.unionByName(ev))
 
 
-@op("stream_watermark")  # rows-only: emitted-window set depends on the watermark frontier
+@op("stream_watermark", tags=("side_effect",))  # rows-only: emitted-window set depends on the watermark frontier
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming watermarked aggregation in append mode — only
     windows the event-time watermark has closed are emitted, so the
@@ -105,6 +108,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_stateful",
+    tags=("side_effect",),
     oracle="""
 WITH last_err AS (
   SELECT user_id, MAX(ts) AS let FROM events WHERE event_type = 'error' GROUP BY user_id
@@ -125,6 +129,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_join",
+    tags=("side_effect",),
     oracle="""
 SELECT e.event_id, e.user_id, e.event_type, e.value, p.first_ts, p.lifetime_events
 FROM events e
@@ -141,6 +146,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "stream_stream_join",
+    tags=("side_effect",),
     oracle="""
 SELECT p.event_id AS purchase_id, p.user_id, e.event_id AS error_id,
        p.ts AS p_ts, e.ts AS e_ts
@@ -160,7 +166,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("stream_sink", oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
+@op("stream_sink", oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type", tags=("side_effect",))
 def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once parquet sink: stream events → date-partitioned
     parquet via the streaming committer, then read the sink back and

@@ -149,6 +149,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "orchestrate_dag",
+    tags=("side_effect",),
     oracle=f"""
 SELECT o_orderpriority,
        {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -196,6 +197,7 @@ def orchestrate_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "orchestrate_schedule",
+    tags=("side_effect",),
     oracle=f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_orders,
        {sql_dsum("o_totalprice")} AS total

@@ -20,6 +20,7 @@ Reference file:line: N/A — empty reference dir (SURVEY.md §0).
 
 from __future__ import annotations
 
+import inspect
 import threading
 from collections.abc import Callable, Iterable
 from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
@@ -35,6 +36,25 @@ class Job:
     fn: Callable[..., Any]  # fn(spark) or fn(spark, deps: dict[str, Any])
     deps: tuple[str, ...] = ()
     retries: int = 0
+    wants_deps: bool = False
+
+
+def _wants_deps(fn: Callable[..., Any]) -> bool:
+    """True when `fn` can accept a second positional arg (the deps
+    dict). Uses `inspect.signature`, which sees through
+    `functools.partial` and callable objects — `fn.__code__.co_argcount`
+    does not (it raises on partials and miscounts bound args)."""
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    positional = 0
+    for p in sig.parameters.values():
+        if p.kind == p.VAR_POSITIONAL:
+            return True
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            positional += 1
+    return positional >= 2
 
 
 @dataclass
@@ -67,7 +87,7 @@ class Dag:
         for d in deps:
             if d not in self._jobs:
                 raise ValueError(f"job {name!r} depends on undeclared {d!r}")
-        self._jobs[name] = Job(name, fn, deps, retries)
+        self._jobs[name] = Job(name, fn, deps, retries, _wants_deps(fn))
         return self
 
     def run(self, spark: SparkSession, max_parallel: int = 4) -> DagRun:
@@ -77,8 +97,7 @@ class Dag:
 
         def execute(job: Job) -> Any:
             spark.sparkContext.setJobGroup(job.name, f"dag job {job.name}", True)
-            wants_deps = job.fn.__code__.co_argcount >= 2
-            args = (spark, {d: run.results[d] for d in job.deps}) if wants_deps else (spark,)
+            args = (spark, {d: run.results[d] for d in job.deps}) if job.wants_deps else (spark,)
             try:
                 last: Exception | None = None
                 for attempt in range(job.retries + 1):

@@ -56,3 +56,21 @@ def all_ops() -> dict[str, Op]:
     import lambda_hive_spark.operators  # noqa: F401  (side-effect import)
 
     return dict(_OPS)
+
+
+def op_source_hash(o: Op) -> str:
+    """Stable fingerprint of an op's implementation: sha256 over the
+    registered function's source plus its oracle SQL. Used by the
+    GRADED.json manifest so a driver-graded op whose implementation
+    later changes is treated as ungraded and re-queued for grading
+    (VERDICT r2 item 7 — stale-evidence guard)."""
+    import hashlib
+    import inspect
+
+    fn = inspect.unwrap(o.fn)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = repr(fn)
+    payload = src + "\n--oracle--\n" + (o.oracle or "")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]

@@ -10,6 +10,7 @@ makes exactness achievable for float aggregates.
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 from typing import Any
@@ -22,13 +23,16 @@ from lambda_hive_spark.io import TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """DuckDB connection with the driver's pre-registered views."""
+    """DuckDB connection with the driver's pre-registered views.
+    A `{t}.parquet` that is a DIRECTORY of part files (Spark sink
+    layout, used by the multi-rowgroup bench corpus) is read via a
+    glob — DuckDB's read_parquet doesn't descend into directories."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 

@@ -50,3 +50,32 @@ def test_explain_and_cache(eng):
     plan2 = cached._jdf.queryExecution().executedPlan().toString()
     assert "In-memory table" in plan2 or "InMemoryRelation" in plan2
     eng.spark.catalog.uncacheTable("nation")
+
+
+def test_explain_refuses_side_effecting_ops(eng):
+    with pytest.raises(ValueError, match="side_effects"):
+        eng.explain("sink_parquet")
+    # opt-in executes and returns the plan
+    plan = eng.explain("sink_parquet", allow_side_effects=True)
+    assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_graded_manifest_hash_guard(tmp_path, monkeypatch):
+    """An op whose implementation changed since driver grading must be
+    treated as ungraded (re-queued to the front of the driver window)."""
+    import json
+
+    import __spark_entry__ as entry
+    from lambda_hive_spark.registry import all_ops, op_source_hash
+
+    ops = all_ops()
+    good = op_source_hash(ops["agg_hash"])
+    manifest = {
+        "r01": ["agg_hash", "agg_global"],
+        "hashes": {"agg_hash": good, "agg_global": "0" * 16},  # stale fp
+    }
+    (tmp_path / "GRADED.json").write_text(json.dumps(manifest))
+    monkeypatch.setattr(entry, "_REPO", str(tmp_path))
+    graded = entry._graded_names()
+    assert "agg_hash" in graded
+    assert "agg_global" not in graded  # hash mismatch → re-queued

@@ -40,3 +40,8 @@ def test_bench_emits_contract_json():
     )
     assert all(v > 0 for v in payload["queries"].values())
     assert payload["duckdb_total_sec"] > 0
+    # multi-rowgroup section (VERDICT r2 item 8): same line, "scale" key
+    assert payload["scale"]["metric"] == "scale_multirowgroup_total_wall_sec"
+    assert set(payload["scale"]["queries"]) == set(__import__("bench").SCALE_HEADLINE)
+    assert all(v > 0 for v in payload["scale"]["queries"].values())
+    assert payload["scale"]["duckdb_total_sec"] > 0

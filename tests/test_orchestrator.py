@@ -70,3 +70,25 @@ def test_independent_jobs_overlap(spark):
 
     run = Dag().add("j1", job).add("j2", job).run(spark, max_parallel=2)
     assert run.results == {"j1": True, "j2": True}
+
+
+def test_partial_and_callable_jobs(spark):
+    """Jobs may be functools.partial or callable objects — dependency
+    introspection uses inspect.signature, not fn.__code__ (which
+    partials lack)."""
+    import functools
+
+    def base(spark, deps, tag):
+        return {"deps": dict(deps), "tag": tag}
+
+    class CallableJob:
+        def __call__(self, spark):
+            return "obj"
+
+    dag = Dag()
+    dag.add("a", lambda s: 1)
+    dag.add("obj", CallableJob())
+    dag.add("p", functools.partial(base, tag="t"), deps=["a", "obj"])
+    run = dag.run(spark)
+    assert not run.failed and not run.skipped
+    assert run.results["p"] == {"deps": {"a": 1, "obj": "obj"}, "tag": "t"}

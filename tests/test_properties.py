@@ -64,6 +64,20 @@ def test_jaccard_pairs_are_canonical_and_bounded(spark):
         assert 0.6 <= r.jaccard <= 1.0
 
 
+def test_jaccard_df_cap_is_conservative(spark, monkeypatch):
+    """The stop-shingle df-cap bounds bucket fan-out and only ever
+    *removes* pairs (undercounted `shared` → lower jaccard) — it can
+    never invent a dup pair. With the default cap (10k ≫ fixture max df
+    25) results are exactly the uncapped ones."""
+    uncapped = {(r.doc_a, r.doc_b) for r in OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_JACCARD_MAX_DF", "3")
+    capped = {(r.doc_a, r.doc_b) for r in OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()}
+    assert capped <= uncapped
+    monkeypatch.setenv("SPARK_GRAFT_JACCARD_MAX_DF", "10000")
+    default = {(r.doc_a, r.doc_b) for r in OPS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()}
+    assert default == uncapped
+
+
 def test_merge_upsert_preserves_keys_and_applies_updates(spark):
     out = OPS["merge_upsert"].fn(spark, SF_SMALL)
     base = table(spark, SF_SMALL, "orders")

@@ -83,6 +83,32 @@ def test_jaccard_plan_at_15k_docs(spark):
     assert stats.max_df <= 3 * 25  # df scales with copies; buckets stay small
 
 
+def test_jaccard_df_cap_bounds_pair_expansion(spark, monkeypatch):
+    """Exercise the stop-shingle df-cap under replication: with the cap
+    set BELOW the replicated max df, the post-filter bucket stage must
+    contain no bucket larger than the cap (pair fan-out per bucket ≤
+    cap·(cap-1)/2), and the op still runs end-to-end returning only
+    canonical pairs."""
+    docs = _replicated(spark, "documents", 3, "doc_id")
+    from lambda_hive_spark.operators import llm
+
+    cap = 10  # replicated max df is ~75 (3×25) — the cap must bite
+    sh = docs.select("doc_id", llm._shingles(llm._tokens()).alias("shingles"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    capped_buckets = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, cap))
+    )
+    assert capped_buckets.agg(F.max("df")).collect()[0][0] <= cap
+    # and the registered op honors the env knob end-to-end
+    monkeypatch.setenv("SPARK_GRAFT_JACCARD_MAX_DF", str(cap))
+    out = llm.dedup_ngram_jaccard(spark, SF_BASE)
+    rows = out.limit(1000).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b and r.jaccard >= 0.6
+
+
 def test_orders_agg_at_1_5m_rows(spark):
     o = _replicated(spark, "orders", 10, "o_orderkey")
     assert o.count() == 1_500_000  # sf0.1 orders x10
