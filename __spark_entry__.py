@@ -54,10 +54,12 @@ def _graded_names() -> set[str]:
 
 def _ordered_ops():
     """Registry ops reordered so the driver's bounded correctness window
-    (first ~50 queries) grades ops that do not yet have a driver-green
-    CORRECTNESS row: never-graded ops with a SQL oracle first (strongest
-    evidence per slot), then never-graded rows-only ops, then the
-    already-graded remainder in registry order."""
+    (first ~50 queries) grades ops that do not yet have a driver
+    CORRECTNESS row: never-graded (or edited-since-grading) ops first in
+    registry order — oldest ops wait the fewest rounds, and newly added
+    ops queue behind the existing backlog instead of displacing
+    rows-only ops that have never been executed — then the graded
+    remainder."""
     ops = all_ops()
     graded = _graded_names()
 
@@ -65,7 +67,6 @@ def _ordered_ops():
         enumerate(ops.items()),
         key=lambda item: (
             item[1][0] in graded,          # ungraded first
-            item[1][1].oracle is None,     # oracle-bearing before rows-only
             item[0],                       # stable registry order within group
         ),
     )

@@ -21,6 +21,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     stats,
     streams,
     tpch,
+    tpch_full,
     udx,
     windows,
 )

@@ -1,0 +1,622 @@
+"""TPC-H query suite Q4-Q22 (shapes), adapted to the fixture schema.
+
+The fixture corpus is TPC-H-ish but lacks partsupp, l_shipmode,
+l_commitdate/l_receiptdate, addresses and comments — so each query
+keeps its defining ARCHITECTURAL shape (the join topology, the
+subquery kind, the aggregation pattern the benchmark exercises) while
+substituting available columns: "late" is l_shipdate far past
+o_orderdate, Q12's shipmode becomes l_returnflag, Q9's supplycost
+becomes a retail-price fraction. Q2/Q11/Q20 are inherently
+partsupp-relational and have no faithful adaptation (their defining
+shapes — correlated-min subquery, group-filtered sums, nested IN
+chains — are covered by subq_scalar_corr, tpch_q18, and tpch_q16/q22).
+
+Every money aggregate goes through the decimal-exact helpers
+(helpers.py) so results hash-match DuckDB at any parallelism; ratio
+outputs (Q8, Q14) divide two bit-identical doubles, which is itself
+bit-identical. Scale notes per query docstring.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, sql_davg, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(f"{s} 00:00:00").cast("timestamp")
+
+
+@op(
+    "tpch_q4_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS-decorrelated semi join. One quarter of orders,
+    kept iff some line item shipped >90 days after order date ("late"
+    stands in for commit<receipt). The semi join shuffles only the
+    order keys that survive the date filter."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@op(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+SELECT n_name, {sql_dsum(_REV)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: local-supplier volume — the 6-table join with the
+    same-nation (c_nationkey = s_nationkey) cross-filter. region and
+    nation broadcast; the region filter prunes nations BEFORE the big
+    fact join, so only ~1/5 of customers/suppliers reach the shuffle."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@op(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year, {sql_dsum(_REV)} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral trade volume between two nations by ship year.
+    Both nation dims broadcast under distinct aliases; the pair
+    disjunction is applied AFTER both joins (it references both)."""
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+@op(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ({sql_dsum(f"CASE WHEN n2.n_name = 'NATION_5' THEN {_REV} ELSE 0 END")}
+        / {sql_dsum(_REV)}) AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY CAST(year(o_orderdate) AS BIGINT)
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one supplier-nation's share of a region's market for one
+    part type, by year. The share is a ratio of two decimal-exact sums
+    (conditional numerator), divided in double — bit-identical to the
+    oracle. 8-table join; all dims broadcast."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat = table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(r.select("r_regionkey")), F.col("n1_region") == F.col("r_regionkey")
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((dsum(nation_rev) / dsum(_rev())).alias("mkt_share"))
+    )
+
+
+@op(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum(f"{_REV} - 0.1 * p_retailprice * l_quantity")} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit per supplier nation per year for a part family
+    (p_name LIKE). Supply cost is adapted to a retail-price fraction
+    (no partsupp in the fixtures). Per-row profit arithmetic stays in
+    double (identical IEEE on both engines, same operation order);
+    only the accumulation goes through decimal."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    profit = _rev() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@op(
+    "tpch_q12_priority_lines",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counts per category after a fact-fact
+    join (l_returnflag stands in for l_shipmode). The CASE-sum pattern
+    is one pass — never two filtered joins."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@op(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: order-count histogram over customers, keeping zero-order
+    customers via LEFT join with the filter IN THE JOIN CONDITION
+    (a WHERE would turn it inner). Two-level aggregation; the second
+    groupBy is tiny (distinct counts ≈ dozens)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@op(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT (100.0 * {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END")}
+        / {sql_dsum(_REV)}) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promotional revenue percentage for one month — global
+    conditional-ratio aggregate; part broadcasts into the scan-side
+    join, one row out."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(_rev())).alias("promo_revenue"))
+    )
+
+
+@op(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {sql_dsum(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the quarter's top-revenue supplier(s) — view + scalar-max
+    subquery. The per-supplier revenue aggregate is computed once and
+    reused for both the max and the final filter (Spark dedups the
+    subplan; equality on decimal-exact doubles is tie-safe)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev()).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@op(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part class, excluding a
+    blacklist via NOT IN → broadcast anti join (lineitem stands in for
+    partsupp; negative account balance stands in for the complaints
+    filter)."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@op(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+SELECT ({sql_dsum("l_extendedprice")} / 7.0) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * {sql_davg("l2.l_quantity")}
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue from below-half-average-quantity orders of one
+    brand — correlated AVG subquery, decorrelated into a per-part
+    aggregate joined back (the standard rewrite; Catalyst would do the
+    same). The threshold avg is decimal-exact so the < comparison is
+    bit-identical to DuckDB's."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * (dsum("l_quantity") / F.count("l_quantity"))).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@op(
+    "tpch_q18_large_volume",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, {sql_dsum("l_quantity")} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'), o_totalprice
+""",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: large-volume orders — IN over a HAVING aggregate, i.e. a
+    semi join against a pre-aggregated key set (threshold 250 ≈ p98 of
+    per-order quantity in the fixtures). The HAVING side aggregates
+    BEFORE joining: at 100 TB that semi-join input is keys+one sum,
+    not the full fact."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        F.col("o_orderkey") == F.col("bk"),
+        "left_semi",
+    )
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@op(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {sql_dsum(_REV)} AS revenue, COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunction of brand/size/quantity conjunctions across the
+    join — the classic OR-of-ANDs predicate. Catalyst extracts the
+    common l_quantity bounds (1..30) as a pushable conjunct below the
+    join; the full disjunction applies after."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_rev()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@op(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  )
+GROUP BY s_name
+""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: suppliers solely responsible for a late multi-supplier
+    finished order — EXISTS + NOT-EXISTS against the same fact, i.e. a
+    semi join then an anti join on the order key with a
+    different-supplier condition ("late" adapts commit<receipt to
+    shipdate > orderdate+1y). Both probes carry only
+    (orderkey, suppkey) pairs — fixed-width shuffles at any scale."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    with_other = late1.join(
+        others,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    other_late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .select(F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey"))
+    )
+    sole = with_other.join(
+        other_late,
+        (F.col("y_orderkey") == F.col("l_orderkey"))
+        & (F.col("y_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@op(
+    "tpch_q22_sales_opportunity",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS numcust, {sql_dsum("c_acctbal")} AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT {sql_davg("c2.c_acctbal")} FROM customer c2 WHERE c2.c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+""",
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: rich-but-inactive customers per nation (n_name stands in
+    for the phone country code) — scalar-avg subquery broadcast as a
+    1-row cross join, then an anti join against recent orders. The
+    avg threshold is decimal-exact, so the > comparison hash-matches."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (dsum("c_acctbal") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
