@@ -22,6 +22,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     streams,
     tpch,
     tpch_full,
+    training,
     udx,
     windows,
 )

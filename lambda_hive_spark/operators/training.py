@@ -1,0 +1,233 @@
+"""Training-data curation pipeline operators (SURVEY.md §2.10
+extension, round 3): the steps between a raw crawl and a training
+corpus that the dedup/similarity ops don't cover — deterministic
+train/test splitting, benchmark-contamination detection, event
+sessionization, domain rebalancing, PII scrubbing, and sequence
+packing.
+
+Determinism rule: every sampling/splitting decision keys on
+md5(doc_id) — identical hex in Spark and DuckDB — never on rand().
+At 100 TB that also makes the pipeline restart-idempotent: a re-run
+over the same corpus reproduces the same split/sample bit-for-bit,
+regardless of partitioning.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lambda_hive_spark.io import par_table, table
+from lambda_hive_spark.operators.llm import _SQL_SHINGLES, _shingles, _tokens
+from lambda_hive_spark.registry import op
+
+# ~10% of md5's first two hex chars are below 0x1a (26/256 ≈ 10.2%).
+_TEST_BOUND = "1a"
+
+
+@op(
+    "pipeline_train_test_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TEST_BOUND}'
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+""",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% held-out split keyed on md5(doc_id): no
+    rand(), no shuffle — a pure per-row projection that any executor
+    computes identically, so the split is reproducible across re-runs
+    and stable under repartitioning (THE property a 100 TB training
+    run needs; a rand()-based split changes membership every retry)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < _TEST_BOUND, "test").otherwise("train").alias("split"),
+    )
+
+
+@op(
+    "pipeline_contamination",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e  AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT doc_id AS eval_id, s FROM e WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, s FROM e WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT tr.doc_id, ev.eval_id, COUNT(*) AS shared
+  FROM tr JOIN ev ON tr.s = ev.s
+  GROUP BY tr.doc_id, ev.eval_id
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits, MAX(shared) AS max_shared
+FROM hits WHERE shared >= 5
+GROUP BY doc_id
+""",
+)
+def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing ≥5 3-gram
+    shingles with any eval doc (eval set = doc_id ≡ 0 mod 50, standing
+    in for a benchmark suite). The eval side is a small fixed set, so
+    its exploded shingles BROADCAST — one scan of the training corpus,
+    no self-join, no shuffle of training text. This is the asymmetric
+    sibling of dedup_ngram_jaccard: contamination is corpus×benchmark
+    (linear), not corpus×corpus (quadratic)."""
+    sh = par_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(_tokens()).alias("shingles")
+    )
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    is_eval = F.col("doc_id") % 50 == 0
+    ev = e.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "s")
+    tr = e.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("shared").alias("max_shared"),
+        )
+    )
+
+
+@op(
+    "pipeline_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+),
+flagged AS (
+  SELECT event_id, user_id, ms,
+         CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+FROM flagged
+""",
+)
+def pipeline_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session-break flags per user — one shuffle on user_id, O(1)
+    state per row. Gaps compare at MILLISECOND granularity
+    (unix_millis / epoch_ms) because the fixture's ns-precision ts
+    truncates differently to µs (Spark) vs ns (DuckDB); ms is the
+    common exact grid. This is the batch twin of the session-window
+    streaming op (stream_session) for bounded replays."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    flagged = (
+        ev.select("event_id", "user_id", F.unix_millis("ts").alias("ms"))
+        .withColumn("prev_ms", F.lag("ms").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ms").isNull() | (F.col("ms") - F.col("prev_ms") > 1_800_000), 1
+            ).otherwise(0),
+        )
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_seq"),
+    )
+
+
+@op(
+    "pipeline_domain_mix",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE WHEN lang = 'en' THEN '80' ELSE 'ff' END
+""",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language rebalancing: downsample the over-represented
+    language (en keeps ~50% = md5 prefix < 0x80; others keep ~all)
+    with the same deterministic md5 key as the split op. Per-row
+    projection + filter — no shuffle, restart-idempotent, and the scan
+    prunes to 3 columns. The per-lang rates would come from a prior
+    lang_stats aggregate at 100 TB; they're literals here so the
+    oracle shares them."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    rate = F.when(F.col("lang") == "en", "80").otherwise("ff")
+    return d.select("doc_id", "lang", "source").filter(bucket < rate)
+
+
+@op(
+    "pipeline_pii_scrub",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         'contact ' || source || '@example.com before ' || text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'
+       ) AS scrubbed
+FROM documents
+""",
+)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of email-shaped substrings (the
+    fixture corpus has no PII, so an address is injected from `source`
+    to give the scrubber something real to match on both engines).
+    Pure per-row regexp_replace — JVM-side, codegen'd, no UDF; at
+    100 TB this is the map-only stage pattern every scrub pass
+    (emails, phones, SSNs) follows."""
+    d = table(spark, sf_dir, "documents")
+    injected = F.concat(F.lit("contact "), F.col("source"), F.lit("@example.com before "), F.col("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            injected, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"
+        ).alias("scrubbed"),
+    )
+
+
+@op(
+    "pipeline_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS offset_tokens
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, CAST(floor(offset_tokens / 2048) AS BIGINT) AS seq_bin
+FROM packed
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed-budget (2048-token)
+    training sequences by running offset within each language stream —
+    the standard streaming-pack approximation of bin packing (true
+    first-fit is order-dependent and serial; running-offset packing is
+    a window cumsum, embarrassingly parallel per group). One shuffle
+    on lang; bins overflow by at most one doc, the accepted tradeoff
+    in every large-scale pretraining pipeline."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn("offset_tokens", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("offset_tokens") / 2048).alias("seq_bin"),
+    )
