@@ -86,3 +86,43 @@ def test_q6_pushes_all_predicates(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in pushed, f"{frag} not pushed"
+
+
+def test_q5_broadcasts_pruned_dims(spark):
+    """Q5's region-filtered supplier/nation side must broadcast, and
+    the date filter must reach the orders scan."""
+    plan = _plan(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q4_exists_plans_semi_join(spark):
+    plan = _plan(spark, "tpch_q4_priority_check")
+    assert "LeftSemi" in plan
+
+
+def test_q21_plans_semi_then_anti(spark):
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q18_aggregates_before_semi_join(spark):
+    """The HAVING side must aggregate lineitem BEFORE the semi join —
+    the plan has a HashAggregate feeding the semi join's build side."""
+    plan = _plan(spark, "tpch_q18_large_volume")
+    assert "LeftSemi" in plan
+    assert "partial_" in plan
+
+
+def test_map_only_pipeline_ops_have_no_shuffle(spark):
+    """The deterministic split / scrub / mix ops are pure per-row
+    projections: no Exchange may appear in their plans (at 100 TB a
+    spurious shuffle here would move the whole corpus)."""
+    for name in ("pipeline_train_test_split", "pipeline_pii_scrub", "pipeline_domain_mix"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} plans a shuffle"
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    plan = _plan(spark, "pipeline_contamination")
+    assert "BroadcastHashJoin" in plan
