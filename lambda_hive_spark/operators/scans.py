@@ -111,3 +111,22 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@op(
+    "source_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("side_effect",),
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion (Spark-native columnar format besides parquet):
+    round-trip nation through ORC with an explicit read schema. DuckDB
+    has no ORC reader, so correctness is the faithful-round-trip
+    property — the read-back must equal the source table the oracle
+    selects. Same pattern as source_csv_json; at 100 TB ORC scans get
+    the same pushdown/pruning treatment as parquet from the native
+    vectorized reader."""
+    n = table(spark, sf_dir, "nation")
+    orc_dir = _scratch("nation_orc")
+    n.write.mode("overwrite").orc(orc_dir)
+    return spark.read.schema(_NATION_SCHEMA).orc(orc_dir)
