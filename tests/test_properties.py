@@ -163,3 +163,55 @@ def test_minhash_candidates_verify_to_exact_subset(spark):
     assert near <= exact
     if exact:
         assert len(near) / len(exact) >= 0.95
+
+
+def test_train_test_split_fraction_and_determinism(spark):
+    out = OPS["pipeline_train_test_split"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    n_test = sum(1 for r in rows if r.split == "test")
+    assert 0.04 <= n_test / len(rows) <= 0.18  # md5 bucket < 0x1a ≈ 10.2%
+    again = {(r.doc_id, r.split) for r in OPS["pipeline_train_test_split"].fn(spark, SF_SMALL).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}  # restart-idempotent
+
+
+def test_contamination_excludes_eval_docs(spark):
+    out = OPS["pipeline_contamination"].fn(spark, SF_SMALL).collect()
+    for r in out:
+        assert r.doc_id % 50 != 0  # eval docs never flagged as contaminated
+        assert r.max_shared >= 5
+
+
+def test_sessionize_seq_starts_at_one(spark):
+    rows = OPS["pipeline_sessionize"].fn(spark, SF_SMALL).collect()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r.session_seq)
+    for seqs in per_user.values():
+        assert min(seqs) == 1
+        assert max(seqs) >= 1
+
+
+def test_domain_mix_downsamples_only_english(spark):
+    d = table(spark, SF_SMALL, "documents")
+    out = OPS["pipeline_domain_mix"].fn(spark, SF_SMALL)
+    non_en_in = d.filter(F.col("lang") != "en").count()
+    non_en_out = out.filter(F.col("lang") != "en").count()
+    # '< ff' drops only the ~1/256 of docs whose md5 prefix is 'ff'
+    assert non_en_out >= 0.95 * non_en_in
+    en_in = d.filter(F.col("lang") == "en").count()
+    en_out = out.filter(F.col("lang") == "en").count()
+    assert 0.3 * en_in <= en_out <= 0.7 * en_in  # ~50% en retention
+
+
+def test_pack_sequences_bin_budget(spark):
+    rows = OPS["pipeline_pack_sequences"].fn(spark, SF_SMALL).collect()
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.lang, r.seq_bin)].append(r.n_tokens)
+    for (lang, b), toks in bins.items():
+        # streaming-pack bound: a bin overflows 2048 by at most its last doc
+        assert sum(toks) <= 2048 + max(toks), (lang, b, sum(toks))
