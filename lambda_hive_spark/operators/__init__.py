@@ -20,6 +20,7 @@ from lambda_hive_spark.operators import (  # noqa: F401
     sorts,
     stats,
     streams,
+    timeseries,
     tpch,
     tpch_full,
     training,

@@ -1,0 +1,176 @@
+"""Time-series / hypertable operators (SURVEY.md §2.12 extension,
+round 3): gap filling over a dense calendar grid, forward as-of
+joins, and OHLC-style resampling — the query shapes a metrics/events
+store runs constantly.
+
+Scale notes: the calendar dimension is bounded by wall-clock reality
+(30 years of days ≈ 11k rows) so it always broadcasts; per-key work
+shuffles once on the key. Nothing here materializes on the driver.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "ts_gap_fill",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN days d),
+counts AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY user_id, day)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       COALESCE(c.n, 0) AS n_events
+FROM grid g LEFT JOIN counts c ON g.user_id = c.user_id AND g.day = c.day
+""",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap filling: daily event counts per user with
+    missing days ZERO-FILLED over the corpus's [min_day, max_day]
+    calendar. The calendar is built from a 1-row bounds aggregate →
+    sequence → explode, then broadcast-cross-joined with the distinct
+    keys — the day dimension is wall-clock-bounded (a decade ≈ 3.7k
+    rows), so the dense grid is keys × small-broadcast, never a
+    fact-sized shuffle; the counts join shuffles once on
+    (user_id, day)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    counts = ev.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    return (
+        grid.join(counts, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+WITH errors AS (
+  SELECT user_id, ts, MAX(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       (SELECT e.err_value FROM errors e
+        WHERE e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.ts LIMIT 1) AS next_error_value
+FROM purchases p
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST error value
+    by the same user at-or-after its timestamp (the mirror of
+    join_asof's backward lookup — "what broke next"). Same union+window
+    trick, reflected: first(ignorenulls) over [current, ∞) ordered by
+    (ts, tag) with purchases tagged before errors at equal ts so the
+    lookup is inclusive. One shuffle on user_id, O(1) window state.
+    The oracle uses a correlated min-subquery (DuckDB's ASOF JOIN is
+    backward-only in 1.0)."""
+    ev = table(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .select(
+            "user_id", "ts", F.lit(1).alias("tag"), "err_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.lit(None).cast("double").alias("err_value"),
+        "event_id", F.col("value").alias("purchase_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = purchases.unionByName(errors).withColumn(
+        "next_error_value", F.first("err_value", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("tag") == 0).select(
+        "event_id", "user_id", "purchase_value", "next_error_value"
+    )
+
+
+@op(
+    "ts_resample_ohlc",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket, ts, event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, bucket, value,
+         row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM bucketed
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("value")} AS volume
+FROM ranked
+GROUP BY user_id, bucket
+""",
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per user per 6-hour bucket, the opening /
+    highest / lowest / closing `value` plus count and decimal-exact
+    volume — the candlestick shape every metrics store serves.
+    Open/close pick the first/last row by the deterministic
+    (ts, event_id) order via row_number (min_by/arg_min tie-break
+    differently across engines; row_number over an explicit total
+    order doesn't). One shuffle on (user_id, bucket)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.window("ts", "6 hours").start.alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_open = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return (
+        ranked.groupBy("user_id", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+        .agg(
+            F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("volume"),
+        )
+    )
