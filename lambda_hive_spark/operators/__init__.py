@@ -1,5 +1,12 @@
 """Operator modules — importing this package registers every op from
-SURVEY.md §2 into `lambda_hive_spark.registry`."""
+SURVEY.md §2 into `lambda_hive_spark.registry`.
+
+Import order IS registration order, and the driver's bounded
+correctness window grades ungraded ops in registration order
+(`__spark_entry__._ordered_ops`) — so round-1/2 modules (including
+windows/udx, the oldest never-graded backlog) register BEFORE the
+round-3 additions (timeseries, tpch_full, training); newly added ops
+queue behind the existing backlog rather than displacing it."""
 
 from lambda_hive_spark.operators import (  # noqa: F401
     advagg,
@@ -20,10 +27,10 @@ from lambda_hive_spark.operators import (  # noqa: F401
     sorts,
     stats,
     streams,
-    timeseries,
     tpch,
-    tpch_full,
-    training,
     udx,
     windows,
+    timeseries,
+    tpch_full,
+    training,
 )
