@@ -33,4 +33,8 @@ from lambda_hive_spark.operators import (  # noqa: F401
     timeseries,
     tpch_full,
     training,
+    profiling,
+    warehouse,
+    quality,
+    sketches,
 )

@@ -1,0 +1,164 @@
+"""Data-profiling / data-quality operators (SURVEY.md §2.12, round 3):
+the diagnostics a 100 TB ingest runs BEFORE committing to a plan —
+per-column profiles, heavy-hitter keys, value histograms, and key-skew
+(frequency-of-frequencies) distributions. Skewed keys are the #1 cause
+of straggler tasks at scale; these ops are how you find them.
+
+All four are single-scan shapes: one pass over the fact table with
+map-side partial aggregation, no joins, no driver materialization.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@op(
+    "profile_columns",
+    oracle="""
+SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+       CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+       MIN(l_extendedprice), MAX(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       MIN(l_discount), MAX(l_discount)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+       CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+       MIN(l_tax), MAX(l_tax)
+FROM lineitem
+""",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (rows / nulls / distinct / min / max) of the
+    numeric lineitem measures in ONE scan: all 4×5 aggregates run in a
+    single groupBy-less aggregate (the multiple count-distincts become
+    one Expand + partial agg — still one pass over the data, unlike the
+    oracle's 4 UNION'd scans, which is the point at 100 TB), then the
+    1-row wide result is stacked to long form driver-free."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "AS (col, n_rows, n_nulls, n_distinct, min_v, max_v)"
+    )
+
+
+@op(
+    "profile_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+SELECT user_id, cnt, cnt / total AS share
+FROM c, t
+ORDER BY cnt DESC, user_id
+LIMIT 20
+""",
+)
+def profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest keys with their traffic share — the skew report
+    you read before choosing a join strategy for user_id. One shuffle
+    (groupBy user_id with map-side combine); the grand total joins back
+    as a broadcast 1-row scalar, and the top-k is a TakeOrdered (no
+    global sort). share = exact-int / exact-int in double: bit-identical
+    across engines. At 100 TB the exact groupBy is still fine (keys ≪
+    rows); a count-min sketch only becomes necessary when the key space
+    itself won't fit a shuffle."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select("user_id", "cnt", (F.col("cnt") / F.col("total")).alias("share"))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+
+
+@op(
+    "profile_histogram",
+    oracle="""
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(l_extendedprice) AS min_v, MAX(l_extendedprice) AS max_v
+FROM lineitem
+GROUP BY bucket
+""",
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (5000-wide buckets) of a measure
+    column: pure groupBy on a computed key, map-side combined, output
+    cardinality = O(#buckets) regardless of input size. Bucket id uses
+    floor(x/width) on BOTH sides — DuckDB's CAST(x/N AS BIGINT) rounds
+    half-away while floor() floors, a known parity trap (see
+    duckdb-spark parity rule 3b)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("min_v"),
+            F.max("l_extendedprice").alias("max_v"),
+        )
+    )
+
+
+@op(
+    "profile_key_skew",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+)
+SELECT cnt AS events_per_user, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM c GROUP BY cnt
+""",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many keys occur exactly k times.
+    THE skew diagnostic — a long tail at high k means salting / AQE
+    skew-join is needed downstream. Two cascaded groupBys; the second
+    input is already key-cardinality-sized, so the second shuffle is
+    tiny. No driver collection: the distribution itself is the result."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy(F.col("cnt").alias("events_per_user")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

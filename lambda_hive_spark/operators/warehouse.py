@@ -1,0 +1,141 @@
+"""Warehouse-maintenance operators (SURVEY.md §2.12, round 3): the
+change-data-capture shapes every dimension pipeline needs — latest-
+record-wins compaction, slowly-changing-dimension (type 2) history
+build, and wide→long unpivot. Complements merge_upsert (extras.py),
+which handles the write side; these are the read/derive side.
+
+Timestamp rule: intervals and orderings use the MILLISECOND grid
+(unix_millis / epoch_ms) — the common exact representation between
+Spark's µs and the fixture's ns timestamps (parity rule 3c).
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lambda_hive_spark.io import table
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "cdc_latest_snapshot",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       event_type AS last_event_type, ms AS last_ms
+FROM r WHERE rn = 1
+""",
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction: collapse an append-only change
+    log to one current row per key — the read-side half of CDC (the
+    write-side is merge_upsert). row_number over (key ORDER BY ms DESC,
+    event_id DESC) then rn=1: one shuffle on the key, and Spark 3.5+
+    rewrites the rn=1 filter into WindowGroupLimit, so each partition
+    keeps a single running max instead of sorting its whole group —
+    exactly the 100 TB-safe plan. Tie-break on event_id makes the
+    winner deterministic when two changes share a millisecond."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ms"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", F.unix_millis("ts").alias("ms")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ms").alias("last_ms"),
+        )
+    )
+
+
+@op(
+    "scd2_dimension",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ms, event_id FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, ms AS valid_from_ms,
+       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms,
+       LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL AS is_current
+FROM chg
+""",
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress a change log
+    into [valid_from, valid_to) intervals per key, one row per distinct
+    consecutive value run (here: a user's event_type standing in for a
+    mutable dimension attribute). Two window passes over the SAME
+    (user_id, ms, event_id) sort — Catalyst reuses one shuffle+sort for
+    both lag (change detection) and lead (interval close), so the whole
+    history build is a single exchange. Open intervals keep NULL
+    valid_to_ms + is_current=true, the standard SCD2 convention."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    o = (
+        ev.select(
+            "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ms")
+        )
+        .withColumn("prev_type", F.lag("event_type").over(w))
+    )
+    chg = o.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    lead_ms = F.lead("ms").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("ms").alias("valid_from_ms"),
+        lead_ms.alias("valid_to_ms"),
+        lead_ms.isNull().alias("is_current"),
+    )
+
+
+@op(
+    "unpivot_long",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the four lineitem measures — the
+    inverse of agg_pivot. Spark's native `unpivot` is a single Expand
+    node: ONE scan emitting 4 rows per input row, versus the oracle's 4
+    UNION'd scans — at 100 TB that's a 4× scan saving. The returnflag
+    filter is pushed below the Expand into the parquet scan."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
