@@ -1,0 +1,166 @@
+"""Corpus-quality curation operators (SURVEY.md §2.10 extension,
+round 3 batch 2): the quality gates a pretraining pipeline applies
+after dedup — within-document repetition scoring (the Gopher/C4
+"repetitive doc" filter), deterministic weighted sampling, outlier
+winsorization, and a k-anonymity audit over quasi-identifiers.
+
+Same determinism rule as training.py: sampling keys on md5(doc_id),
+never rand(), so a 100 TB re-run reproduces the same corpus.
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.io import par_table, table
+from lambda_hive_spark.operators.llm import _SQL_SHINGLES, _shingles, _tokens
+from lambda_hive_spark.registry import op
+
+
+@op(
+    "doc_repetition",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e  AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_distinct
+  FROM e GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct,
+       (n_grams - n_distinct) / n_grams AS dup_frac
+FROM agg
+""",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: the fraction of a doc's
+    3-gram shingles that are duplicates of an earlier shingle in the
+    SAME doc — the Gopher-style "repetitive document" quality signal
+    (boilerplate, keyword stuffing, decode loops all spike it). Unlike
+    the dedup_* family this never compares documents to each other:
+    explode + groupBy(doc_id) is embarrassingly parallel, one shuffle
+    keyed on doc_id, and dup_frac = exact-int arithmetic in double so
+    the hash is engine-stable."""
+    sh = par_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(_tokens()).alias("shingles")
+    )
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    agg = e.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("s").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (
+            (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+        ).alias("dup_frac"),
+    )
+
+
+@op(
+    "sample_weighted",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         LEAST(n_chars / 400.0, 0.99) AS p,
+         lpad(lower(to_hex(CAST(floor(LEAST(n_chars / 400.0, 0.99) * 4294967296) AS BIGINT))), 8, '0') AS thr
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, p AS sample_p
+FROM w
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thr
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sampling: each doc keeps with probability
+    proportional to its length (p = min(n_chars/400, 0.99)) by
+    comparing the first 8 hex chars of md5(doc_id) against the
+    hex-encoded threshold floor(p·16^8) — a per-row projection with no
+    rand(), no shuffle, reproducible under retries and repartitioning.
+    This is how you length-upsample quality docs at 100 TB without a
+    second pass. Hex compare is lowercase-on-both-engines (Spark hex()
+    is uppercase, DuckDB to_hex() is uppercase — both lowered) and the
+    threshold stays 8 digits because p < 1 bounds it under 16^8."""
+    d = table(spark, sf_dir, "documents")
+    p = F.least(F.col("n_chars") / 400.0, F.lit(0.99))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(p * 4294967296))), 8, "0"
+    )
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        d.select("doc_id", "lang", "n_chars", p.alias("sample_p"), thr.alias("thr"), key.alias("key"))
+        .filter(F.col("key") < F.col("thr"))
+        .select("doc_id", "lang", "n_chars", "sample_p")
+    )
+
+
+@op(
+    "winsorize_cap",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.05) AS lo,
+         quantile_cont(l_quantity, 0.95) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       LEAST(GREATEST(l_quantity, lo), hi) AS capped_qty
+FROM lineitem, q
+WHERE l_returnflag = 'A'
+""",
+)
+def winsorize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp a measure to its [p05, p95] band — the
+    standard outlier treatment before loss-weighting or normalization.
+    The two percentiles are ONE global aggregate (map-side partial
+    t-digest at 100 TB; exact interpolated percentile here because the
+    oracle must hash-match — integral l_quantity keeps the
+    interpolation exact, see agg_percentile), broadcast back as a
+    1-row scalar crossJoin, then a pure per-row least/greatest. Two
+    scans total, no shuffle of the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.percentile(F.col("l_quantity"), 0.05).alias("lo"),
+        F.percentile(F.col("l_quantity"), 0.95).alias("hi"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "A")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.least(
+                F.greatest(F.col("l_quantity"), F.col("lo")), F.col("hi")
+            ).alias("capped_qty"),
+        )
+    )
+
+
+@op(
+    "k_anonymity_audit",
+    oracle="""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY lang, source
+HAVING COUNT(*) < 5
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier
+    pair: emit every equivalence class smaller than k=5 — the groups
+    whose members a release would re-identify. Complements the
+    redaction side (pipeline_pii_scrub) and the deletion side
+    (purge_users). One groupBy with map-side combine; output is
+    O(#violating classes), so at 100 TB the result stays tiny even
+    though the input doesn't."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )

@@ -118,3 +118,46 @@ def test_stream_watermark_rows_bounded_by_batch_windows(spark):
 
     batch = plans.tumbling(table(spark, SF_SMALL, "events"))
     assert 0 < got.count() <= batch.count()
+
+
+def test_hll_rollup_estimates_near_exact(spark):
+    """Per-group HLL estimates within 5% of the exact distinct counts,
+    and the ALL row (built by UNIONING the per-group sketches, not by
+    rescanning) within 5% of the exact global distinct."""
+    from lambda_hive_spark.io import table
+
+    est = {r.event_type: r.approx_users for r in OPS["sketch_hll_rollup"].fn(spark, SF_DIR).collect()}
+    ev = table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+
+
+def test_approx_quantiles_bracketed_by_exact_neighbors(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+    assert each approx quantile lies between the exact quantiles at
+    ±2ε rank distance."""
+    approx = {r.l_returnflag: r for r in OPS["sketch_approx_quantiles"].fn(spark, SF_DIR).collect()}
+    from lambda_hive_spark.io import table
+
+    li = table(spark, SF_DIR, "lineitem")
+    eps = 2.0 / 10000
+    for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
+        lo_p, hi_p = max(p - eps, 0.0), min(p + eps, 1.0)
+        bounds = {
+            r.l_returnflag: (r.lo, r.hi)
+            for r in li.groupBy("l_returnflag")
+            .agg(
+                F.percentile("l_extendedprice", lo_p).alias("lo"),
+                F.percentile("l_extendedprice", hi_p).alias("hi"),
+            )
+            .collect()
+        }
+        for flag, (lo, hi) in bounds.items():
+            v = getattr(approx[flag], col)
+            assert lo <= v <= hi, (flag, col, lo, v, hi)
