@@ -126,3 +126,45 @@ def test_map_only_pipeline_ops_have_no_shuffle(spark):
 def test_contamination_broadcasts_eval_side(spark):
     plan = _plan(spark, "pipeline_contamination")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_latest_plans_window_group_limit(spark):
+    """rn=1 over (key ORDER BY ms DESC) must rewrite to WindowGroupLimit
+    (running-max per partition, no full group sort) with ONE exchange."""
+    plan = _plan(spark, "cdc_latest_snapshot")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_shares_one_shuffle_for_lag_and_lead(spark):
+    """lag (change detect) and lead (interval close) sort on the same
+    (user_id, ms, event_id) key — Catalyst must reuse a single exchange."""
+    plan = _plan(spark, "scd2_dimension")
+    assert plan.count("Exchange") == 1
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    """Native unpivot = one Expand over ONE scan (vs the oracle's 4
+    UNION'd scans), with the returnflag filter pushed into the scan."""
+    plan = _plan(spark, "unpivot_long")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 0
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_returnflag" in pushed
+
+
+def test_profile_columns_is_single_scan(spark):
+    """All 20 profile aggregates (incl. 4 count-distincts via Expand)
+    must compute in one pass over lineitem."""
+    plan = _plan(spark, "profile_columns")
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_heavy_hitters_takes_ordered_and_broadcasts_total(spark):
+    """Top-20 must be TakeOrdered (no global sort); the grand total must
+    join back as a broadcast, not shuffle the counts."""
+    plan = _plan(spark, "profile_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
