@@ -37,4 +37,5 @@ from lambda_hive_spark.operators import (  # noqa: F401
     warehouse,
     quality,
     sketches,
+    intervals,
 )

@@ -115,3 +115,71 @@ def test_orders_agg_at_1_5m_rows(spark):
     agg = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
     total = sum(r.n for r in agg.collect())
     assert total == 1_500_000
+
+
+def _replica_dir(spark, copies: int = 3) -> str:
+    """A scratch sf_dir with events/documents/orders replicated
+    `copies`× — surrogate keys shifted for uniqueness, but the PROFILED
+    attributes (user_id, text, dates) kept identical, so profiling
+    distributions must be exactly invariant and counts exactly ×N."""
+    out = f"{_SCRATCH}/repl{copies}"
+    if not os.path.isdir(out):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for name, key in [("events", "event_id"), ("documents", "doc_id"), ("orders", "o_orderkey")]:
+            base = spark.read.parquet(f"{SF_BASE}/{name}.parquet")
+            shift = base.agg(F.max(key)).collect()[0][0] + 1
+            big = base
+            for i in range(1, copies):
+                big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))
+            big.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return out
+
+
+def test_heavy_hitters_share_invariant_under_replication(spark):
+    """3× the events with the same user_ids: the top-20 set and each
+    share are bit-identical; each count exactly triples."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    rep = _replica_dir(spark)
+    base = {r.user_id: r for r in ops["profile_heavy_hitters"].fn(spark, SF_BASE).collect()}
+    big = {r.user_id: r for r in ops["profile_heavy_hitters"].fn(spark, rep).collect()}
+    assert set(base) == set(big)
+    for uid, b in base.items():
+        assert big[uid].cnt == 3 * b.cnt
+        assert big[uid].share == b.share  # (3c)/(3T) == c/T exactly in IEEE
+
+    skew_base = {r.events_per_user: r.n_users for r in ops["profile_key_skew"].fn(spark, SF_BASE).collect()}
+    skew_big = {r.events_per_user: r.n_users for r in ops["profile_key_skew"].fn(spark, rep).collect()}
+    assert skew_big == {3 * k: n for k, n in skew_base.items()}
+
+
+def test_doc_repetition_score_invariant_under_replication(spark):
+    """Cloned docs (shifted doc_id, same text) must score identically
+    to their originals — the score is a pure per-doc function."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    rep = _replica_dir(spark)
+    base = {r.doc_id: (r.n_grams, r.n_distinct, r.dup_frac)
+            for r in ops["doc_repetition"].fn(spark, SF_BASE).collect()}
+    shift = max(base) + 1
+    big = {r.doc_id: (r.n_grams, r.n_distinct, r.dup_frac)
+           for r in ops["doc_repetition"].fn(spark, rep).collect()}
+    assert len(big) == 3 * len(base)
+    for doc_id, v in base.items():
+        assert big[doc_id] == v
+        assert big[doc_id + shift] == v
+        assert big[doc_id + 2 * shift] == v
+
+
+def test_interval_overlap_counts_triple_under_replication(spark):
+    """3× the orders (same dates, distinct keys): every campaign's
+    overlap count exactly triples — bucketing introduces no dup/loss."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    rep = _replica_dir(spark)
+    base = {r.campaign_id: r.n_orders for r in ops["join_interval_overlap"].fn(spark, SF_BASE).collect()}
+    big = {r.campaign_id: r.n_orders for r in ops["join_interval_overlap"].fn(spark, rep).collect()}
+    assert big == {k: 3 * v for k, v in base.items()}
