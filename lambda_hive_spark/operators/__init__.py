@@ -38,4 +38,5 @@ from lambda_hive_spark.operators import (  # noqa: F401
     quality,
     sketches,
     intervals,
+    graph,
 )
