@@ -1,4 +1,4 @@
-"""TPC-H query suite Q4-Q22 (shapes), adapted to the fixture schema.
+"""TPC-H query suite Q2-Q22 (shapes), adapted to the fixture schema.
 
 The fixture corpus is TPC-H-ish but lacks partsupp, l_shipmode,
 l_commitdate/l_receiptdate, addresses and comments — so each query
@@ -6,10 +6,11 @@ keeps its defining ARCHITECTURAL shape (the join topology, the
 subquery kind, the aggregation pattern the benchmark exercises) while
 substituting available columns: "late" is l_shipdate far past
 o_orderdate, Q12's shipmode becomes l_returnflag, Q9's supplycost
-becomes a retail-price fraction. Q2/Q11/Q20 are inherently
-partsupp-relational and have no faithful adaptation (their defining
-shapes — correlated-min subquery, group-filtered sums, nested IN
-chains — are covered by subq_scalar_corr, tpch_q18, and tpch_q16/q22).
+becomes a retail-price fraction. The partsupp-relational Q2/Q11/Q20
+(added round 4, end of file) run against a partsupp PROXY aggregated
+from lineitem, preserving their defining shapes: correlated-min
+subquery, HAVING-vs-global-scalar, nested IN chain. With agg_hash
+standing in for Q1, all 22 TPC-H query shapes are covered.
 
 Every money aggregate goes through the decimal-exact helpers
 (helpers.py) so results hash-match DuckDB at any parallelism; ratio
@@ -619,4 +620,203 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q20 — the three partsupp-relational queries, completed in
+# round 4 via a partsupp PROXY derived from lineitem: each observed
+# (l_partkey, l_suppkey) pair is a "supplies" fact whose unit cost is
+# MIN(l_extendedprice / l_quantity) (per-row IEEE division is
+# bit-identical on both engines; MIN is order-independent) and whose
+# stocked quantity is the pair's shipped-quantity total. This preserves
+# each query's defining architectural shape — Q2's correlated-min
+# subquery over a 4-table dimension chain, Q11's HAVING-vs-global-scalar
+# threshold, Q20's nested IN chain — on the available schema.
+# ---------------------------------------------------------------------------
+
+_PS_COST_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _ps_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp proxy: unit supply cost per (part, supplier) pair."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+
+
+@op(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({_PS_COST_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part
+JOIN ps ON ps_partkey = p_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type LIKE 'PROMO%' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: cheapest in-region supplier per qualifying part — the
+    correlated-MIN subquery decorrelated into a per-part min over the
+    region-restricted partsupp proxy, joined back on equality (the
+    rewrite Catalyst itself applies to correlated scalar aggregates).
+
+    Scale: the dimension chain supplier⋈nation⋈region is broadcast
+    (bounded: suppliers ≪ facts); the ps proxy aggregates lineitem
+    once and is reused for both the min and the final match, so the
+    plan is one fact-table aggregation + broadcast joins — no
+    re-aggregation per part, no shuffle of lineitem beyond the single
+    (part, supp) groupBy. MIN(cost) equality-matching doubles is exact:
+    both sides carry bit-identical IEEE division results."""
+    eur_sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps_eur = _ps_cost(spark, sf_dir).join(
+        F.broadcast(eur_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = ps_eur.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & F.col("p_type").like("PROMO%"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        ps_eur.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_cost),
+            (F.col("m_partkey") == F.col("ps_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+    )
+
+
+@op(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         {sql_dsum("l_extendedprice * l_quantity", 4)} AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, part_value
+FROM val
+WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM val)
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose in-nation supply value exceeds a fraction of
+    the TOTAL supply value — per-group aggregate HAVING against a
+    global-scalar subquery, the global sum broadcast as a 1-row cross
+    join. Value = Σ(price·qty) through the decimal-exact helpers, so
+    the > threshold compare is bit-identical on both engines.
+
+    Scale: one shuffle to aggregate lineitem by part (suppliers
+    broadcast); the global total re-aggregates the small per-part
+    result, not the fact table. The 1-row threshold broadcast adds no
+    shuffle. At 100 TB the val CTE is the only wide stage."""
+    sup_n = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("s_suppkey")
+    )
+    val = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias("part_value"))
+    )
+    total = val.agg((F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@op(
+    "tpch_q20_excess_stock",
+    oracle=f"""
+WITH pairs AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_dsum("CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+                   " AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+                   " THEN l_quantity END", 4)} AS qty_1997,
+         {sql_dsum("l_quantity", 4)} AS qty_total
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN pairs ON l_suppkey = s_suppkey
+WHERE n_name = 'NATION_3' AND qty_1997 > 0.2 * qty_total
+""",
+)
+def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers in one nation holding "excess stock" of promo
+    parts — the nested IN chain (parts-by-name → qualifying (part,
+    supp) pairs → suppliers) kept intact. "Excess" is adapted to: the
+    pair's 1997 shipped quantity exceeds 20% of its all-time quantity
+    (conditional decimal sum; a pair with no 1997 rows sums to NULL
+    and fails the > on both engines identically).
+
+    Scale: the part-name filter is a broadcast semi join BEFORE the
+    pair aggregation, so only promo-part lineitems shuffle; the final
+    supplier match is a broadcast join + distinct on a small set."""
+    promo = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    in_97 = (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            dsum(F.when(in_97, F.col("l_quantity")), 4).alias("qty_1997"),
+            dsum("l_quantity", 4).alias("qty_total"),
+        )
+        .filter(F.col("qty_1997") > F.lit(0.2) * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sup.join(pairs, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
     )

@@ -1,0 +1,43 @@
+"""Simulate the external driver gate (.claude/skills/verify) in-process:
+t1 smoke on entry(spark), then every queries()[name] vs oracle_sql()[name]
+via DuckDB at the given sf dir. Usage: python tools/verify_driver.py [sf_dir]."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+
+import __spark_entry__ as e
+from pyspark.sql import SparkSession
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+assert len(e.entry(spark).collect()) > 0  # t1
+con = duckdb.connect()
+con.execute("SET TimeZone='UTC'")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+qs, os_ = e.queries(), e.oracle_sql()
+bad = []
+for name, fn in sorted(qs.items()):  # t2
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception as ex:
+        bad.append(f"{name} (spark error: {ex})")
+        continue
+    if name not in os_:
+        continue
+    ddf = con.execute(os_[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    s = sorted(map(str, sdf[cols].itertuples(index=False, name=None)))
+    d = sorted(map(str, ddf[sorted(ddf.columns)].itertuples(index=False, name=None)))
+    if cols != sorted(ddf.columns) or s != d:
+        bad.append(name)
+print("MISMATCH:", bad) if bad else print("ALL MATCH", len(qs))
+spark.stop()
