@@ -231,3 +231,125 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(F.col("offset_tokens") / 2048).alias("seq_bin"),
     )
+
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 16  # chunk start stride (50% overlap)
+
+
+@op(
+    "doc_chunk_sliding",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(tokens, start, LEAST(start + {_CHUNK} - 1, n)), ' ')
+         AS chunk_text,
+       LEAST(start + {_CHUNK} - 1, n) - start + 1 AS n_chunk_tokens
+FROM toks, UNNEST(generate_series(1, n, {_STRIDE})) AS t(start)
+WHERE start <= n
+""",
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document explodes into
+    {chunk}-token chunks starting every {stride} tokens (50% overlap) —
+    the standard pre-tokenization step that turns variable-length
+    documents into model-context-sized pieces while preserving
+    cross-boundary context in the overlap.
+
+    Scale: pure per-row explode — no shuffle at all; the chunk stream
+    is produced in the same scan stage and pipelined into whatever
+    consumes it. The ×(n/stride) row expansion happens inside
+    whole-stage codegen (sequence + explode + slice are all JVM HOFs,
+    no Python). At 100 TB this is the map stage before packing or
+    embedding, exactly where you want zero exchanges."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    n = F.size("tokens")
+    return (
+        toks.withColumn("start", F.explode(F.sequence(F.lit(1), n, F.lit(_STRIDE))))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+            F.array_join(
+                F.slice("tokens", F.col("start"), F.lit(_CHUNK)), " "
+            ).alias("chunk_text"),
+            (F.least(F.col("start") + _CHUNK - 1, F.size("tokens")) - F.col("start") + 1).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+doc_chunk_sliding.__doc__ = doc_chunk_sliding.__doc__.format(chunk=_CHUNK, stride=_STRIDE)
+
+
+@op(
+    "dedup_chunk_exact",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tokens, start, LEAST(start + {_CHUNK} - 1, n)), ' '))
+           AS chunk_hash
+  FROM toks, UNNEST(generate_series(1, n, {_CHUNK})) AS t(start)
+  WHERE start <= n AND LEAST(start + {_CHUNK} - 1, n) - start + 1 = {_CHUNK}
+)
+SELECT chunk_hash, COUNT(*) AS n_copies, COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup (the paragraph-dedup analogue for a
+    corpus without paragraph breaks): documents are cut into
+    NON-overlapping full {chunk}-token chunks, chunks are hashed, and
+    any hash appearing in more than one document is reported with its
+    copy count — the repeated-boilerplate detector that doc-level
+    exact dedup misses.
+
+    Scale: explode + hash in the scan stage (no data but the 32-hex
+    digest leaves the mapper), then one map-combinable groupBy on the
+    digest. Cross-doc repeated chunks are by construction a small
+    output. This is the Dolma/CCNet paragraph-dedup shape: at 100 TB
+    the shuffle carries one 16-byte key + two counters per DISTINCT
+    chunk, not the corpus."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    chunks = (
+        toks.withColumn(
+            "start", F.explode(F.sequence(F.lit(1), F.size("tokens"), F.lit(_CHUNK)))
+        )
+        .filter(
+            F.least(F.col("start") + _CHUNK - 1, F.size("tokens")) - F.col("start") + 1
+            == _CHUNK
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("tokens", F.col("start"), F.lit(_CHUNK)), " ")).alias(
+                "chunk_hash"
+            ),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+dedup_chunk_exact.__doc__ = dedup_chunk_exact.__doc__.format(chunk=_CHUNK)
