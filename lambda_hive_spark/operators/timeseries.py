@@ -174,3 +174,120 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("volume"),
         )
     )
+
+
+_EMA_N = 20  # EMA window depth (terms)
+
+
+def _sql_ema_terms() -> tuple[str, str]:
+    """DuckDB expression pair (weighted_sum, weight_sum) for the
+    finite EMA: Sum_j value[t-j] * 2^-j over the last N rows. Built by
+    the same loop as the Spark side so the two cannot drift."""
+    num = " + ".join(
+        f"COALESCE(lag(value, {j}) OVER w, 0) * POWER(0.5, {j})" for j in range(_EMA_N)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {j}) OVER w IS NOT NULL THEN POWER(0.5, {j}) ELSE 0 END)"
+        for j in range(_EMA_N)
+    )
+    return num, den
+
+
+_EMA_NUM, _EMA_DEN = _sql_ema_terms()
+
+
+@op(
+    "ts_ema",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       ({_EMA_NUM}) / ({_EMA_DEN}) AS ema
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of each user's event values,
+    alpha = 0.5 over the last 20 observations (weights 2^-j renormalized
+    over the available prefix — pandas ewm(adjust=True) semantics,
+    truncated at 20 terms where the weight is 1e-6 of the head).
+
+    Float-parity design: alpha is DYADIC, so every weight 2^-j is an
+    exact double and each product is an exact exponent shift; both
+    engines evaluate the same left-to-right 20-term sum, giving
+    bit-identical results — which is why this op can be hash-verified
+    at all. The 20 lag() calls share one window spec, so Spark
+    evaluates ONE window pass (single sort+shuffle on user_id), not 20.
+
+    Scale: one shuffle on the partition key; state per row is O(N)
+    lags inside the window operator — the standard streaming-friendly
+    EMA shape. At 100 TB, partition by (user bucket, day) first."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(_EMA_N):
+        lag_j = F.lag("value", j).over(w)
+        term = F.coalesce(lag_j, F.lit(0.0)) * F.pow(F.lit(0.5), F.lit(j))
+        wgt = F.when(lag_j.isNotNull(), F.pow(F.lit(0.5), F.lit(j))).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", (num / den).alias("ema")
+    )
+
+
+@op(
+    "anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS n_anomalies,
+       ANY_VALUE(d.med) AS med,
+       ANY_VALUE(m.mad) AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    event type, flag values whose deviation from the median exceeds
+    3 sigma-equivalents (MAD x 1.4826). Median/MAD resist the outliers
+    they hunt, unlike mean/stddev — the standard robust screen for
+    corrupt metric streams.
+
+    Float-parity: both engines interpolate the median identically on
+    IEEE doubles (one rounding of the same exact midpoint), ABS/compare
+    are exact, so the counts hash-match. Two grouped exact medians =
+    two shuffles on event_type (a handful of groups); the flags join
+    the tiny per-type table back via broadcast. At 100 TB swap the
+    exact medians for percentile_approx (sketch_approx_quantiles) and
+    the whole thing is one map-combinable pass."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.median("adev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("m_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)).alias(
+                "n_anomalies"
+            ),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+        )
+    )
