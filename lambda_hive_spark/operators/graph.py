@@ -101,3 +101,76 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c"))
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_PR_ITERS = 3
+_PR_INIT = 1_000_000_000_000  # per-node starting mass (scaled integer)
+_PR_BASE = (15 * _PR_INIT) // 100  # (1-d) teleport share, d = 0.85
+
+
+def _pr_iter_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT d.v AS node,
+         CAST({_PR_BASE} + (85 * SUM(p.pr // g.deg)) // 100 AS BIGINT) AS pr
+  FROM dir d
+  JOIN {prev} p ON p.node = d.u
+  JOIN deg g ON g.u = d.u
+  GROUP BY d.v
+)"""
+
+
+@op(
+    "graph_pagerank",
+    oracle=f"""
+WITH {_SQL_SIM_EDGES},
+dir AS (
+  SELECT doc_a AS u, doc_b AS v FROM sim
+  UNION ALL SELECT doc_b, doc_a FROM sim
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM dir GROUP BY u),
+pr0 AS (SELECT u AS node, CAST({_PR_INIT} AS BIGINT) AS pr FROM deg),
+{",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}") for i in range(_PR_ITERS))}
+SELECT node AS doc_id, pr AS pr_scaled FROM pr{_PR_ITERS}
+""",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} unrolled iterations) over the
+    near-duplicate pair graph — ranks which documents sit at the
+    center of duplication neighborhoods (template hubs) vs the
+    periphery.
+
+    Exactness design: the whole computation is INTEGER arithmetic on
+    mass scaled by 1e12 — contributions are integral divisions
+    pr div deg, damping is (85*sum) div 100 — so both engines produce
+    bit-identical bigints with NO float accumulation anywhere, at any
+    parallelism: integer sums are order-independent, which is what a
+    float PageRank can never guarantee under reordered reduction.
+
+    Scale: each iteration is contributions(join on u) → groupBy(v) —
+    the standard edge-partitioned Pregel step as two DataFrame ops.
+    The edge list is checkpointed once and reused across iterations
+    (at 100 TB: persist + co-partition edges and ranks on node so each
+    iteration is a zero-exchange local join; AQE handles hub skew)."""
+    edges = _sim_pairs(spark, sf_dir)
+    dir_e = edges.selectExpr("doc_a AS u", "doc_b AS v").unionByName(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    ).localCheckpoint(eager=True)
+    deg = dir_e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    src = dir_e.join(deg, "u")  # (u, v, deg) reused every iteration
+    pr = deg.select(F.col("u").alias("node"), F.lit(_PR_INIT).cast("bigint").alias("pr"))
+    for _ in range(_PR_ITERS):
+        pr = (
+            src.join(pr, src["u"] == pr["node"])
+            .select(F.col("v"), F.expr("pr div deg").alias("contrib"))
+            .groupBy("v")
+            .agg(
+                (F.lit(_PR_BASE) + F.expr("(85 * sum(contrib)) div 100"))
+                .cast("bigint")
+                .alias("pr")
+            )
+            .select(F.col("v").alias("node"), "pr")
+        )
+    return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pr_scaled"))
+
+
+graph_pagerank.__doc__ = graph_pagerank.__doc__.format(iters=_PR_ITERS)
