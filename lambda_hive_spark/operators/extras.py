@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lambda_hive_spark.helpers import dot, dsum, sql_dsum
+from lambda_hive_spark.helpers import dot, dsum, sql_dot, sql_dsum
 from lambda_hive_spark.io import register_views, table
 from lambda_hive_spark.registry import op
 
@@ -197,3 +197,134 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-projection LSH (round 4). MLlib's BRP-LSH
+# (sim_knn_approx) seeds JVM randomness no oracle can reproduce, so it
+# is graded rows-only; this variant derives its hyperplanes from md5 —
+# identical on both engines — so the WHOLE LSH pipeline (signatures →
+# banded buckets → exact verify) is hash-compared against DuckDB.
+# ---------------------------------------------------------------------------
+
+_RP_BANDS = 4
+_RP_BITS = 4   # bits per band; bucket space 2^4 per band
+_RP_DIM = 64
+_RP_TAU = 0.4  # exact-cosine acceptance threshold (matches dedup_embedding)
+
+
+def _rp_component_sql(band: int, bit: int, i: str) -> str:
+    """Hyperplane component in [-1, 1): md5 of (band.bit#dim) scaled."""
+    h = f"('0x' || substr(md5('{band}.{bit}#' || {i}::VARCHAR), 1, 8))::BIGINT"
+    return f"(({h} / 4294967296.0) * 2 - 1)"
+
+
+def _rp_bucket_sql(band: int, emb: str) -> str:
+    bits = []
+    for bit in range(_RP_BITS):
+        prods = (
+            f"list_transform(range(1, {_RP_DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * {_rp_component_sql(band, bit, 'i')})"
+        )
+        d = f"list_reduce({prods}, (acc, x) -> acc + x)"
+        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << bit} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _rp_component(band: int, bit: int, i: F.Column) -> F.Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{band}.{bit}#"), i.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h / F.lit(4294967296.0)) * 2 - 1
+
+
+def _rp_prod_fn(band: int, bit: int, emb: F.Column):
+    def fn(i: F.Column) -> F.Column:
+        return F.element_at(emb, i).cast("double") * _rp_component(band, bit, i)
+
+    return fn
+
+
+def _rp_bucket(band: int, emb: F.Column) -> F.Column:
+    bucket = None
+    for bit in range(_RP_BITS):
+        prods = F.transform(
+            F.sequence(F.lit(1), F.lit(_RP_DIM)), _rp_prod_fn(band, bit, emb)
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        b = F.when(d > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        bucket = b if bucket is None else bucket + b
+    return bucket
+
+
+@op(
+    "sim_pairs_rp_lsh",
+    oracle=f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_rp_bucket_sql(b, 'embedding')} AS bucket_{b}" for b in range(_RP_BANDS))}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+   AND ({" OR ".join(f"a.bucket_{b} = b.bucket_{b}" for b in range(_RP_BANDS))})
+)
+SELECT c.vec_a, c.vec_b, {sql_dot('x.embedding', 'y.embedding')} AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE {sql_dot('x.embedding', 'y.embedding')} >= {_RP_TAU}
+""",
+)
+def sim_pairs_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-pair search, end-to-end
+    deterministic: {bands} bands x {bits} sign-bits per vector, with
+    hyperplane components derived from md5(band.bit#dim) — so the
+    oracle reproduces the exact same signatures and this LSH op gets
+    the full hash-compare (vs rows-only for MLlib's seeded variant).
+    Candidates collide on any band bucket; survivors are verified with
+    the exact left-fold cosine >= {tau}. Output is the LSH-recalled
+    subset of dedup_embedding's exact pair set.
+
+    Scale: signatures are computed scan-side (pure JVM HOFs inside
+    codegen — no UDF, no shuffle); candidates come from {bands}
+    id-only equi-joins on (band, bucket) unioned + distinct'd — the
+    banded-LSH shape that never goes all-pairs; the exact verify joins
+    embeddings back by id. At 100 TB raise bands/bits so bucket
+    occupancy stays bounded and recall targets the τ of interest."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = e.select(
+        "vec_id",
+        *[_rp_bucket(b, F.col("embedding")).alias(f"bucket_{b}") for b in range(_RP_BANDS)],
+    )
+    cand = None
+    for b in range(_RP_BANDS):
+        a_side = sig.select(
+            F.col("vec_id").alias("vec_a"), F.col(f"bucket_{b}").alias("ba")
+        )
+        b_side = sig.select(
+            F.col("vec_id").alias("vec_b"), F.col(f"bucket_{b}").alias("bb")
+        )
+        pairs_b = (
+            a_side.join(b_side, (F.col("vec_a") < F.col("vec_b")) & (F.col("ba") == F.col("bb")))
+            .select("vec_a", "vec_b")
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.distinct()
+    x = e.select(F.col("vec_id").alias("xa"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("yb"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(x, F.col("vec_a") == F.col("xa"))
+        .join(y, F.col("vec_b") == F.col("yb"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _RP_TAU)
+    )
+
+
+sim_pairs_rp_lsh.__doc__ = sim_pairs_rp_lsh.__doc__.format(
+    bands=_RP_BANDS, bits=_RP_BITS, tau=_RP_TAU
+)
