@@ -164,3 +164,113 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
     )
+
+
+@op(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+lm AS (
+  SELECT term,
+         round(ln(COUNT(*) / (SELECT COUNT(*) FROM tok)), 8) AS logp
+  FROM tok GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, lm.logp FROM tok t JOIN lm ON lm.term = t.term
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(logp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: a corpus unigram LM (term
+    frequency / corpus size), then each document's mean token
+    log-probability — the cheap stand-in for the KenLM/perplexity
+    filter every pretraining pipeline runs; unusually low avg_logprob
+    flags gibberish, unusually high flags degenerate repetition.
+
+    Float-parity: ln() can differ by 1 ulp across libm
+    implementations, so per-term logp is rounded to 8 decimals FIRST
+    (noise ~1e-16 sits 8 orders below the boundary), then summed
+    exactly through decimal(18,8) and divided by the token count —
+    deterministic at any parallelism.
+
+    Scale: the LM is a map-combinable groupBy over terms; scoring is a
+    broadcast join of the (small) vocabulary back onto the token
+    stream; per-doc reduce is map-combinable again. Vocabulary too big
+    to broadcast at 100 TB → shuffle join on term, same plan shape."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    lm = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", F.round(F.log(F.col("tf") / F.col("n_total")), 8).alias("logp"))
+    )
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,8)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@op(
+    "pipeline_mix_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n FROM counts),
+raw AS (
+  SELECT source, n_docs, round(POWER(n_docs / tot.n, 0.7), 8) AS w_raw
+  FROM counts, tot
+)
+SELECT source, n_docs,
+       round(w_raw / (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,8))) AS DOUBLE) FROM raw), 6)
+         AS mix_weight
+FROM raw
+""",
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (T = 1/0.7): sampling weights
+    w_d ∝ (n_d/N)^0.7, the standard exponent-reweighting that
+    up-samples small domains without letting any one domain dominate
+    (used for multilingual/domain mixtures since mBERT/T5). Output per
+    source: document count and normalized mixture weight.
+
+    Float-parity: pow() is libm-dependent → raw weights rounded to 8
+    decimals before the exact decimal normalization sum; the final
+    division is one IEEE op on identical doubles. Scale: one
+    map-combinable groupBy over the corpus; everything after runs on a
+    domains-sized table (tiny), broadcast back when applied."""
+    counts = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    raw = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs") / F.col("n"), F.lit(0.7)), 8).alias("w_raw"),
+    )
+    norm = raw.agg(F.sum(F.col("w_raw").cast("decimal(18,8)")).cast("double").alias("z"))
+    return raw.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
+    )
