@@ -14,6 +14,7 @@ Reference file:line: N/A — empty reference dir (SURVEY.md §0).
 
 from __future__ import annotations
 
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,3 +179,39 @@ def stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@op(
+    "stream_upsert_foreachbatch",
+    oracle="""
+SELECT user_id, event_id, value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+    tags=("side_effect",),
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via foreachBatch: each micro-batch is
+    merged into a keyed parquet state table (latest event per user,
+    ties on the µs timestamp broken by event_id) with read-merge-swap
+    — the canonical pattern for maintaining a serving table from a
+    stream when the sink has no native MERGE. The oracle recomputes
+    the same latest-per-user state relationally, so the gate proves
+    the stream upsert lost/duplicated nothing.
+
+    Scale notes: per batch this shuffles only on user_id (window
+    dedup), and the swap is a directory rename — at 100 TB you'd swap
+    in a transactional table format (Delta/Iceberg MERGE) and
+    partition state by key bucket so each batch touches only dirty
+    partitions; the plan shape (dedup batch → merge into keyed state)
+    is identical. Ranks on µs-truncated event time to match the
+    ns→µs stream source conversion (streaming/core.py module doc)."""
+    stream = core.events_stream(spark, core.landing_dir(sf_dir))
+    state_path = plans.run_upsert(stream, core.scratch_dir("upsert-state"))
+    return spark.read.parquet(state_path).select("user_id", "event_id", "value")

@@ -256,3 +256,55 @@ def stateful_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_upsert(stream: DataFrame, state_dir: str, timeout_s: int = 300) -> str:
+    """foreachBatch MERGE runner: maintain a latest-event-per-user
+    parquet state table from an events stream (read-merge-swap per
+    micro-batch; ties on ts broken by event_id). Returns the state
+    table path. The swap is two renames, so a concurrent reader sees
+    either the old or the new state, never a partial write. At 100 TB
+    the same batch plan targets a transactional MERGE instead."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    state_path = os.path.join(state_dir, "state")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cols = ["user_id", "event_id", "value", "ts"]
+        incoming = batch_df.select(*cols)
+        if os.path.isdir(state_path):
+            incoming = sess.read.parquet(state_path).select(*cols).unionByName(incoming)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        staging = state_path + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = state_path + f".old-{batch_id}"
+        if os.path.isdir(state_path):
+            os.rename(state_path, old)
+        os.rename(staging, state_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    from lambda_hive_spark.streaming import core as _core
+
+    query = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", _core.scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError("run_upsert did not finish in time")
+    return state_path

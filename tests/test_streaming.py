@@ -239,3 +239,26 @@ def test_checkpoint_recovery_exactly_once(spark, events_batch, arrival_dirs, tmp
     assert back.count() == events_batch.count()  # nothing lost...
     assert back.select(F.count_distinct("event_id")).collect()[0][0] == events_batch.count()
     # ...and nothing duplicated: phase-1 rows were not reprocessed
+
+
+def test_foreachbatch_upsert_multi_batch(spark, events_batch, arrival_dirs, tmp_path):
+    """The upsert state after 3 single-file micro-batches equals the
+    batch latest-per-user twin — i.e. the incremental MERGE converges
+    to the same table a full recompute would produce, across batch
+    boundaries (the single-batch case is covered by the op's oracle)."""
+    from pyspark.sql import Window
+
+    stream = core.events_stream(spark, arrival_dirs, max_files_per_trigger=1)
+    state_path = plans.run_upsert(stream, str(tmp_path / "upsert-state"))
+    got = _rows(
+        spark.read.parquet(state_path).select("user_id", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = _rows(
+        events_batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    assert got == want
