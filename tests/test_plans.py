@@ -168,3 +168,45 @@ def test_heavy_hitters_takes_ordered_and_broadcasts_total(spark):
     plan = _plan(spark, "profile_heavy_hitters")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunking_is_map_only(spark):
+    """doc_chunk_sliding must be explode-in-scan: zero exchanges."""
+    plan = _plan(spark, "doc_chunk_sliding")
+    assert "Exchange" not in plan, "chunking should not shuffle"
+    assert "Generate explode" in plan
+
+
+def test_countmin_sketch_aggregates_map_side(spark):
+    """CMS build must plan partial aggregation (fixed-size combine
+    state) and broadcast the sketch to the probe side."""
+    plan = _plan(spark, "sketch_countmin")
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rp_lsh_has_no_cartesian(spark):
+    """Banded LSH must candidate via equi-joins, never all-pairs."""
+    plan = _plan(spark, "sim_pairs_rp_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dimension_chain(spark):
+    """Q2's supplier->nation->region chain and per-part min table must
+    broadcast against the lineitem-derived partsupp proxy."""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_ema_plans_single_window_pass(spark):
+    """All 20 lag() terms share one window spec: exactly one Window
+    operator, one sort, one shuffle on the partition key."""
+    plan = _plan(spark, "ts_ema")
+    assert plan.count("Window ") + plan.count("Window\n") >= 1
+    assert plan.count("Exchange") == 1, "EMA must shuffle once on user_id"
+
+
+def test_unigram_lm_joins_vocabulary_broadcast(spark):
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
