@@ -139,3 +139,56 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@op(
+    "mv_agg_merge",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events GROUP BY user_id
+""",
+)
+def mv_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's
+    per-user aggregate STATE (count + decimal-exact sum over events
+    before the cutoff) is merged with today's DELTA (same partial over
+    events after the cutoff) by RE-AGGREGATING THE PARTIALS — no
+    rescan of history. avg is derived at read time from the mergeable
+    (sum, count) pair; the oracle recomputes the view from scratch, so
+    the gate proves merge(state, delta) == full recompute.
+
+    This is the algebraic-aggregate IVM contract: SUM/COUNT/MIN/MAX
+    merge; AVG/STDDEV derive from merged primitives; exact
+    DISTINCT/percentiles do NOT (keep sketches instead —
+    sketch_hll_rollup / sketch_approx_quantiles). Decimal sums make
+    the merge bit-identical to the recompute at any split point.
+
+    Scale: at 100 TB the state table is keys × 2 numbers — the daily
+    update shuffles only the delta; history is never re-read. Both
+    partials here share one plan shape, map-combined before their
+    single shuffle each."""
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2000-07-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("dsum"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < cutoff))
+    delta = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").alias("n_events"), F.sum("dsum").alias("dsum"))
+    )
+    total = F.col("dsum").cast("double")
+    return merged.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        total.alias("total_value"),
+        (total / F.col("n_events")).alias("avg_value"),
+    )
