@@ -298,3 +298,47 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue).alias("revenue"))
     )
+
+
+@op(
+    "join_lateral_topn",
+    oracle="""
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: the top-2 customers by balance FOR
+    EACH nation, written as a per-row dependent subquery — the SQL
+    shape analysts reach for before discovering window functions, and
+    a real parser/planner feature (Spark plans it as a lateral join,
+    then rewrites the correlated ORDER+LIMIT into a partitioned rank
+    filter rather than executing the subquery per driving row).
+
+    Scale: Catalyst decorrelates it — the plan is a row_number rank
+    filter partitioned on the correlation key plus a broadcast join,
+    never a per-driving-row subquery execution and never a cartesian.
+    Measured caveat vs the explicit window form (win_topk_per_group):
+    decorrelation keeps the subquery's global ORDER BY as a range-sort
+    stage and does not plan WindowGroupLimit, so the sugar costs one
+    extra exchange — at 100 TB write the window form directly; this op
+    documents that exact trade. Deterministic tie-break on c_custkey."""
+    from lambda_hive_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

@@ -98,3 +98,63 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_date").cast("string").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_SX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+_SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+_SXX = "CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+_SYY = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+_SXY = "CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@op(
+    "agg_corr_covar",
+    oracle=f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       round(({_SXY} - {_SX} * {_SY} / COUNT(*)) / (COUNT(*) - 1), 4) AS covar_samp,
+       round(({_SXY} - {_SX} * {_SY} / COUNT(*))
+             / (sqrt({_SXX} - {_SX} * {_SX} / COUNT(*))
+                * sqrt({_SYY} - {_SY} * {_SY} / COUNT(*))), 8) AS corr
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sample covariance and Pearson correlation of quantity
+    vs extended price — the bivariate statistics surface. Built from
+    the five mergeable decimal-exact power sums (Sx, Sy, Sxx, Syy,
+    Sxy) rather than builtin corr()/covar_samp(), because the builtins
+    accumulate in order-dependent doubles on each engine; the power
+    sums are exact at any parallelism (2-decimal inputs squared need
+    scale 4) and the closed-form derivation is the same IEEE ops on
+    both sides. Outputs rounded 4/8 decimals, ~8 orders above the
+    residual double-division noise.
+
+    Scale: one map-combinable pass — the same partial/final shape as
+    agg_partial_final, just with 5 accumulators; this is also the
+    merge-friendly form an incremental MV keeps (mv_agg_merge)."""
+    li = table(spark, sf_dir, "lineitem")
+    d4 = lambda c: F.sum(c.cast("decimal(18,4)")).cast("double")  # noqa: E731
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        d4(q).alias("sx"),
+        d4(p).alias("sy"),
+        d4(q * q).alias("sxx"),
+        d4(p * p).alias("syy"),
+        d4(q * p).alias("sxy"),
+    )
+    n = F.col("n")
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    return agg.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(cov_num / (n - 1), 4).alias("covar_samp"),
+        F.round(
+            cov_num
+            / (
+                F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+                * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+            ),
+            8,
+        ).alias("corr"),
+    )
