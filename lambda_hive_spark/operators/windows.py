@@ -239,3 +239,114 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("first_nonpending_status"),
     )
+
+
+@op(
+    "win_distinct_running",
+    oracle="""
+SELECT e.user_id, e.event_id,
+       CAST((
+         SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+         WHERE e2.user_id = e.user_id
+           AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))
+       ) AS BIGINT) AS n_distinct_types
+FROM events e
+""",
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user: how many distinct event types
+    each user has touched up to each event — the engagement-breadth
+    metric. COUNT(DISTINCT) OVER isn't directly supported by either
+    engine, so the Spark plan builds it as
+    size(array_distinct(collect_list over the running frame)) — one
+    window pass, state bounded by the type cardinality — while the
+    oracle spells the same semantics as a correlated subquery
+    (quadratic, fine at oracle scale; the window form is the one that
+    survives 100 TB). Deterministic frame via (ts, event_id) ordering."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("n_distinct_types"),
+    )
+
+
+@op(
+    "win_ratio_to_report",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                           OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+FROM orders
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each order's share of its customer's total
+    spend — the windowed percent-of-total every BI layer generates.
+    The partition total accumulates through decimal (order-independent
+    → bit-identical denominators at any parallelism); the share is
+    then one IEEE division. One shuffle on o_custkey, no sort needed
+    (unordered frame), state per partition is a single accumulator."""
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_totalprice") / total).alias("share"),
+    )
+
+
+@op(
+    "win_gaps_islands",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len,
+       MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+FROM seq
+GROUP BY user_id, event_type, grp
+HAVING COUNT(*) >= 3
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of >=3 CONSECUTIVE same-type
+    events per user (repeated errors, purchase streaks) via the
+    classic row_number-difference trick — two window numberings whose
+    difference is constant within a run. The canonical sequential
+    pattern that pure relational grouping can't express directly.
+
+    Scale: both row_numbers partition by user_id (the second
+    sub-partitions by type), so Catalyst plans ONE exchange on
+    user_id; the island groupBy then combines map-side. State per row
+    is two counters — this shape streams fine at 100 TB. Deterministic
+    ordering via (ts, event_id)."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )
