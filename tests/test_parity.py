@@ -49,3 +49,17 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_hostile_session_timezone_repinned(spark, duck):
+    """The driver hands us ITS SparkSession; if it carries a non-UTC
+    session timezone, date-bucketing ops would hash-mismatch the UTC
+    oracle unless the registry wrapper repins UTC at call time."""
+    tz_ops = [n for n in ("fn_date", "stream_tumbling", "ts_gap_fill") if n in OPS]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in tz_ops:
+            o = OPS[name]
+            assert_parity(o.fn(spark, SF_DIR), duck, o.oracle, f"tz:{name}")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
