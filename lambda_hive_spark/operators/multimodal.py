@@ -195,3 +195,62 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_df(spark, sf_dir).mapInPandas(
         _frame_batches, "doc_id long, frame_idx long, frame_n_bytes long, frame_sha string"
     )
+
+
+def _checksum_batches(batches):
+    """Arrow-native batch worker: hashlib.md5 over each payload's raw
+    bytes, emitted as an int64 checksum column. Operates on
+    pyarrow.RecordBatch directly — no pandas conversion layer at all."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id")
+        payloads = batch.column("payload")
+        crcs = [
+            int(hashlib.md5(p.as_py()).hexdigest()[:8], 16)
+            for p in payloads
+        ]
+        n_bytes = [len(p.as_py()) for p in payloads]
+        yield pa.RecordBatch.from_arrays(
+            [doc_ids, pa.array(crcs, pa.int64()), pa.array(n_bytes, pa.int64())],
+            names=["doc_id", "crc32ish", "n_bytes"],
+        )
+
+
+@op(
+    "mm_arrow_checksum",
+    oracle="""
+SELECT doc_id,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS crc32ish,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def mm_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary checksumming through mapInArrow — the zero-copy Arrow
+    path next to mapInPandas (mm_feature_extract): payload bytes reach
+    Python as arrow buffers, the worker hashes them with hashlib, and
+    only (id, checksum, size) rows come back. The checksum is the
+    first 8 md5 hex chars as int64, so DuckDB reproduces it exactly
+    from the same UTF-8 bytes — a Python-UDF-path op with a full SQL
+    oracle.
+
+    Scale: this is the template for every decode-heavy media job —
+    opaque bytes in arrow batches, fixed-width metadata out, nothing
+    wide ever shuffled. mapInArrow skips the pandas conversion
+    entirely (no object-dtype materialization of the payload column),
+    which is the right hot path when payloads are MBs."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("crc32ish", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return payload_df(spark, sf_dir).select("doc_id", "payload").mapInArrow(
+        _checksum_batches, schema
+    )
