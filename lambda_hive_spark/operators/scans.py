@@ -130,3 +130,47 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     orc_dir = _scratch("nation_orc")
     n.write.mode("overwrite").orc(orc_dir)
     return spark.read.schema(_NATION_SCHEMA).orc(orc_dir)
+
+
+@op(
+    "sink_csv_json_roundtrip",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("side_effect",),
+)
+def sink_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format sink matrix: the same aggregate written to CSV
+    (with header) AND JSON-lines via the distributed committer, both
+    read back with explicit schemas and cross-checked row-for-row
+    (inner join on the key, both sides' values re-emitted). The oracle
+    match proves neither text codec lost precision — doubles survive
+    because Spark writes shortest-roundtrip decimal reprs.
+
+    Scale: text sinks are for interchange, not analytics — no
+    statistics, no pushdown, full re-parse on read (the docstring
+    contract: land in parquet/ORC, export to text only at the edge).
+    The committer semantics (atomic per-task files + _SUCCESS) are
+    identical to the parquet path."""
+    agg = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+    )
+    csv_out, json_out = _scratch("agg_csv"), _scratch("agg_json")
+    agg.write.mode("overwrite").option("header", True).csv(csv_out)
+    agg.write.mode("overwrite").json(json_out)
+    schema = "o_orderstatus STRING, n_orders BIGINT, total DOUBLE"
+    from_csv = spark.read.schema(schema).option("header", True).csv(csv_out)
+    from_json = spark.read.schema(schema).json(json_out)
+    j = from_csv.alias("c").join(from_json.alias("j"), "o_orderstatus")
+    return j.select(
+        "o_orderstatus",
+        F.col("c.n_orders").alias("n_orders"),
+        F.col("j.total").alias("total"),
+    )
