@@ -19,7 +19,13 @@ pytestmark = pytest.mark.skipif(
     reason="opt-in scale smoke (set SPARK_GRAFT_SCALE_SMOKE=1)",
 )
 
-_SCRATCH = "/root/repo/.tmp/scale_smoke"
+_SCRATCH = os.path.join(
+    os.environ.get(
+        "SPARK_GRAFT_SCRATCH",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"),
+    ),
+    "scale_smoke",
+)
 
 
 def _replicated(spark, name: str, copies: int, key: str):
@@ -183,3 +189,86 @@ def test_interval_overlap_counts_triple_under_replication(spark):
     base = {r.campaign_id: r.n_orders for r in ops["join_interval_overlap"].fn(spark, SF_BASE).collect()}
     big = {r.campaign_id: r.n_orders for r in ops["join_interval_overlap"].fn(spark, rep).collect()}
     assert big == {k: 3 * v for k, v in base.items()}
+
+
+def test_countmin_estimates_scale_exactly_10x(spark):
+    """CMS linearity: replicating lineitem 10x (part keys unchanged)
+    multiplies every bucket count by exactly 10, so every probe
+    estimate is exactly 10x the base estimate — sketch contents stay
+    fixed-size while remaining exact-in-structure."""
+    from lambda_hive_spark.operators.sketches import sketch_countmin
+
+    base = {r.p_partkey: r.est_count for r in sketch_countmin(spark, SF_BASE).collect()}
+    li10 = _replicated(spark, "lineitem", 10, "l_orderkey")
+    import os as _os
+
+    big_dir = f"{_SCRATCH}/cms_sf"
+    _os.makedirs(big_dir, exist_ok=True)
+    for t in ("part",):
+        dst = f"{big_dir}/{t}.parquet"
+        if not _os.path.lexists(dst):
+            _os.symlink(f"{SF_BASE}/{t}.parquet", dst)
+    li_dst = f"{big_dir}/lineitem.parquet"
+    if not _os.path.lexists(li_dst):
+        _os.symlink(f"{_SCRATCH}/lineitem_x10", li_dst)
+    big = {r.p_partkey: r.est_count for r in sketch_countmin(spark, big_dir).collect()}
+    assert set(big) == set(base)
+    assert all(big[k] == 10 * base[k] for k in base)
+
+
+def test_bloom_no_false_negatives_at_10x_keys(spark):
+    """Structural Bloom guarantee at scale: with 10x the member keys
+    (filter much fuller) there is STILL no (is_member, not bloom_says)
+    row — false positives may grow, false negatives cannot exist."""
+    from lambda_hive_spark.operators.sketches import sketch_bloom_membership
+    import os as _os
+
+    big_dir = f"{_SCRATCH}/bloom_sf"
+    _os.makedirs(big_dir, exist_ok=True)
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        dst = f"{big_dir}/{t}.parquet"
+        if not _os.path.isdir(dst) and not _os.path.lexists(dst):
+            base = table(spark, SF_BASE, t)
+            shift = 1_000_000
+            big = base
+            for i in range(1, 10):
+                big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))
+            big.repartition(8).write.mode("overwrite").parquet(dst)
+    rows = sketch_bloom_membership(spark, big_dir).collect()
+    combos = {(r.is_member, r.bloom_says) for r in rows}
+    assert (True, False) not in combos, "bloom produced a false negative"
+    assert (True, True) in combos
+
+
+def test_chunk_dedup_finds_every_chunk_under_replication(spark):
+    """Replicating documents 3x (same text, shifted ids) makes every
+    full 32-token chunk appear in >=3 docs, so dedup_chunk_exact must
+    return EXACTLY the set of distinct full-chunk hashes of the base
+    corpus, each with n_copies = 3x its base occurrence count."""
+    from lambda_hive_spark.operators.training import _CHUNK
+    import os as _os
+
+    docs3 = _replicated(spark, "documents", 3, "doc_id")
+    big_dir = f"{_SCRATCH}/chunk_sf"
+    _os.makedirs(big_dir, exist_ok=True)
+    dst = f"{big_dir}/documents.parquet"
+    if not _os.path.lexists(dst):
+        _os.symlink(f"{_SCRATCH}/documents_x3", dst)
+    from lambda_hive_spark.operators.training import dedup_chunk_exact
+
+    got = dedup_chunk_exact(spark, big_dir)
+    # base: count distinct full chunks and their per-hash occurrence counts
+    toks = table(spark, SF_BASE, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    )
+    chunks = (
+        toks.withColumn("start", F.explode(F.sequence(F.lit(1), F.size("tokens"), F.lit(_CHUNK))))
+        .filter(F.least(F.col("start") + _CHUNK - 1, F.size("tokens")) - F.col("start") + 1 == _CHUNK)
+        .select(F.md5(F.array_join(F.slice("tokens", F.col("start"), F.lit(_CHUNK)), " ")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base_counts = {r.h: r.c for r in chunks.collect()}
+    got_rows = {r.chunk_hash: r.n_copies for r in got.collect()}
+    assert set(got_rows) == set(base_counts)
+    assert all(got_rows[h] == 3 * c for h, c in base_counts.items())
