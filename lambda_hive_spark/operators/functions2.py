@@ -110,3 +110,43 @@ def fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_start"
         ),
     )
+
+
+@op(
+    "fn_safe_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL ELSE l_extendedprice / l_discount END
+         AS safe_ratio,
+       nullif(l_tax, 0.0) AS nz_tax,
+       COALESCE(nullif(l_tax, 0.0), nullif(l_discount, 0.0), 0.5) AS first_nonzero,
+       GREATEST(l_quantity, l_tax * 100) AS hi,
+       LEAST(l_quantity, l_discount * 100) AS lo
+FROM lineitem
+""",
+)
+def fn_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: try_divide (NULL on zero divisor
+    instead of Inf/exception — what ANSI mode turns arithmetic into),
+    nullif / coalesce chaining for sentinel-to-NULL cleanup, and
+    greatest/least. All per-row JVM expressions inside codegen; the
+    oracle spells try_divide as its CASE equivalent. The practical
+    point at scale: try_* keeps a 100 TB job alive through the one
+    malformed row that strict ANSI would kill it with."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.nullif(F.col("l_discount"), F.lit(0.0)),
+        ).alias("safe_ratio"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("nz_tax"),
+        F.coalesce(
+            F.nullif(F.col("l_tax"), F.lit(0.0)),
+            F.nullif(F.col("l_discount"), F.lit(0.0)),
+            F.lit(0.5),
+        ).alias("first_nonzero"),
+        F.greatest(F.col("l_quantity"), F.col("l_tax") * 100).alias("hi"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("lo"),
+    )

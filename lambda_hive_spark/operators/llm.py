@@ -812,3 +812,69 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+@op(
+    "dedup_apply_representative",
+    oracle=f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sim AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
+  WHERE (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) >= 0.6
+),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM sim UNION ALL SELECT doc_b, doc_a FROM sim),
+verts AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lab) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node WHERE r.lab < e.v
+),
+comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+""",
+)
+def dedup_apply_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dup dedup — what actually ships to
+    training: every document whose cluster representative (min doc_id
+    in its connected component) is another doc gets DROPPED, and the
+    op reports per-source kept/dropped accounting. Composes
+    dedup_clusters (label propagation over the exact-Jaccard pair
+    graph) with a broadcast anti-join against the corpus.
+
+    Scale: the drop list is |non-representative members| — tiny
+    relative to the corpus — so the final pass is one broadcast
+    anti-join over the 100 TB scan; the expensive part (clustering)
+    happened on the pair graph, never on full documents."""
+    comp = dedup_clusters(spark, sf_dir)
+    dropped = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.join(
+            F.broadcast(dropped.withColumnRenamed("doc_id", "drop_id")),
+            d.doc_id == F.col("drop_id"),
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("drop_id")).alias("n_dropped"),
+            F.sum(F.when(F.col("drop_id").isNull(), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )

@@ -158,3 +158,42 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("corr"),
     )
+
+
+@op(
+    "agg_mode_tiebreak",
+    oracle="""
+SELECT user_id, event_type AS mode_type, n
+FROM (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+)
+def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each user's most frequent event type with
+    lexicographic tie-break. Both engines' builtin mode() picks an
+    ARBITRARY value on ties (hash-compare poison), so the op states
+    the deterministic form explicitly: count per (user, type), then a
+    rank-1 filter ordered by (count DESC, type ASC).
+
+    Scale: the count is map-combinable on (user, type); the window
+    repartitions only the small per-(user,type) aggregate on user_id —
+    Catalyst plans WindowGroupLimit so per-group state is one row."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
