@@ -150,3 +150,52 @@ def fn_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("l_quantity"), F.col("l_tax") * 100).alias("hi"),
         F.least(F.col("l_quantity"), F.col("l_discount") * 100).alias("lo"),
     )
+
+
+@op(
+    "fn_url",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc/' || doc_id
+           || '?id=' || doc_id || '&lang=' || lang AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param,
+       regexp_extract(url, 'https://([^/.]+)\\.', 1) AS domain_key
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the first step of every web-corpus curation
+    pipeline (dedup by host, per-domain quality quotas, registrable-
+    domain mixing). URLs are synthesized deterministically from
+    document metadata (the fixture has no url column), then pulled
+    apart with Spark's builtin parse_url (HOST / PATH / QUERY /
+    keyed QUERY lookup) — all JVM-side, codegen-friendly; the oracle
+    re-derives the same parts with RE2 regexes.
+
+    Scale: pure per-row expressions, no shuffle; at 100 TB the
+    domain_key column is what the per-domain groupBy downstream
+    partitions on."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"), F.col("lang"),
+        F.lit("/doc/"), F.col("doc_id"), F.lit("?id="), F.col("doc_id"),
+        F.lit("&lang="), F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(F.parse_url("url", F.lit("HOST")), r"^([^.]+)\.", 1).alias(
+            "domain_key"
+        ),
+    )

@@ -11,6 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lambda_hive_spark.helpers import dsum, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.operators.scans import _scratch
 from lambda_hive_spark.registry import op
@@ -196,4 +197,82 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@op(
+    "agg_weighted",
+    oracle=f"""
+WITH pw AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         {sql_dsum("l_quantity", 2)} AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price) AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM pw
+),
+med AS (
+  SELECT flag, MIN(price) AS weighted_median
+  FROM c WHERE cum >= tot / 2 GROUP BY flag
+),
+mean AS (
+  SELECT l_returnflag AS flag,
+         ROUND({sql_dsum("l_extendedprice * l_quantity", 2)}
+               / {sql_dsum("l_quantity", 2)}, 4) AS weighted_mean,
+         {sql_dsum("l_quantity", 2)} AS total_weight
+  FROM lineitem GROUP BY 1
+)
+SELECT m.flag, m.weighted_mean, d.weighted_median, m.total_weight
+FROM mean m JOIN med d ON m.flag = d.flag
+""",
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware aggregation: quantity-weighted mean price and the
+    lower weighted median (smallest price whose cumulative weight
+    reaches half the total) per return flag. Neither engine has a
+    deterministic builtin for the weighted median, so the op states it
+    as pre-aggregate-per-value → ordered cumulative-weight window →
+    rank-1 threshold filter — the form that is both engine-portable
+    and shuffle-cheap.
+
+    Exactness: quantities are integral and prices 2-decimal, so
+    scale-2 decimal sums are exact and (at ~8e11 magnitude) stay under
+    the ~15.9-significant-digit double-decode hazard (helpers.py
+    module doc); the cumulative window sums run in the same
+    price-ascending order on both engines → bit-identical doubles.
+
+    Scale: the heavy input collapses to |flag × distinct price| rows
+    before any window runs; the window partitions on flag only AFTER
+    that reduction, so no wide-row shuffle ever carries the fact
+    table."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pw = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+        ).agg(dsum("l_quantity", 2).alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("price")
+    wt = Window.partitionBy("flag")
+    med = (
+        pw.withColumn("cum", F.sum("w").over(wc))
+        .withColumn("tot", F.sum("w").over(wt))
+        .filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median"))
+    )
+    mean = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(
+            dsum(F.col("l_extendedprice") * F.col("l_quantity"), 2)
+            / dsum("l_quantity", 2),
+            4,
+        ).alias("weighted_mean"),
+        dsum("l_quantity", 2).alias("total_weight"),
+    )
+    return mean.join(med, "flag").select(
+        "flag", "weighted_mean", "weighted_median", "total_weight"
     )

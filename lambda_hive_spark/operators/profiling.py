@@ -230,3 +230,85 @@ def quality_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n_violations").alias("n_violations"),
         (F.col("r.n_violations") == 0).alias("passed"),
     )
+
+
+@op(
+    "profile_drift_psi",
+    oracle="""
+WITH binned AS (
+  SELECT event_type,
+         (event_id % 2 = 0) AS is_base,
+         LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+  FROM events
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(COUNT(*) FILTER (WHERE is_base) AS DOUBLE) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE NOT is_base) AS DOUBLE) AS n_b
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, bin, n_a, n_b,
+         SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+         SUM(n_b) OVER (PARTITION BY event_type) AS tot_b
+  FROM counts
+),
+terms AS (
+  SELECT event_type, bin,
+         ((n_a + 0.5) / (tot_a + 5.0)) AS pa,
+         ((n_b + 0.5) / (tot_b + 5.0)) AS pb
+  FROM tot
+)
+SELECT event_type,
+       ROUND(SUM(ROUND((pa - pb) * LN(pa / pb), 12)), 8) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM terms GROUP BY event_type
+""",
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two event populations (even
+    vs odd event_id stands in for last-week vs this-week) per event
+    type: 10 equal-width value bins, Laplace-smoothed proportions,
+    PSI = Σ (pa−pb)·ln(pa/pb). THE standard drift alarm a training
+    pipeline runs on every feature before re-training; PSI > 0.2 means
+    the feature moved.
+
+    Determinism: bin counts are integers, proportions are single IEEE
+    divisions, and each per-bin term is rounded to 12 dp before the
+    final sum (the ln libm call may differ by 1 ulp between engines —
+    rounding each ~1e-2-magnitude term 10 orders above that noise
+    makes the order-independent sum exact); the output rounds to 8 dp.
+
+    Scale: one scan, map-combinable (event_type, bin) counts — the
+    windows run over ≤ |types|×10 rows. No shuffle touches raw
+    events beyond the first partial-agg exchange."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_base"),
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("is_base")).cast("double").alias("n_a"),
+        F.count_if(~F.col("is_base")).cast("double").alias("n_b"),
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    terms = (
+        counts.withColumn("tot_a", F.sum("n_a").over(wt))
+        .withColumn("tot_b", F.sum("n_b").over(wt))
+        .select(
+            "event_type",
+            "bin",
+            ((F.col("n_a") + 0.5) / (F.col("tot_a") + 5.0)).alias("pa"),
+            ((F.col("n_b") + 0.5) / (F.col("tot_b") + 5.0)).alias("pb"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 12)),
+            8,
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
