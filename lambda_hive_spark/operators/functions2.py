@@ -199,3 +199,52 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "domain_key"
         ),
     )
+
+
+@op(
+    "fn_struct",
+    oracle="""
+SELECT o_orderkey,
+       u.k AS k, u.v AS v,
+       o_totalprice AS nested_price,
+       o_orderstatus || '/' || o_orderpriority AS tag
+FROM (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority,
+         unnest([{'k': 1, 'v': o_totalprice},
+                 {'k': 2, 'v': o_totalprice * 2}]) AS u
+  FROM orders
+)
+""",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: build structs, build an array OF structs,
+    explode it back to rows, and read fields through a two-level
+    dot path (outer.inner.field). Output is flattened to primitives so
+    the cross-engine hash stays representation-independent (struct
+    stringification differs between engines; field VALUES don't).
+
+    Scale: pure per-row expression work inside codegen — structs in
+    Tungsten rows are offsets, not objects; the explode doubles rows
+    but never shuffles."""
+    o = table(spark, sf_dir, "orders")
+    nested = F.struct(
+        F.struct(
+            F.col("o_totalprice").alias("price"), F.col("o_orderdate").alias("d")
+        ).alias("inner"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    arr = F.array(
+        F.struct(F.lit(1).alias("k"), F.col("o_totalprice").alias("v")),
+        F.struct(F.lit(2).alias("k"), (F.col("o_totalprice") * 2).alias("v")),
+    )
+    e = (
+        o.withColumn("nested", nested)
+        .withColumn("entry", F.explode(arr))
+    )
+    return e.select(
+        "o_orderkey",
+        F.col("entry.k").alias("k"),
+        F.col("entry.v").alias("v"),
+        F.col("nested.inner.price").alias("nested_price"),
+        F.concat_ws("/", F.col("nested.status"), F.col("o_orderpriority")).alias("tag"),
+    )

@@ -274,3 +274,59 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
     )
+
+
+@op(
+    "text_clean_normalize",
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         upper(substr(text, 1, 10)) || '   ' || text || ' !!! ' || chr(9) AS t
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS c
+  FROM dirty
+)
+SELECT doc_id, md5(c) AS clean_md5,
+       CAST(length(c) AS BIGINT) AS clean_len,
+       CAST(length(c) - length(replace(c, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM cleaned
+""",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first transform of every web-corpus
+    pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    whitespace, trim. The fixture text is already clean, so the op
+    first dirties it DETERMINISTICALLY (uppercased prefix, extra
+    spaces, punctuation, a tab) and then proves the normalizer maps
+    the dirty form back — both engines apply the identical dirty+clean
+    chain, and the output carries md5/length/token-count of the
+    result rather than the text itself (hash-stable, shuffle-light).
+
+    Regex parity: the patterns use only literal classes ([^a-z0-9 ],
+    ' +') where Java regex and RE2 semantics coincide.
+
+    Scale: per-row string kernels inside codegen, no shuffle, and the
+    md5 projection means downstream exchanges move 16 bytes per doc,
+    not documents."""
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.upper(F.substring("text", 1, 10)), F.lit("   "), F.col("text"),
+        F.lit(" !!! "), F.lit("\t"),
+    )
+    c = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(dirty), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(c).alias("clean_md5"),
+        F.length(c).cast("bigint").alias("clean_len"),
+        (F.length(c) - F.length(F.regexp_replace(c, " ", "")) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

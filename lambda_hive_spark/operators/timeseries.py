@@ -291,3 +291,110 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("mad").alias("mad"),
         )
     )
+
+
+@op(
+    "ts_interpolate_linear",
+    oracle=f"""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM e) u CROSS JOIN days d),
+obs AS (
+  SELECT user_id, day, {sql_dsum("value", 2)} / COUNT(*) AS v
+  FROM e GROUP BY user_id, day
+),
+g AS (
+  SELECT gr.user_id, gr.day, o.v,
+         last_value(o.v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN o.v IS NOT NULL THEN gr.day END IGNORE NULLS)
+           OVER w_prev AS prev_day,
+         first_value(o.v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN o.v IS NOT NULL THEN gr.day END IGNORE NULLS)
+           OVER w_next AS next_day
+  FROM grid gr LEFT JOIN obs o ON gr.user_id = o.user_id AND gr.day = o.day
+  WINDOW
+    w_prev AS (PARTITION BY gr.user_id ORDER BY gr.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY gr.user_id ORDER BY gr.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           prev_v + (next_v - prev_v)
+             * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+       END, 6) AS v_filled,
+       (v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL)
+         AS interpolated
+FROM g
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior gaps in a per-user daily
+    series (the hypertable `interpolate()` companion to ts_gap_fill's
+    zero-fill): each missing day between two observations gets
+    prev + (next − prev) · elapsed/span; boundary gaps (no observation
+    on one side) stay NULL — no extrapolation.
+
+    Determinism: per-day means use the decimal-exact sum (values are
+    2-decimal) divided by an integer count; the bracketing scan is
+    last/first IGNORE NULLS over the same day order on both engines;
+    the interpolation formula is written with identical IEEE op order
+    in both dialects, then rounded to 6 dp.
+
+    Scale: the grid is keys × wall-clock-bounded days (same shape as
+    ts_gap_fill — the calendar broadcasts); both windows run in ONE
+    shuffle on user_id since they share partitioning, and Spark plans
+    them as two Window nodes over a single Exchange."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    obs = ev.groupBy("user_id", "day").agg(
+        (dsum("value", 2) / F.count(F.lit(1))).alias("v")
+    )
+    g = grid.join(obs, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
+    g = (
+        g.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_day", F.last(day_if_obs, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("next_day", F.first(day_if_obs, ignorenulls=True).over(w_next))
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+    )
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(filled, 6).alias("v_filled"),
+        (
+            F.col("v").isNull()
+            & F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+        ).alias("interpolated"),
+    )

@@ -353,3 +353,43 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 dedup_chunk_exact.__doc__ = dedup_chunk_exact.__doc__.format(chunk=_CHUNK)
+
+
+@op(
+    "pipeline_domain_cap",
+    oracle="""
+SELECT source, doc_id, rnk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= 15
+""",
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-domain quota: keep at most K documents per source,
+    chosen by deterministic md5 order (an unbiased-but-reproducible
+    pick, unlike rate-based downsampling in pipeline_domain_mix which
+    cannot bound a pathologically huge domain). This is the standard
+    anti-boilerplate curation step — one domain cannot contribute more
+    than K docs to the training mix no matter its crawl share.
+
+    Scale: count per source is map-combinable; the rank is a
+    WindowGroupLimit (top-K early-exits per partition before the full
+    sort materializes), and the shuffle key is `source` over doc-id
+    projections only — never document text."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 15)
+    )
