@@ -210,3 +210,45 @@ def test_ema_plans_single_window_pass(spark):
 def test_unigram_lm_joins_vocabulary_broadcast(spark):
     plan = _plan(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_cap_plans_group_limit(spark):
+    """The per-source top-K must early-exit via WindowGroupLimit, not
+    materialize a full per-source sort of the corpus."""
+    plan = _plan(spark, "pipeline_domain_cap")
+    assert "WindowGroupLimit" in plan
+    assert "text" not in plan.split("ReadSchema")[-1], "cap must not scan text"
+
+
+def test_mode_tiebreak_plans_group_limit_and_partial_agg(spark):
+    """rank-1 filter over counts: partial aggregation before the
+    shuffle and WindowGroupLimit above it."""
+    plan = _plan(spark, "agg_mode_tiebreak")
+    assert "partial_" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_interpolation_windows_share_one_exchange(spark):
+    """Both bracketing windows partition on user_id: after the grid
+    join there must be no extra exchange between the Window nodes."""
+    plan = _plan(spark, "ts_interpolate_linear")
+    windows = plan.count("Window ") + plan.count("Window\n")
+    assert windows >= 2
+    between = plan.split("Window")[1]
+    assert "Exchange" not in between, "second window must reuse the first's partitioning"
+
+
+def test_weighted_median_reduces_before_window(spark):
+    """The cumulative-weight window must run over the (flag, price)
+    pre-aggregate — a HashAggregate must appear below the Window."""
+    plan = _plan(spark, "agg_weighted")
+    win_pos = plan.find("Window")
+    assert win_pos > 0
+    assert "HashAggregate" in plan[win_pos:], "window input must be the pre-aggregate"
+
+
+def test_url_and_clean_are_map_only(spark):
+    """Per-row string kernels: zero exchanges in either plan."""
+    for op_name in ("fn_url", "text_clean_normalize", "fn_safe_arith", "fn_struct"):
+        plan = _plan(spark, op_name)
+        assert "Exchange" not in plan, f"{op_name} should not shuffle"
