@@ -248,3 +248,39 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nested.inner.price").alias("nested_price"),
         F.concat_ws("/", F.col("nested.status"), F.col("o_orderpriority")).alias("tag"),
     )
+
+
+@op(
+    "fn_regex",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, 'ss')) AS BIGINT) AS n_ss,
+       md5(regexp_replace(text, '(aa|ee|ll|oo|ss|tt)', '<\\1>', 'g')) AS doubled_md5,
+       CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_split
+FROM documents
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex kernel surface beyond extract: regexp_count (as
+    size∘extract_all — identical cross-engine), group-capture
+    substitution (doubled letters wrapped, output md5'd), and regex
+    split. Patterns stick to constructs where Java regex and RE2
+    agree: literal classes, \\s, alternation, and capture refs in the
+    REPLACEMENT only — RE2 has NO pattern backrefs, so `([a-z])\\1`
+    silently never matches in DuckDB (found by the parity gate); the
+    doubled-letter set is therefore an explicit alternation. Spark
+    spells the replacement ref $1, DuckDB \\1 — same semantics.
+    All codegen'd per-row kernels, zero shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .cast("bigint")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("ss"), 0))
+        .cast("bigint")
+        .alias("n_ss"),
+        F.md5(F.regexp_replace("text", "(aa|ee|ll|oo|ss|tt)", "<$1>")).alias("doubled_md5"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_split"),
+    )

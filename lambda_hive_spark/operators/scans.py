@@ -174,3 +174,43 @@ def sink_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_orders").alias("n_orders"),
         F.col("j.total").alias("total"),
     )
+
+
+@op(
+    "scan_schema_evolution",
+    oracle="""
+WITH v1 AS (SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+            FROM documents WHERE doc_id % 2 = 0),
+v2 AS (SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1),
+unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT lang, COALESCE(source, '<pre-evolution>') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM unioned GROUP BY 1, 2
+""",
+    tags=("side_effect",),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a dataset written in two generations
+    (v1 lacks the `source` column, v2 adds it) is scanned as ONE table
+    with mergeSchema — old files surface NULL for the added column, no
+    rewrite of historical data. This is how a 100 TB append-only lake
+    absorbs schema changes: merge the footers, never the files. The
+    oracle models the same union-with-null semantics.
+
+    Scale note: mergeSchema footer reconciliation is a driver-side
+    metadata operation over file footers (distributed in Spark via a
+    schema-merging job when files are many); the data path stays
+    vectorized parquet with pruning intact."""
+    d = table(spark, sf_dir, "documents")
+    base = _scratch(f"docs_evolved_{os.path.basename(sf_dir.rstrip('/'))}")
+    v1, v2 = os.path.join(base, "g=1"), os.path.join(base, "g=2")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(v1)
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source").write.mode(
+        "overwrite"
+    ).parquet(v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy(
+        "lang", F.coalesce("source", F.lit("<pre-evolution>")).alias("source")
+    ).agg(F.count(F.lit(1)).alias("n"))
