@@ -284,3 +284,67 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace("text", "(aa|ee|ll|oo|ss|tt)", "<$1>")).alias("doubled_md5"),
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_split"),
     )
+
+
+@op(
+    "fn_try_cast",
+    oracle="""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN CAST(n_chars AS VARCHAR)
+           WHEN 1 THEN 'oops'
+           WHEN 2 THEN ''
+           ELSE '12.75'
+         END AS num_s,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN '2024-02-29'
+           WHEN 1 THEN '2024-13-45'
+           ELSE '2023-07-01'
+         END AS date_s
+  FROM documents
+)
+SELECT doc_id,
+       TRY_CAST(num_s AS DOUBLE) AS as_double,
+       TRY_CAST(CASE WHEN regexp_matches(num_s, '^-?[0-9]+$') THEN num_s END
+                AS BIGINT) AS as_long,
+       TRY_CAST('99999999999999999999' AS BIGINT) AS overflow_long,
+       strftime(TRY_CAST(date_s AS DATE), '%Y-%m-%d') AS as_date
+FROM dirty
+""",
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant ingestion casts: try_cast returns NULL for
+    malformed numerics ('oops', ''), non-integral longs ('12.75'),
+    out-of-range integers, and impossible dates — instead of the
+    job-killing exception ANSI-strict casting throws. At 100 TB the
+    difference between try_cast and cast is the difference between
+    quarantining 0.001% bad rows and losing the whole job at hour
+    9. Dirty inputs are synthesized deterministically so both engines
+    judge the identical strings.
+
+    Engine divergence pinned by this op's contract: DuckDB's
+    TRY_CAST('12.75' AS BIGINT) ROUNDS to 13, Spark's try_cast NULLs
+    non-integral strings — the op standardizes on Spark's stricter
+    semantics (a silently rounded id is worse than a quarantined row),
+    and the oracle gates the string-to-long path on an integral
+    regex to express the same rule."""
+    d = table(spark, sf_dir, "documents")
+    num_s = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("n_chars").cast("string"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("oops"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("12.75"))
+    )
+    date_s = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("2024-02-29"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("2024-13-45"))
+        .otherwise(F.lit("2023-07-01"))
+    )
+    return d.select(
+        "doc_id",
+        num_s.try_cast("double").alias("as_double"),
+        num_s.try_cast("bigint").alias("as_long"),
+        F.lit("99999999999999999999").try_cast("bigint").alias("overflow_long"),
+        F.date_format(date_s.try_cast("date"), "yyyy-MM-dd").alias("as_date"),
+    )

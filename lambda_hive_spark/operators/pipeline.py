@@ -127,3 +127,44 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("hi"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_checksum"),
     )
+
+
+@op(
+    "pipeline_observe_metrics",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("l_extendedprice", 2)} AS total_price,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted
+FROM lineitem
+""",
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline instrumentation via Spark's native `observe()`: the
+    metrics (row count, exact total, discounted-line count) are
+    accumulated ON the scan as it flows — no second pass over the
+    data, unlike a separate metrics query. This is how a 100 TB ETL
+    job self-reports volume/quality counters: observation metrics ride
+    the existing action as AccumulatorV2s, costing one comparison per
+    row, and arrive at the driver with the job result.
+
+    The op triggers the pass and returns the observed metrics as a
+    1-row DataFrame; the oracle recomputes them relationally — so the
+    gate proves the accumulator path equals the declarative answer."""
+    from pyspark.sql import Observation
+
+    from lambda_hive_spark.helpers import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("etl_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice", 2).alias("total_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["n_discounted"])],
+        "n_rows bigint, total_price double, n_discounted bigint",
+    )
