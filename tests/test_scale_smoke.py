@@ -272,3 +272,86 @@ def test_chunk_dedup_finds_every_chunk_under_replication(spark):
     got_rows = {r.chunk_hash: r.n_copies for r in got.collect()}
     assert set(got_rows) == set(base_counts)
     assert all(got_rows[h] == 3 * c for h, c in base_counts.items())
+
+
+def test_domain_cap_exact_under_replication(spark):
+    """Replicating documents 10× (fresh doc_ids, same sources) must
+    leave the quota output at EXACTLY K rows per source — the cap is
+    the whole point: corpus growth cannot grow a domain's share."""
+    docs = _replicated(spark, "documents", 10, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        docs.select("source", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+    )
+    per_source = capped.groupBy("source").count().collect()
+    assert per_source, "no sources"
+    assert all(r["count"] == 15 for r in per_source), per_source
+
+
+def test_psi_zero_against_self_and_replication_invariant(spark):
+    """PSI of a population against itself must be ~0 at any size, and
+    replicating events 10× (ids shifted, values untouched) must keep
+    each type's even-vs-odd PSI tiny and bounded — drift detection
+    cannot hallucinate drift from volume."""
+    ev = _replicated(spark, "events", 10, "event_id")
+    binned = ev.select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_base"),
+        F.least(F.floor(F.col("value") / 50.0).cast("bigint"), F.lit(9)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("is_base")).cast("double").alias("n_a"),
+        F.count_if(~F.col("is_base")).cast("double").alias("n_b"),
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("event_type")
+    psi = (
+        counts.withColumn("tot_a", F.sum("n_a").over(wt))
+        .withColumn("tot_b", F.sum("n_b").over(wt))
+        .select(
+            "event_type",
+            (
+                ((F.col("n_a") + 0.5) / (F.col("tot_a") + 5.0))
+                - ((F.col("n_b") + 0.5) / (F.col("tot_b") + 5.0))
+            ).alias("d"),
+            F.log(
+                ((F.col("n_a") + 0.5) / (F.col("tot_a") + 5.0))
+                / ((F.col("n_b") + 0.5) / (F.col("tot_b") + 5.0))
+            ).alias("l"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.col("d") * F.col("l")).alias("psi"))
+        .collect()
+    )
+    assert psi
+    # even/odd ids of iid values: PSI must be far below the 0.1
+    # "investigate" threshold at 100k rows/type
+    assert all(abs(r["psi"]) < 0.01 for r in psi), psi
+
+
+def test_interpolation_fixed_point_under_replication(spark):
+    """Duplicating every event k× changes per-day SUMS but not per-day
+    MEANS, so v_filled must be bit-identical to the base run — linear
+    interpolation is a fixed point of volume replication. (Clones keep
+    the same user_id/day; only event_id shifts.)"""
+    from lambda_hive_spark.registry import all_ops
+
+    base = all_ops()["ts_interpolate_linear"].fn(spark, SF_BASE).collect()
+    # clone at the RAW layer (ts stays long nanos) so the op's own
+    # loader applies its usual nanos→timestamp conversion to the copy
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_BASE}/events.parquet")
+    clones = raw.unionByName(raw).unionByName(raw)  # 3x volume, same keys
+    dup_dir = f"{_SCRATCH}/events_dup3_dir"
+    out = os.path.join(dup_dir, "events.parquet")
+    if not os.path.isdir(out):
+        clones.repartition(32).write.mode("overwrite").parquet(out)
+    got = all_ops()["ts_interpolate_linear"].fn(spark, dup_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
