@@ -342,3 +342,49 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+WITH l AS (
+  SELECT event_id, nullif(props ->> '$.k', '3') AS k
+  FROM events
+),
+r AS (
+  SELECT nullif(CAST(n % 7 AS VARCHAR), '3') AS k,
+         CAST(SUM(n) AS BIGINT) AS r_sum
+  FROM (SELECT unnest(generate_series(0, 13)) AS n)
+  GROUP BY 1
+)
+SELECT l.event_id, l.k, r.r_sum
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    you need when NULL is a real category (e.g. "no referrer") rather
+    than unknown. One key value is nulled on both sides to prove the
+    NULL↔NULL rows survive.
+
+    Scale: Spark plans <=> as an ordinary hash join on the
+    null-wrapped key (EqualNullSafe is a valid equi-join predicate, so
+    no fallback to nested-loop) — same shuffle cost as `=`; here the
+    7-row build side broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    l = ev.select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k"), F.lit("3")
+        ).alias("k"),
+    )
+    r = (
+        spark.range(0, 14)
+        .select(F.nullif((F.col("id") % 7).cast("string"), F.lit("3")).alias("k"), "id")
+        .groupBy("k")
+        .agg(F.sum("id").cast("bigint").alias("r_sum"))
+    )
+    return l.join(F.broadcast(r), l["k"].eqNullSafe(r["k"])).select(
+        "event_id", l["k"].alias("k"), "r_sum"
+    )

@@ -192,3 +192,87 @@ def mv_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_value"),
         (total / F.col("n_events")).alias("avg_value"),
     )
+
+
+@op(
+    "cdc_changes_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 10 <> 7
+),
+v2 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 3
+              THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 10 <> 4
+),
+diff AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN a.o_orderkey IS NULL THEN 'added'
+           WHEN b.o_orderkey IS NULL THEN 'removed'
+           WHEN a.o_totalprice <> b.o_totalprice
+                OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+           ELSE 'unchanged'
+         END AS change
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM diff GROUP BY change
+""",
+)
+def cdc_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the change-data-capture primitive when the
+    source system gives you full dumps, not a log: FULL OUTER join two
+    versions on the business key and classify every row added /
+    removed / changed / unchanged. Versions are carved
+    deterministically from orders (v2 drops one decile, adds back
+    another, reprices a third). Summarized per class so the output is
+    audit-sized.
+
+    Scale: one co-partitioned full-outer shuffle on the key — at
+    100 TB both versions bucket/sort by the key so the diff is a
+    zero-exchange sort-merge; the 10% price mutation keeps the
+    'changed' class non-degenerate. The 2-decimal ×1.1 reprice needs
+    scale-4 rounding agreement, which ROUND-to-2 on both engines
+    satisfies (products of 2-decimal inputs are exact at 4 decimals;
+    see helpers.py module doc)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 10 != 7)
+    v2 = o.filter(F.col("o_orderkey") % 10 != 4).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            change.alias("change"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )
