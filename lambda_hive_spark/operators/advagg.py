@@ -269,3 +269,41 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_quantity").alias("total_qty"),
     )
+
+
+@op(
+    "agg_approx_error_bound",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
+def agg_approx_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-certifying approximation: HyperLogLog++ distinct-count per
+    group, published as a BOOLEAN accuracy contract instead of the raw
+    estimate. The op outputs the exact count plus `within_bound` =
+    |approx − exact| ≤ 5·rsd·exact; the oracle asserts TRUE. A sketch
+    that ever drifts past five standard errors hash-mismatches and the
+    driver catches it — which upgrades this op from the rows-only
+    class (where agg_approx_distinct necessarily lives) to a real
+    correctness gate on the approximation's guarantee.
+
+    Scale: this double-counts (exact + sketch in one aggregate) only
+    to state the contract; the 100 TB deployment drops the exact
+    column and keeps the HLL's fixed 1.5 KB/group state."""
+    ev = table(spark, sf_dir, "events")
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 5 * rsd * F.col("exact_users")
+        ).alias("within_bound"),
+    )

@@ -348,3 +348,32 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("99999999999999999999").try_cast("bigint").alias("overflow_long"),
         F.date_format(date_s.try_cast("date"), "yyyy-MM-dd").alias("as_date"),
     )
+
+
+@op(
+    "fn_format",
+    oracle="""
+SELECT o_orderkey,
+       printf('%05d/%x', o_orderkey, o_orderkey) AS key_fmt,
+       lpad(o_orderpriority, 12, '.') AS prio_padded,
+       rpad(o_orderstatus, 4, '_') AS status_padded,
+       printf('cust-%d @ %s', o_custkey, o_orderpriority) AS note
+FROM orders
+""",
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting and padding. Formats stay on INTEGER
+    conversions (%d, %x, %05d) — floating %f is deliberately excluded
+    because Java's Formatter rounds half-up while C printf rounds
+    half-even, a true cross-engine divergence on exact .xx5 halves
+    (same family as the HALF_UP/rint hazard in helpers.py)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%05d/%x", "o_orderkey", "o_orderkey").alias("key_fmt"),
+        F.lpad("o_orderpriority", 12, ".").alias("prio_padded"),
+        F.rpad("o_orderstatus", 4, "_").alias("status_padded"),
+        F.format_string("cust-%d @ %s", "o_custkey", "o_orderpriority").alias(
+            "note"
+        ),
+    )
