@@ -151,3 +151,58 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@op(
+    "maintenance_cluster_by",
+    oracle=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("value", 2)} AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+GROUP BY 1
+""",
+    tags=("side_effect",),
+)
+def maintenance_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-cluster the fact table on its hottest filter column
+    (repartitionByRange(ts) + sortWithinPartitions(ts) → parquet): a
+    narrow time-slice query then touches only the files/row-groups
+    whose ts min/max overlap the slice — parquet footer stats make the
+    skip free. THE layout lever for time-windowed queries at 100 TB:
+    same bytes, reorganized, 100× less IO for a 1% time slice. The op
+    rewrites, queries the slice through the clustered copy, and the
+    oracle recomputes from the raw table — proving reorganization
+    changed nothing semantically. Clustering effectiveness itself is
+    asserted in tests (each output file covers a disjoint ~1/16 ts
+    range)."""
+    clustered = _scratch(f"events_clustered_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(clustered) or not os.listdir(clustered):
+        ev = table(spark, sf_dir, "events")
+        # INT96 (Spark's legacy hive-compat timestamp encoding) carries
+        # NO min/max statistics, which silently disables the very
+        # row-group skipping this op exists to enable — write micros.
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                ev.repartitionByRange(16, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite")
+                .parquet(clustered)
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    c = spark.read.parquet(clustered)
+    sliced = c.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-13 00:00:00").cast("timestamp"))
+    )
+    return sliced.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 2).alias("total_value"),
+    )

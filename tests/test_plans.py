@@ -252,3 +252,34 @@ def test_url_and_clean_are_map_only(spark):
     for op_name in ("fn_url", "text_clean_normalize", "fn_safe_arith", "fn_struct"):
         plan = _plan(spark, op_name)
         assert "Exchange" not in plan, f"{op_name} should not shuffle"
+
+
+def test_cluster_by_produces_disjoint_ts_ranges(spark):
+    """After repartitionByRange+sort, per-file ts ranges must be
+    pairwise disjoint — the property parquet min/max skipping needs."""
+    from lambda_hive_spark.registry import all_ops
+    from lambda_hive_spark.operators.scans import _scratch
+    import os
+
+    all_ops()["maintenance_cluster_by"].fn(spark, SF_DIR).collect()
+    clustered = _scratch(f"events_clustered_{os.path.basename(SF_DIR.rstrip('/'))}")
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(clustered):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(clustered, f)).metadata
+        col_idx = next(
+            i for i in range(len(md.schema)) if md.schema.column(i).name == "ts"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 8, f"expected >=8 clustered files, got {len(ranges)}"
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
