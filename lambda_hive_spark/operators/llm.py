@@ -878,3 +878,66 @@ def dedup_apply_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+@op(
+    "text_vocab_coverage",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+  FROM counts
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT r.rnk, r.token, r.cnt,
+       ROUND(SUM(r.cnt) OVER (ORDER BY r.rnk) / CAST(t.total AS DOUBLE), 10)
+         AS cum_coverage
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= 32
+""",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: the top-K tokens by corpus
+    frequency (deterministic count-desc/token-asc rank) with CUMULATIVE
+    corpus coverage — the curve you read to pick a vocab size (the
+    complement of the final row's coverage is the OOV rate a K-token
+    vocab would leave). Counts are integral, the running share is an
+    ordered window sum of exact longs divided by an exact total —
+    cross-engine identical; rounded to 10 dp for the sum-order 1-ulp
+    guard.
+
+    Scale: explode+count is THE map-combinable shape (shuffle moves
+    |vocab| partial counts, not tokens); the top-K cut is
+    orderBy+limit, which Catalyst plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort, no single-partition
+    shuffle); the rank/coverage windows then run over only the K≤32
+    head — their unpartitioned frames are 32 rows, not the
+    vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    head32 = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(32)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    head = head32.withColumn("rnk", F.row_number().over(w_rank))
+    w_cum = Window.orderBy("rnk")
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "token",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w_cum) / F.col("total").cast("double"), 10
+            ).alias("cum_coverage"),
+        )
+    )

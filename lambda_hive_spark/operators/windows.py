@@ -350,3 +350,43 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 3)
         .drop("grp")
     )
+
+
+@op(
+    "win_moving_median",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+       quantile_cont(n, 0.5) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS med7
+FROM daily
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN over a 7-row trailing frame — the robust
+    smoother for spiky per-user activity (a mean-based 7-day average
+    doubles on one burst day; the median shrugs). percentile() is an
+    ordinary aggregate in Spark, so it runs directly as a window
+    function over the frame; inputs are integral daily counts, so the
+    linear interpolation at even frame sizes is exact binary fp on
+    both engines.
+
+    Scale: the window input is the (user, day) pre-aggregate — ~1e4×
+    smaller than raw events; one shuffle on user_id; per-row frame
+    work is O(7 log 7)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.percentile("n", 0.5).over(w).alias("med7"),
+    )
