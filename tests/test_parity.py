@@ -55,7 +55,19 @@ def test_hostile_session_timezone_repinned(spark, duck):
     """The driver hands us ITS SparkSession; if it carries a non-UTC
     session timezone, date-bucketing ops would hash-mismatch the UTC
     oracle unless the registry wrapper repins UTC at call time."""
-    tz_ops = [n for n in ("fn_date", "stream_tumbling", "ts_gap_fill") if n in OPS]
+    tz_ops = [
+        n
+        for n in (
+            "fn_date",
+            "stream_tumbling",
+            "ts_gap_fill",
+            "ts_interpolate_linear",
+            "win_moving_median",
+            "maintenance_cluster_by",
+            "profile_drift_psi",
+        )
+        if n in OPS
+    ]
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         for name in tz_ops:
