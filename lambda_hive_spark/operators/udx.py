@@ -16,6 +16,8 @@ Reference file:line: N/A — empty reference dir (SURVEY.md §0).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -233,3 +235,107 @@ def orchestrate_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     if run.failed:
         raise next(iter(run.failed.values()))
     return reduce(DataFrame.unionByName, (run.results[f"backfill_{y}"] for y in range(lo, hi + 1)))
+
+
+def _tok_count_batches(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+    """Iterator-of-batches form (the Iterator type hints are what make
+    PySpark pick SCALAR_ITER): `_VOCAB` plays the expensive artifact
+    (tokenizer/model weights) loaded ONCE per Python worker, then
+    amortized over every Arrow batch the executor feeds it."""
+    _VOCAB = {"the", "a", "of", "and"}  # stands in for a real tokenizer load
+    for texts in it:
+        yield texts.map(
+            lambda t: sum(1 for w in t.split(" ") if w not in _VOCAB)
+        ).astype("int64")
+
+
+@op(
+    "udf_scalar_iter",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                w -> w NOT IN ('the', 'a', 'of', 'and'))) AS BIGINT)
+         AS content_tokens
+FROM documents
+""",
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF — the third Python-UDF shape after
+    per-batch scalar (udf_scalar) and grouped (udaf_grouped): the
+    function receives an ITERATOR of Arrow batches, so per-worker
+    setup (tokenizer load, model weights, trie build) runs once and
+    amortizes across the whole partition instead of once per batch.
+    THE shape for LLM-pipeline inference UDFs at 100 TB, where model
+    load is seconds and batches are milliseconds.
+
+    The toy artifact here is a stopword set; the oracle recomputes the
+    same count relationally."""
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    content_tokens = _pudf(_tok_count_batches, T.LongType())
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", content_tokens("text").alias("content_tokens"))
+
+
+def _purchase_error_profile(key, purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
+    first_p = purchases["ts"].min() if len(purchases) else pd.NaT
+    first_e = errors["ts"].min() if len(errors) else pd.NaT
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_purchases": [len(purchases)],
+            "n_errors": [len(errors)],
+            "error_before_first_purchase": [
+                bool(
+                    pd.notna(first_e)
+                    and (pd.isna(first_p) or first_e < first_p)
+                )
+            ],
+        }
+    )
+
+
+@op(
+    "udaf_cogrouped",
+    oracle="""
+WITH p AS (
+  SELECT user_id, MIN(ts) AS first_p, CAST(COUNT(*) AS BIGINT) AS n_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+e AS (
+  SELECT user_id, MIN(ts) AS first_e, CAST(COUNT(*) AS BIGINT) AS n_e
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+),
+keys AS (SELECT user_id FROM p UNION SELECT user_id FROM e)
+SELECT k.user_id,
+       COALESCE(p.n_p, 0) AS n_purchases,
+       COALESCE(e.n_e, 0) AS n_errors,
+       (e.first_e IS NOT NULL AND (p.first_p IS NULL OR e.first_e < p.first_p))
+         AS error_before_first_purchase
+FROM keys k LEFT JOIN p ON k.user_id = p.user_id
+            LEFT JOIN e ON k.user_id = e.user_id
+""",
+)
+def udaf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas — the two-sided custom aggregation API:
+    each user's purchase stream and error stream arrive as two aligned
+    pandas frames in one Python call (Spark co-shuffles both sides on
+    the key). The imperative temporal logic (did an error precede the
+    first purchase?) is two lines of pandas; the relational oracle
+    needs a three-way outer join to say the same thing — which is
+    exactly when cogroup earns its keep.
+
+    Scale: both sides shuffle once on user_id; per-key state is the
+    user's own rows, never the corpus."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            _purchase_error_profile,
+            "user_id long, n_purchases long, n_errors long, "
+            "error_before_first_purchase boolean",
+        )
+    )
