@@ -237,3 +237,53 @@ def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(lag, 0.95).alias("p95_lag"),
         )
     )
+
+
+@op(
+    "funnel_path_regex",
+    oracle="""
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS n_events,
+       md5(journey) AS journey_md5,
+       regexp_matches(journey, 'v.*c.*p') AS saw_view_click_purchase,
+       regexp_matches(journey, 'e{2}') AS saw_error_streak
+FROM j
+""",
+)
+def funnel_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern sequence analytics without MATCH_RECOGNIZE: each
+    user's event history becomes an ordered one-char-per-event journey
+    string (v/c/p/e/s), and funnel questions become regexes over it —
+    'v.*c.*p' is view→click→purchase in order with anything between,
+    'e{2}' is two consecutive errors. The journey is built
+    deterministically with sort_array(collect_list(struct(ts,
+    event_id, type))) so ties break identically on both engines; the
+    oracle is string_agg ORDER BY. Regex over a per-user string is the
+    pragmatic Spark spelling of sequence pattern matching, and it
+    scales: one shuffle on user_id, journeys are |events-per-user|
+    chars, and the regexes are per-row codegen'd kernels.
+
+    Output carries md5(journey), not the journey, to keep rows
+    fixed-width."""
+    ev = table(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("t")))
+        ).alias("seq")
+    )
+    journey = F.array_join(
+        F.transform(F.col("seq"), lambda x: F.substring(x["t"], 1, 1)), ""
+    )
+    return packed.select(
+        "user_id",
+        F.length(journey).cast("bigint").alias("n_events"),
+        F.md5(journey).alias("journey_md5"),
+        journey.rlike("v.*c.*p").alias("saw_view_click_purchase"),
+        journey.rlike("e{2}").alias("saw_error_streak"),
+    )
