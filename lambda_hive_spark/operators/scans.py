@@ -214,3 +214,91 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy(
         "lang", F.coalesce("source", F.lit("<pre-evolution>")).alias("source")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@op(
+    "scan_file_metadata",
+    oracle="""
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id % 4) AS BIGINT) AS n_files
+FROM documents GROUP BY 1
+""",
+    tags=("side_effect",),
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` hidden column: every file-based scan can expose
+    the physical file path/size/mtime of each row — the lineage hook
+    for quarantining a bad ingest batch ("which FILE did this row come
+    from?") without a separate bookkeeping table. The op writes a
+    4-way partitioned copy (one file per partition via coalesce),
+    reads it back, recovers each row's partition from
+    `_metadata.file_path`, and proves per-file row counts equal the
+    logical bucketing; n_files counts distinct physical files per
+    bucket (1 — the layout fact the oracle states as the constant the
+    logical side implies)."""
+    d = table(spark, sf_dir, "documents")
+    out = _scratch(f"docs_bucketed_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(out) or not os.listdir(out):
+        (
+            d.withColumn("bucket", (F.col("doc_id") % 4).cast("bigint"))
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).select(
+        F.col("_metadata.file_path").alias("fp")
+    )
+    return (
+        back.withColumn(
+            "bucket", F.regexp_extract("fp", r"bucket=(\d+)", 1).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("fp").alias("n_files"),
+        )
+    )
+
+
+@op(
+    "scan_corrupt_records",
+    oracle="""
+SELECT CAST(count_if(doc_id % 50 <> 7) AS BIGINT) AS n_good,
+       CAST(count_if(doc_id % 50 = 7) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 50 <> 7 THEN doc_id END) AS BIGINT)
+         AS good_id_sum
+FROM documents
+""",
+    tags=("side_effect",),
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingestion of a dirty JSON-lines feed: documents
+    are serialized to JSONL with every (doc_id % 50 == 7) line
+    deterministically mangled, then read back with an explicit schema
+    plus columnNameOfCorruptRecord — bad lines land whole in the
+    quarantine column with NULLs elsewhere instead of killing the job
+    (FAILFAST) or vanishing silently (DROPMALFORMED). The op reports
+    good/corrupt counts and a checksum over the survivors; the oracle
+    recomputes all three from the clean source. The 0.001%-garbage
+    reality of a 100 TB web feed makes this the only viable default
+    mode, with the quarantine column routed to a dead-letter sink."""
+    d = table(spark, sf_dir, "documents")
+    raw = _scratch(f"docs_dirty_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(raw) or not os.listdir(raw):
+        line = F.when(
+            F.col("doc_id") % 50 == 7, F.lit('{"doc_id": BROKEN')
+        ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        d.select(line.alias("value")).write.mode("overwrite").text(raw)
+    parsed = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(raw)
+    )
+    return parsed.agg(
+        F.count_if(F.col("_bad").isNull()).alias("n_good"),
+        F.count_if(F.col("_bad").isNotNull()).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("doc_id"))).alias("good_id_sum"),
+    )
