@@ -377,3 +377,48 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "note"
         ),
     )
+
+
+@op(
+    "fn_timezone",
+    oracle="""
+SELECT event_id,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                '%Y-%m-%d %H:%M:%S') AS ny_wall,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo',
+                '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+       strftime((ts + INTERVAL 6 MONTH) AT TIME ZONE 'UTC'
+                  AT TIME ZONE 'America/New_York',
+                '%Y-%m-%d %H:%M:%S') AS ny_wall_summer,
+       (((ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+           AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC') = ts
+         AS roundtrip_ok
+FROM events
+""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion surface: UTC instants rendered as New York
+    and Tokyo wall time (from_utc_timestamp), a +6-month variant that
+    crosses the DST boundary (January EST −5 becomes July EDT −4 —
+    the conversion must consult the zone's rules, not a fixed
+    offset), and the to_utc_timestamp round-trip proven as a boolean.
+    The oracle spells the same conversions with DuckDB's two-step
+    AT TIME ZONE chain (naive→instant→other-zone wall time); outputs
+    are formatted strings so no tz-typed column reaches the hash."""
+    ev = table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    summer = F.from_utc_timestamp(
+        F.col("ts") + F.expr("INTERVAL 6 MONTHS"), "America/New_York"
+    )
+    return ev.select(
+        "event_id",
+        F.date_format(ny, fmt).alias("ny_wall"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt).alias(
+            "tokyo_wall"
+        ),
+        F.date_format(summer, fmt).alias("ny_wall_summer"),
+        (F.to_utc_timestamp(ny, "America/New_York") == F.col("ts")).alias(
+            "roundtrip_ok"
+        ),
+    )

@@ -941,3 +941,99 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_coverage"),
         )
     )
+
+
+
+def _sql_dot_pair(a: str, b: str) -> str:
+    from lambda_hive_spark.helpers import sql_dot
+    return sql_dot(a, b)
+
+
+_SQL_DOT_XC = _sql_dot_pair("x.embedding", "ct.c")
+_SQL_DOT_CC = _sql_dot_pair("ct.c", "ct.c")
+
+
+@op(
+    "cluster_kmeans_step",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT x.vec_id, ct.cid,
+         2 * ({_SQL_DOT_XC}) - ({_SQL_DOT_CC}) AS score
+  FROM embeddings x CROSS JOIN cents ct
+),
+assign AS (
+  SELECT vec_id, cid
+  FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY score DESC, cid ASC
+           ) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT a.cid, t.pos,
+         ROUND(CAST(SUM(CAST(CAST(e.embedding[t.pos] AS DOUBLE)
+                             AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS coord,
+         CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_members
+  FROM assign a
+  JOIN embeddings e ON e.vec_id = a.vec_id,
+       unnest(range(1, len(e.embedding) + 1)) AS t(pos)
+  GROUP BY a.cid, t.pos
+)
+SELECT cid, CAST(pos AS BIGINT) AS pos, coord, n_members FROM upd
+""",
+)
+def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means on the embedding corpus
+    (K=4, deterministic seeds = vec_id<4): assign every vector to its
+    nearest centroid by squared L2 — argmax of 2·x·c − ‖c‖², since
+    ‖x‖² is constant per row — with centroid-id tie-break, then
+    recompute every centroid coordinate as the decimal-exact mean of
+    its members. The iterative-ML-on-DataFrames pattern: at 100 TB you
+    loop this step with the K×dim centroid table broadcast each round
+    and localCheckpoint() to cut lineage (as dedup_clusters does).
+
+    Parity: dots use the shared left-fold helper; the per-coordinate
+    mean goes through decimal(38,12) sums (float inputs are exact
+    doubles) and rounds to 6 dp — six orders above the documented
+    scale-12 cast divergence."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+        .withColumn("cnorm", dot(F.col("c"), F.col("c")))
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        "embedding",
+        (2 * dot(F.col("embedding"), F.col("c")) - F.col("cnorm")).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    exploded = assign.select(
+        "cid", "vec_id", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        exploded.groupBy("cid", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coord"),
+            F.count_distinct("vec_id").alias("n_members"),
+        )
+    )
