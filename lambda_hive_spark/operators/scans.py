@@ -302,3 +302,56 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("_bad").isNotNull()).alias("n_corrupt"),
         F.sum(F.when(F.col("_bad").isNull(), F.col("doc_id"))).alias("good_id_sum"),
     )
+
+
+@op(
+    "sink_codec_matrix",
+    oracle="""
+SELECT 'zstd' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, TRUE AS content_matches
+FROM orders
+UNION ALL
+SELECT 'snappy', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT), TRUE
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def sink_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression codec round-trip: the same table written with zstd
+    and snappy, read back, and proven content-identical via an
+    order-independent checksum (xor of row hashes) compared against
+    the source's. The boolean is the contract the oracle asserts; a
+    codec that corrupted or dropped anything flips it. Codec choice is
+    a first-order 100 TB cost lever (zstd ≈ 30-40% smaller than snappy
+    at similar scan speed on modern CPUs — size them on your own data;
+    the op is the harness for that measurement)."""
+    o = table(spark, sf_dir, "orders")
+    src_sig = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*o.columns)).alias("sig"),
+    ).collect()[0]
+    out = []
+    for codec in ("zstd", "snappy"):
+        path = _scratch(
+            f"orders_{codec}_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        sig = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*back.columns)).alias("sig"),
+        ).collect()[0]
+        out.append((codec, sig["n"], sig["n"] == src_sig["n"] and sig["sig"] == src_sig["sig"]))
+    key_sums = {
+        r["c"]: r["s"]
+        for r in [
+            spark.read.parquet(_scratch(f"orders_{c}_{os.path.basename(sf_dir.rstrip('/'))}"))
+            .agg(F.lit(c).alias("c"), F.sum("o_orderkey").cast("bigint").alias("s"))
+            .collect()[0]
+            for c in ("zstd", "snappy")
+        ]
+    }
+    return spark.createDataFrame(
+        [(c, n, key_sums[c], ok) for c, n, ok in out],
+        "codec string, n_rows bigint, key_sum bigint, content_matches boolean",
+    )
