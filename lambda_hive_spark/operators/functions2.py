@@ -422,3 +422,56 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+@op(
+    "fn_rounding_modes",
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey AS k,
+         (CASE WHEN o_orderkey % 2 = 0 THEN -1 ELSE 1 END)
+           * (CAST(o_orderkey AS DOUBLE) + 0.5) AS x
+  FROM orders
+)
+SELECT k,
+       round(x) + 0.0 AS half_away,
+       (CASE WHEN CAST(floor(x) AS BIGINT) % 2 = 0
+             THEN floor(x) ELSE ceil(x) END) + 0.0 AS half_even,
+       floor(x) + 0.0 AS flr,
+       ceil(x) + 0.0 AS cl,
+       trunc(x) + 0.0 AS toward_zero,
+       CAST(-k % 7 AS BIGINT) AS mod_signed,
+       CAST(((-k % 7) + 7) % 7 AS BIGINT) AS mod_positive
+FROM v
+""",
+)
+def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rounding-semantics family pinned on EXACT halves (k + 0.5
+    is exactly representable, so every row is the contested case):
+    round = half-away-from-zero on BOTH engines for doubles; half-even
+    (banker's) is Spark's bround, which DuckDB has no builtin for —
+    the oracle spells it as the floor/ceil-parity CASE; floor / ceil /
+    truncate-toward-zero; and the % sign trap: both engines give %
+    the dividend's sign, so negative keys need pmod (spelled
+    ((x%y)+y)%y in the oracle) for bucket assignment — using % to
+    pick a shuffle bucket of a signed key is a real 100 TB data-loss
+    bug (negative rows land in nonexistent buckets). Every double
+    output is canonicalized with +0.0 because the engines disagree on
+    SIGNED ZERO at k=0 (Spark's integer-path ceil yields +0.0 where
+    DuckDB's double ceil yields -0.0 — same value, different hash)."""
+    o = table(spark, sf_dir, "orders")
+    x = (
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(-1)).otherwise(F.lit(1))
+        * (F.col("o_orderkey").cast("double") + 0.5)
+    )
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("k"),
+        (F.round(x, 0) + 0.0).alias("half_away"),
+        (F.bround(x, 0) + 0.0).alias("half_even"),
+        (F.floor(x).cast("double") + 0.0).alias("flr"),
+        (F.ceil(x).cast("double") + 0.0).alias("cl"),
+        (x.cast("bigint").cast("double") + 0.0).alias("toward_zero"),
+        ((-k) % 7).cast("bigint").alias("mod_signed"),
+        F.pmod(-k, F.lit(7)).cast("bigint").alias("mod_positive"),
+    )

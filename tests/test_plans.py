@@ -283,3 +283,26 @@ def test_cluster_by_produces_disjoint_ts_ranges(spark):
     assert len(ranges) >= 8, f"expected >=8 clustered files, got {len(ranges)}"
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """With AQE on, a small groupBy under deliberately oversized
+    shuffle.partitions must coalesce post-shuffle reads instead of
+    launching 200 near-empty reducers — the runtime re-plan the 100 TB
+    configs rely on (set partitions generously; AQE right-sizes)."""
+    from lambda_hive_spark.io import table
+    from tests.conftest import SF_DIR
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = (
+            table(spark, SF_DIR, "orders")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        df.collect()  # AQE finalizes the plan only after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
