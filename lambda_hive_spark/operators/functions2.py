@@ -475,3 +475,33 @@ def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((-k) % 7).cast("bigint").alias("mod_signed"),
         F.pmod(-k, F.lit(7)).cast("bigint").alias("mod_positive"),
     )
+
+
+@op(
+    "fn_binary_codec",
+    oracle="""
+SELECT doc_id,
+       to_base64(encode(lang)) AS lang_b64,
+       lower(hex(encode(lang))) AS lang_hex,
+       decode(from_base64(to_base64(encode(lang)))) = lang AS b64_roundtrip,
+       CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes
+FROM documents
+""",
+)
+def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: string→bytes (UTF-8 encode), base64 and
+    hex renderings, a decode∘encode round-trip proven as a boolean,
+    and byte length (octet_length ≠ char length under multibyte
+    UTF-8). The transport layer for the multimodal ops — binary
+    payloads cross systems as base64 — all per-row codegen kernels."""
+    d = table(spark, sf_dir, "documents")
+    lang_bin = F.encode("lang", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.base64(lang_bin).alias("lang_b64"),
+        F.lower(F.hex(lang_bin)).alias("lang_hex"),
+        (
+            F.decode(F.unbase64(F.base64(lang_bin)), "UTF-8") == F.col("lang")
+        ).alias("b64_roundtrip"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("text_bytes"),
+    )

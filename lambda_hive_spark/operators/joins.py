@@ -388,3 +388,28 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.join(F.broadcast(r), l["k"].eqNullSafe(r["k"])).select(
         "event_id", l["k"].alias("k"), "r_sum"
     )
+
+
+@op(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: the SHUFFLE_HASH hint forces a
+    shuffled hash join where Catalyst would default to sort-merge —
+    the right call when one side is much smaller than the other but
+    too big to broadcast (hash-building the small side beats sorting
+    BOTH sides; no spill-safe sort needed). Strategy choice is
+    plan-asserted in tests; results are identical by construction,
+    which is exactly what the oracle certifies."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

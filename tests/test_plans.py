@@ -306,3 +306,10 @@ def test_aqe_coalesces_small_shuffle(spark):
         assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce ShuffledHashJoin, not the
+    SMJ default (and certainly not a broadcast at these sizes)."""
+    plan = _plan(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, plan[:1500]
