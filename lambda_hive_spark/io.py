@@ -54,16 +54,35 @@ def par_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-        # to read natively (PARQUET_TYPE_ILLEGAL). Read nanos as long,
-        # then convert with INTEGER division (epoch-ns ~1.7e18 exceeds
-        # double's 2^53 — float division would corrupt microseconds).
-        # The corpus has zero sub-µs residue (FIXTURES.md), so this is
-        # lossless and matches DuckDB's ns values at µs precision.
+        # Legacy corpus layout: events.ts was parquet TIMESTAMP(NANOS),
+        # which Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL).
+        # The conf is a no-op for the current µs layout but keeps old
+        # checkouts of the corpus loadable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Pin the corpus' timestamp columns to TimestampType regardless of
+    the parquet physical layout the driver generated them with.
+
+    Two layouts exist across corpus generations (FIXTURES.md):
+    - TIMESTAMP(NANOS) (events.ts, old): Spark 4 reads it as long via
+      `nanosAsLong`; convert with INTEGER division (epoch-ns ~1.7e18
+      exceeds double's 2^53 — float division would corrupt µs).
+    - timestamp[us] isAdjustedToUTC=false (current): Spark reads
+      TIMESTAMP_NTZ; cast to TIMESTAMP. The session timezone is pinned
+      to UTC (session.py), so the cast maps wall-clock→instant 1:1 and
+      every downstream op keeps seeing the exact instants the old
+      layout produced — and DuckDB (naive µs either way) agrees.
+    """
+    for col, dtype in df.dtypes:
+        if col == "ts" and dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -7,11 +7,13 @@ via the checkpoint's file log. Locally we simulate arrival by
 symlinking (or splitting) the fixture parquet into a scratch landing
 dir — the fixture itself is read-only.
 
-Timestamp note (FIXTURES.md): `events.ts` is parquet TIMESTAMP(NANOS),
-which Spark 4 only reads as long (`nanosAsLong`). The stream source
-therefore declares `ts` as LongType and converts to a µs timestamp
-with integer division — identical to the batch loader in `io.py`, so
-batch and stream plans see the same column type.
+Timestamp note (FIXTURES.md): `events.ts` has shipped as parquet
+TIMESTAMP(NANOS) (old corpus: Spark 4 only reads it as long via
+`nanosAsLong`) and as timestamp[us] NTZ (current corpus). Streaming
+sources must declare their schema up front, so the source peeks at one
+batch footer to pick the matching raw schema, then applies the same
+normalization as the batch loader in `io.py` — batch and stream plans
+see the same TimestampType column either way.
 """
 
 from __future__ import annotations
@@ -35,17 +37,28 @@ _SCRATCH = os.path.join(
 )
 
 # Fixed by the parquet footers (FIXTURES.md) — streaming sources must
-# declare their schema up front; never inferred.
+# declare their schema up front; never inferred. `ts` is layout-
+# dependent (module doc), so the source builds the raw schema from one
+# batch footer peek at start-up rather than pinning either layout.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (see module doc)
+        T.StructField("ts", T.TimestampNTZType()),  # current µs layout
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    """The raw stream schema matching the on-disk layout: one footer
+    peek via the batch reader (driver-side metadata only, no scan)."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:  # empty landing dir at declaration time
+        return EVENTS_RAW_SCHEMA
 
 
 def scratch_dir(name: str) -> str:
@@ -71,11 +84,13 @@ def events_stream(
     replay in tests); None lets availableNow drain everything at once.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(_events_raw_schema(spark, path))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from lambda_hive_spark.io import _normalize_timestamps
+
+    return _normalize_timestamps(df)
 
 
 def run_available_now(
