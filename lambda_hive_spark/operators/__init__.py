@@ -39,4 +39,5 @@ from lambda_hive_spark.operators import (  # noqa: F401
     sketches,
     intervals,
     graph,
+    spark4,
 )
