@@ -168,3 +168,108 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_price"], m["n_discounted"])],
         "n_rows bigint, total_price double, n_discounted bigint",
     )
+
+
+@op(
+    "dedup_url_canonicalize",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://' || upper(source) || '.Example.org:443/' || lang
+              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
+              || '/?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=' || lang
+      WHEN 1 THEN 'https://' || source || '.example.org/' || lang
+              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
+              || '?lang=' || lang || '&id=' || CAST(doc_id // 4 AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.EXAMPLE.org/' || lang
+              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
+              || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=x&lang=' || lang
+      ELSE 'https://' || source || '.example.org/' || lang
+              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
+              || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=' || lang
+    END AS url,
+    source, lang
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+    'https://' || replace(lower(regexp_extract(url, '^https://([^/]+)', 1)), ':443', '')
+      || regexp_replace(regexp_extract(url, '^https://[^/]+([^?]*)', 1), '/$', '')
+      || '?' || array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             x -> NOT starts_with(x, 'utm_'))), '&') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS representative,
+       array_to_string(list_sort(list(lpad(CAST(doc_id AS VARCHAR), 6, '0'))), ',') AS member_ids
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) > 1
+""",
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    crawl: lowercase the host, strip default ports and trailing
+    slashes, drop utm_* tracking params, and sort the surviving query
+    params, then group crawls whose canonical URL collides. Four
+    deterministic mess variants are synthesized per logical URL (the
+    fixture has no url column), and every group of 4 docs sharing
+    doc_id//4 must land in one canonical group — a known-answer
+    self-test of the canonicalizer.
+
+    Scale: canonicalization is pure per-row string work fused into the
+    scan; the only shuffle is the groupBy on the canonical key — the
+    same hash-dedup shape as dedup_exact, so skew and payload behave
+    identically at 100 TB (keys are short strings, never page
+    bodies)."""
+    d = table(spark, sf_dir, "documents")
+    gid = (F.col("doc_id") / 4).cast("long").cast("string")
+    mess = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://"), F.upper("source"), F.lit(".Example.org:443/"),
+                        F.col("lang"), F.lit("/doc/"), gid, F.lit("/?utm_source=feed&id="),
+                        gid, F.lit("&lang="), F.col("lang")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+                       F.col("lang"), F.lit("/doc/"), gid, F.lit("?lang="), F.col("lang"),
+                       F.lit("&id="), gid))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://"), F.col("source"), F.lit(".EXAMPLE.org/"),
+                       F.col("lang"), F.lit("/doc/"), gid, F.lit("/?id="), gid,
+                       F.lit("&utm_campaign=x&lang="), F.col("lang")))
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+                     F.col("lang"), F.lit("/doc/"), gid, F.lit("?id="), gid,
+                     F.lit("&lang="), F.col("lang")))
+    )
+    u = d.select("doc_id", mess.alias("url"))
+    host = F.replace(F.lower(F.parse_url("url", F.lit("HOST"))), F.lit(":443"), F.lit(""))
+    path = F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", "")
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.parse_url("url", F.lit("QUERY")), "&"),
+                lambda x: ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = u.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path, F.lit("?"), q).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("representative"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.lpad(F.col("doc_id").cast("string"), 6, "0"))),
+                ",",
+            ).alias("member_ids"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -393,3 +393,48 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 15)
     )
+
+
+@op(
+    "text_bpe_merge_step",
+    oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS pair
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+""",
+)
+def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count every ADJACENT token pair
+    across the corpus and emit the top-50 merge candidates (count
+    desc, pair asc — fully tie-broken, so the LIMIT set is
+    deterministic). This is the inner loop of byte-pair-encoding
+    vocabulary induction; a full trainer re-runs it after applying the
+    winning merge.
+
+    Scale: adjacent pairs come from zip_with over two slices of the
+    token array — computed inside the scan projection, exchange-free;
+    the only shuffle is the map-combined pair count, and the top-50 is
+    a TakeOrdered (no global sort materializes). At 100 TB the pair
+    space is bounded by vocab², and the partial aggregation absorbs
+    the corpus-size factor map-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(50)
+    )

@@ -313,3 +313,43 @@ def test_shuffle_hash_hint_respected(spark):
     SMJ default (and certainly not a broadcast at these sizes)."""
     plan = _plan(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_zorder_narrows_both_dimensions(spark):
+    """Z-order locality: after clustering on the Morton code, the MEAN
+    per-file span of EACH input dimension must be well under the global
+    span — linear sort would nail one dimension and leave the other at
+    ~full range in every file."""
+    from lambda_hive_spark.registry import all_ops
+    from lambda_hive_spark.operators.scans import _scratch
+    import os
+    import pyarrow.parquet as pq
+
+    all_ops()["maintenance_zorder"].fn(spark, SF_DIR).collect()
+    clustered = _scratch(f"events_zorder_{os.path.basename(SF_DIR.rstrip('/'))}")
+    spans = {"ub": [], "dy": []}
+    glob = {"ub": [None, None], "dy": [None, None]}
+    n_files = 0
+    for f in os.listdir(clustered):
+        if not f.endswith(".parquet"):
+            continue
+        n_files += 1
+        md = pq.ParquetFile(os.path.join(clustered, f)).metadata
+        for col in ("ub", "dy"):
+            idx = next(i for i in range(len(md.schema)) if md.schema.column(i).name == col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            spans[col].append(hi - lo)
+            glob[col][0] = lo if glob[col][0] is None else min(glob[col][0], lo)
+            glob[col][1] = hi if glob[col][1] is None else max(glob[col][1], hi)
+    assert n_files >= 8, f"expected >=8 clustered files, got {n_files}"
+    for col in ("ub", "dy"):
+        g = glob[col][1] - glob[col][0]
+        mean_span = sum(spans[col]) / len(spans[col])
+        assert mean_span <= 0.6 * g, (
+            f"{col}: mean per-file span {mean_span:.1f} vs global {g} — no locality"
+        )
