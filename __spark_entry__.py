@@ -52,22 +52,42 @@ def _graded_names() -> set[str]:
     }
 
 
+# The oldest never-graded backlog (registered in rounds 1-2; §2.5
+# windows, §2.9 streaming, §2.11 UDx/orchestrator, TPC-H shapes, and
+# the rows-only LSH ops). Registry order alone cannot express age —
+# later rounds added ops to early-registering modules, which would
+# otherwise jump this queue — so the backlog is pinned explicitly at
+# the front of the grading window until it has driver evidence.
+_BACKLOG_FIRST = (
+    "win_rank", "win_topk_per_group", "win_lag_lead", "win_running",
+    "win_sliding_rows", "win_range_frame", "win_ntile_cume", "win_first_last",
+    "win_distinct_running", "win_gaps_islands", "win_ratio_to_report",
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_watermark", "stream_stateful", "stream_join", "stream_stream_join",
+    "stream_sink", "udf_scalar", "udaf_grouped", "udtf", "fn_map",
+    "orchestrate_dag", "orchestrate_schedule", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items", "limit_k",
+    "sample_frac", "dedup_near_minhash", "dedup_simhash", "sim_knn_approx",
+    "sim_pairs_threshold",
+)
+
+
 def _ordered_ops():
     """Registry ops reordered so the driver's bounded correctness window
     (first ~50 queries) grades ops that do not yet have a driver
-    CORRECTNESS row: never-graded (or edited-since-grading) ops first in
-    registry order — oldest ops wait the fewest rounds, and newly added
-    ops queue behind the existing backlog instead of displacing
-    rows-only ops that have never been executed — then the graded
-    remainder."""
+    CORRECTNESS row: the pinned oldest backlog first, then other
+    never-graded (or edited-since-grading) ops in registry order, then
+    the graded remainder."""
     ops = all_ops()
     graded = _graded_names()
+    backlog_rank = {n: i for i, n in enumerate(_BACKLOG_FIRST)}
 
     ordered = sorted(
         enumerate(ops.items()),
         key=lambda item: (
-            item[1][0] in graded,          # ungraded first
-            item[0],                       # stable registry order within group
+            item[1][0] in graded,                              # ungraded first
+            backlog_rank.get(item[1][0], len(backlog_rank)),   # pinned backlog
+            item[0],                                           # registry order
         ),
     )
     return {name: o for _, (name, o) in ordered}
