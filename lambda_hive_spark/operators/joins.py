@@ -413,3 +413,64 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@op(
+    "join_runtime_bloom",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000
+GROUP BY o_orderpriority
+""",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective predicate on the
+    dimension side is compiled at runtime into a bloom filter
+    (`might_contain(xxhash64(l_orderkey))`) applied to the fact scan
+    BEFORE its shuffle. This is THE mechanism for the 100 TB case the
+    broadcast join can't reach — dimension too large to broadcast but
+    its filtered keys selective — where it removes most fact rows from
+    the shuffle for the cost of one small subquery. Injection
+    (`InjectRuntimeFilter`) requires a shuffle join, so broadcast is
+    disabled while the plan resolves and restored immediately after
+    (the resolved physical plan is cached on the returned DataFrame;
+    might_contain presence is plan-asserted in tests). The oracle is
+    the plain join — bloom false positives only ever ADD rows the join
+    itself then drops, so results are bit-identical by construction."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+        l = table(spark, sf_dir, "lineitem")
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            )
+        )
+        # Force logical optimization + physical planning NOW, while the
+        # injection confs are live; the plan is cached on this Dataset.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1044,3 +1044,182 @@ def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("vec_id").alias("n_members"),
         )
     )
+
+
+_MINHASH_MD5_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+eb AS (
+  SELECT doc_id, b.band AS band, t.s AS s
+  FROM nz, unnest(shingles) AS t(s), (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+sigs AS (
+  SELECT doc_id, band, MIN(md5(s || '|' || CAST(band AS VARCHAR))) AS sig
+  FROM eb GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS inter,
+         len(x.shingles) AS na, len(y.shingles) AS nb
+  FROM cand c JOIN nz x ON x.doc_id = c.doc_a JOIN nz y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       (CAST(inter AS DOUBLE) / (na + nb - inter)) AS jaccard
+FROM ver
+WHERE (CAST(inter AS DOUBLE) / (na + nb - inter)) >= 0.5
+"""
+
+
+@op("dedup_minhash_md5", oracle=_MINHASH_MD5_ORACLE)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding with an ORACLE-REPRODUCIBLE hash family:
+    band signature b = min over shingles of md5(shingle || '|' || b),
+    4 one-hash bands; docs colliding in any band become candidates;
+    candidates verify EXACTLY by shingle-set intersection. Same
+    candidates-then-verify architecture as dedup_near_minhash (the
+    xxhash64 production path, rows-only by necessity) — this sibling
+    trades hash speed for a hash both engines compute bit-identically,
+    so the driver can hash-verify the ENTIRE MinHash pipeline,
+    including which pairs banding recalls (P[found | J=0.5] ≈ 94%
+    with these parameters, and deterministically the SAME found-set on
+    both engines).
+
+    Scale: signatures are per-(doc, band) minima computed with
+    higher-order functions inside the scan projection — no
+    posting-explosion shuffle; the only shuffles are the (band, sig)
+    candidate groupBy (8-byte ids + 32-char sigs) and the bounded
+    candidate verify join, arrays shipped for candidates only."""
+    sh = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    bands = F.array(*[F.lit(b) for b in range(4)])
+    sig_arr = F.transform(
+        bands,
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda s: F.md5(F.concat(s, F.lit("|"), b.cast("string"))),
+                )
+            ).alias("sig"),
+        ),
+    )
+    sigs = sh.select("doc_id", F.explode(sig_arr).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"})
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            inter.alias("inter"),
+            F.size("sh_a").cast("long").alias("na"),
+            F.size("sh_b").cast("long").alias("nb"),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@op(
+    "text_collocation_lift",
+    oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (
+  SELECT s AS w, CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM t, unnest(toks) AS u(s) GROUP BY s
+),
+tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+pairs AS (
+  SELECT toks[i] AS w_a, toks[i + 1] AS w_b
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+),
+pc AS (
+  SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY w_a, w_b HAVING COUNT(*) >= 5
+)
+SELECT pc.w_a, pc.w_b, pc.n_ab,
+       CAST(pc.n_ab * t.n_total AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE) AS lift
+FROM pc JOIN uni a ON pc.w_a = a.w
+        JOIN uni b ON pc.w_b = b.w
+        CROSS JOIN tot t
+ORDER BY lift DESC, w_a, w_b
+LIMIT 100
+""",
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by lift (PMI without the log — the log is
+    monotone, so the RANKING is identical, and avoiding it sidesteps
+    cross-engine libm ulp drift entirely): lift(a,b) =
+    P(ab)/(P(a)·P(b)) computed as exact integer counts divided in
+    double (exact IEEE on exact integers). Pairs must occur ≥5 times —
+    the standard hapax guard, without which two adjacent one-off
+    tokens dominate the ranking. Top-100 fully tie-broken.
+
+    Scale: unigram and bigram counts are map-combined groupBys; the
+    corpus total is a broadcast 1-row scalar; the two lookup joins key
+    on single words (vocabulary-bounded, so AQE broadcasts them when
+    they fit and falls back to shuffle when a 100 TB vocab doesn't).
+    The top-100 is TakeOrdered — no global sort."""
+    d = par_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("long").alias("n_total"))
+    n = F.size("toks")
+    pair_col = F.zip_with(
+        F.slice("toks", F.lit(1), n - 1),
+        F.slice("toks", F.lit(2), n - 1),
+        lambda a, b: F.struct(a.alias("w_a"), b.alias("w_b")),
+    )
+    pc = (
+        base.select(F.explode(pair_col).alias("p"))
+        .select("p.w_a", "p.w_b")
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ua = uni.withColumnsRenamed({"w": "w_a", "n_w": "n_a"})
+    ub = uni.withColumnsRenamed({"w": "w_b", "n_w": "n_b"})
+    lift = (F.col("n_ab") * F.col("n_total")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        pc.join(ua, "w_a")
+        .join(ub, "w_b")
+        .crossJoin(F.broadcast(tot))
+        .select("w_a", "w_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w_a", "w_b")
+        .limit(100)
+    )

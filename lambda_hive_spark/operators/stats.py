@@ -144,3 +144,52 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("long").alias("edit_dist"),
         )
     )
+
+
+@op(
+    "vec_pca_power_iter",
+    oracle=f"""
+WITH d AS (
+  SELECT embedding,
+         list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.125),
+                     (acc, x) -> acc + x) AS dv
+  FROM embeddings
+),
+ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) * dv AS contrib
+  FROM d
+)
+SELECT CAST(pos AS BIGINT) AS pos, COUNT(*) AS n,
+       round({sql_dsum('contrib', 12)}, 8) AS v1
+FROM ex GROUP BY pos
+""",
+)
+def vec_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus' top principal
+    direction: v1 = Xᵀ(X·v0) with the deterministic start vector
+    v0 = (1/8,…,1/8) (1/8 is exact binary, so every per-row product is
+    the same IEEE double on both engines). The row dot X·v0 is a
+    left-fold (helpers.dot shape); the dimension sums accumulate
+    through scale-12 decimal and round at 1e-8 — the stats.py parity
+    pattern. A full PCA loops this + renormalizes; one step is the
+    verifiable unit.
+
+    Scale: X·v0 is computed inside the scan projection (no shuffle);
+    the transpose-sum shuffles (pos, partial decimal sums) — 64 groups
+    regardless of corpus size, the same shape as vec_stats."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(F.col("embedding").cast("array<double>").alias("emb"))
+    dv = F.aggregate(
+        F.transform("emb", lambda x: x * F.lit(0.125)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ex = base.withColumn("dv", dv).select("dv", F.posexplode("emb"))
+    return (
+        ex.groupBy(F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum(F.col("col") * F.col("dv"), 12), 8).alias("v1"),
+        )
+    )

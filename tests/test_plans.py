@@ -353,3 +353,14 @@ def test_zorder_narrows_both_dimensions(spark):
         assert mean_span <= 0.6 * g, (
             f"{col}: mean per-file span {mean_span:.1f} vs global {g} — no locality"
         )
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom's fact scan must carry the runtime
+    might_contain(xxhash64(l_orderkey)) filter — pruning before the
+    shuffle is the op's entire reason to exist."""
+    from lambda_hive_spark.registry import all_ops
+
+    df = all_ops()["join_runtime_bloom"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
