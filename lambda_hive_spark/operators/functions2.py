@@ -505,3 +505,44 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b64_roundtrip"),
         F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("text_bytes"),
     )
+
+
+@op(
+    "fn_array_hof",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> len(x) > 6)) AS INT) AS n_long,
+       len(list_filter(toks, x -> x = 'join')) > 0 AS has_join,
+       len(list_filter(toks, x -> len(x) = 0)) = 0 AS all_nonempty,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars,
+       array_to_string(list_transform(toks, x -> upper(x[1:1])), '') AS initials
+FROM t
+WHERE doc_id % 7 = 0
+""",
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface as a first-class op:
+    filter / exists / forall / aggregate (fold) / transform over a
+    token array, each mirrored by a DuckDB list_* twin. HOFs are the
+    mechanism that keeps per-row collection logic JVM-side and
+    codegen'd — the alternative (a Python UDF per row) is the
+    anti-pattern this engine avoids everywhere; this op pins their
+    exact cross-engine semantics (fold init value, empty-array
+    behavior, 1-based slicing vs substring)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 6)).alias("n_long"),
+        F.exists(toks, lambda x: x == "join").alias("has_join"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.array_join(
+            F.transform(toks, lambda x: F.upper(F.substring(x, 1, 1))), ""
+        ).alias("initials"),
+    )

@@ -276,3 +276,34 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean.join(med, "flag").select(
         "flag", "weighted_mean", "weighted_median", "total_weight"
     )
+
+
+@op(
+    "agg_listagg_ordered",
+    oracle="""
+SELECT o_custkey,
+       string_agg(o_orderstatus, '' ORDER BY o_orderdate, o_orderkey) AS status_seq,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS key_seq
+FROM orders
+WHERE o_custkey % 50 = 0
+GROUP BY o_custkey
+""",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI LISTAGG ... WITHIN GROUP (ORDER BY ...) (new in Spark 4) —
+    ordered string aggregation without the collect_list+sort_array
+    detour. The ORDER BY must be a TOTAL order ((o_orderdate,
+    o_orderkey) — unique) or the concatenation is
+    partitioning-dependent and no oracle can match it. Per-customer
+    order-status journey strings are the warehouse's sequence-mining
+    input (funnel_path_regex consumes exactly this shape)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "listagg(o_orderstatus) WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)"
+        ).alias("status_seq"),
+        F.expr(
+            "listagg(CAST(o_orderkey AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)"
+        ).alias("key_seq"),
+    )

@@ -438,3 +438,75 @@ def text_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(50)
     )
+
+
+@op(
+    "pipeline_encode_token_ids",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+uni AS (
+  SELECT s AS w, COUNT(*) AS n
+  FROM t, unnest(toks) AS u(s) GROUP BY s
+),
+vocab AS (
+  SELECT w, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS id
+  FROM uni ORDER BY n DESC, w LIMIT 512
+),
+pos AS (
+  SELECT doc_id, i AS pos, toks[i] AS w
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS id
+  FROM pos p LEFT JOIN vocab v ON p.w = v.w
+)
+SELECT doc_id,
+       array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ',') AS ids,
+       CAST(COUNT(CASE WHEN id = 0 THEN 1 END) AS BIGINT) AS n_oov
+FROM enc GROUP BY doc_id
+""",
+)
+def pipeline_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token→id encoding, the step between curation and tensorization:
+    build a 512-entry frequency vocabulary (rank fully tie-broken on
+    (count desc, token asc)), map every token position to its id with
+    OOV→0, and re-assemble each document's id sequence IN ORDER.
+    Position is carried through the explode→lookup→regroup cycle and
+    the regroup sorts on it — without that, the sequence order would
+    be partitioning-dependent and untestable.
+
+    Scale: the vocabulary is top-K over a map-combined count (bounded
+    output, broadcastable at any corpus size — unlike the corpus
+    itself); the lookup join is fact×broadcast; the regroup shuffles
+    (doc_id, pos, id) triples — 16 bytes over the ids payload."""
+    d = par_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        uni.orderBy(F.col("n").desc(), "w")
+        .limit(512)
+        .select("w", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "w")
+        ).cast("long").alias("id"))
+    )
+    pos = base.select("doc_id", F.posexplode("toks")).withColumnsRenamed(
+        {"col": "w", "pos": "pos"}
+    )
+    enc = pos.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", F.col("id").cast("string").alias("ids")))),
+                lambda x: x.ids,
+            ),
+            ",",
+        ).alias("ids"),
+        F.count(F.when(F.col("id") == 0, 1)).alias("n_oov"),
+    )

@@ -276,3 +276,75 @@ def cdc_changes_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+@op(
+    "join_scd2_lookup",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+),
+dim AS (
+  SELECT user_id, event_type, ms AS valid_from_ms,
+         LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+  FROM (SELECT user_id, event_type, ms, event_id FROM o
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+),
+probes AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(CAST(ts AS DATE) + INTERVAL 12 HOUR) AS probe_ms
+  FROM events
+)
+SELECT p.user_id, p.probe_ms, d.event_type AS active_type,
+       d.valid_from_ms AS active_from_ms
+FROM probes p JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from_ms <= p.probe_ms
+ AND (d.valid_to_ms IS NULL OR p.probe_ms < d.valid_to_ms)
+""",
+)
+def join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against a type-2 history: for
+    every (user, active-day-at-noon) probe, find the attribute version
+    whose [valid_from, valid_to) interval covers the probe — the join
+    every fact-to-SCD2 enrichment runs. The intervals per key are
+    non-overlapping and few (runs of a mutable attribute), so the join
+    is an ordinary equi-join on the key plus an interval predicate the
+    executor evaluates per matched key — never a blind range
+    cross-product. At 100 TB both sides shuffle once on user_id;
+    skew follows the fact's key skew, same mitigation as any fact
+    join (AQE skew split)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    o = ev.select(
+        "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ms")
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    chg = o.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    dim = chg.select(
+        "user_id",
+        "event_type",
+        F.col("ms").alias("valid_from_ms"),
+        F.lead("ms").over(w).alias("valid_to_ms"),
+    )
+    probes = ev.select(
+        "user_id",
+        F.unix_millis(
+            (F.to_date("ts").cast("timestamp") + F.expr("INTERVAL 12 HOURS"))
+        ).alias("probe_ms"),
+    ).distinct()
+    cond = (
+        (probes.user_id == dim.user_id)
+        & (dim.valid_from_ms <= probes.probe_ms)
+        & (dim.valid_to_ms.isNull() | (probes.probe_ms < dim.valid_to_ms))
+    )
+    return probes.join(dim, cond).select(
+        probes.user_id,
+        "probe_ms",
+        F.col("event_type").alias("active_type"),
+        F.col("valid_from_ms").alias("active_from_ms"),
+    )
