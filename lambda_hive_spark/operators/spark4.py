@@ -229,3 +229,48 @@ def ts_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spine
+
+
+@op(
+    "fn_xml",
+    oracle="""
+WITH x AS (
+  SELECT doc_id,
+         '<doc id="' || CAST(doc_id AS VARCHAR) || '"><lang>' || lang
+           || '</lang><chars>' || CAST(n_chars AS VARCHAR)
+           || '</chars><src>' || source || '</src></doc>' AS xml
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang,
+       CAST(regexp_extract(xml, '<chars>([^<]*)</chars>', 1) AS BIGINT) AS n_chars,
+       regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src,
+       CAST(regexp_extract(xml, 'id="([^"]*)"', 1) AS BIGINT) AS id_attr
+FROM x
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (native in Spark 4): documents rendered
+    as XML (the fixture has no XML column), then parsed back with both
+    schema-driven ``from_xml`` (struct extraction, including the
+    ``_id`` attribute convention) and XPath accessors — the two ways a
+    feed-ingestion pipeline reads XML payloads. The oracle re-derives
+    every field with regexes, which doubles as a guard that Spark's
+    XML parser agrees with the literal markup for this subset
+    (entity-free, attribute-quoted). Pure per-row parsing fused into
+    the scan — no shuffle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id"), F.lit('"><lang>'), F.col("lang"),
+        F.lit("</lang><chars>"), F.col("n_chars"), F.lit("</chars><src>"),
+        F.col("source"), F.lit("</src></doc>"),
+    )
+    x = d.select("doc_id", xml.alias("xml"))
+    parsed = F.from_xml("xml", "_id BIGINT, lang STRING, chars BIGINT, src STRING")
+    return x.select(
+        "doc_id",
+        F.xpath_string("xml", F.lit("/doc/lang")).alias("lang"),
+        parsed.getField("chars").alias("n_chars"),
+        parsed.getField("src").alias("src"),
+        parsed.getField("_id").alias("id_attr"),
+    )
