@@ -355,3 +355,30 @@ def test_interpolation_fixed_point_under_replication(spark):
         clones.repartition(32).write.mode("overwrite").parquet(out)
     got = all_ops()["ts_interpolate_linear"].fn(spark, dup_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+
+
+def test_bpe_merge_counts_scale_exactly_under_replication(spark):
+    """3× the documents (text identical, ids shifted): every top-50
+    merge candidate's count exactly triples and the candidate SET and
+    ORDER are identical — pair counting is volume-linear."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    base = ops["text_bpe_merge_step"].fn(spark, SF_BASE).collect()
+    rep = ops["text_bpe_merge_step"].fn(spark, _replica_dir(spark)).collect()
+    assert [(r["pair"], r["n"]) for r in rep] == [(r["pair"], 3 * r["n"]) for r in base]
+
+
+def test_collocation_lift_invariant_under_replication(spark):
+    """Lift is a ratio of counts, so uniform ×3 volume cancels EXACTLY
+    (the scaled integer operands have the same true quotient, hence
+    the same nearest-double): identical pair set, identical lift,
+    n_ab exactly tripled."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    base = ops["text_collocation_lift"].fn(spark, SF_BASE).collect()
+    rep = ops["text_collocation_lift"].fn(spark, _replica_dir(spark)).collect()
+    assert [(r["w_a"], r["w_b"], r["n_ab"], r["lift"]) for r in rep] == [
+        (r["w_a"], r["w_b"], 3 * r["n_ab"], r["lift"]) for r in base
+    ]
