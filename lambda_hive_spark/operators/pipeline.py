@@ -273,3 +273,89 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") > 1)
     )
+
+
+@op(
+    "pipeline_incremental_ingest",
+    oracle="""
+WITH old AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+new AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+exact_hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM new n JOIN old o ON md5(n.text) = md5(o.text)
+),
+nsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh FROM new),
+osh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+         i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh FROM old),
+near_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM nsh a JOIN osh b
+    ON len(list_intersect(a.sh, b.sh)) * 10 >= 6 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh)) > 0
+)
+SELECT n.doc_id,
+       e.doc_id IS NOT NULL AS dup_exact,
+       (e.doc_id IS NULL AND h.doc_id IS NOT NULL) AS dup_near,
+       (e.doc_id IS NULL AND h.doc_id IS NULL) AS admitted
+FROM new n
+LEFT JOIN exact_hit e ON n.doc_id = e.doc_id
+LEFT JOIN near_hit h ON n.doc_id = h.doc_id
+""",
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingest: dedup a NEW batch (doc_id % 3 = 0
+    stands in for today's crawl) against the EXISTING corpus without
+    ever comparing old×old — the daily operation of a living training
+    corpus, where re-deduping the whole corpus per batch is the
+    classic accidental O(corpus²/batch). Exact layer: content-hash
+    semi-match. Near layer: candidate pairs from an EQUI-join of
+    new×old shingle postings (a pair with J > 0 shares a shingle —
+    never a nested loop over doc pairs), verified exactly at J ≥ 0.6
+    via array_intersect (the integer cross-multiplied threshold
+    avoids a float compare at the boundary). Every new doc is
+    classified exactly once: dup_exact ∨ dup_near ∨ admitted.
+
+    Scale: the new batch is small relative to the corpus, so both
+    layers are fact×batch joins (AQE broadcasts the batch-side
+    aggregates); shingle buckets only expand new×old combinations."""
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    exact_hit = (
+        new.alias("n")
+        .join(old.alias("o"), F.md5(F.col("n.text")) == F.md5(F.col("o.text")))
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    from lambda_hive_spark.operators.llm import _shingles, _tokens
+
+    nsh = new.select("doc_id", _shingles(_tokens()).alias("sh")).filter(F.size("sh") > 0)
+    osh = old.select("doc_id", _shingles(_tokens()).alias("sh")).filter(F.size("sh") > 0)
+    # Candidate generation stays an EQUI-join on the shingle (a pair
+    # with J > 0 shares one) — never a nested-loop over new×old.
+    npost = nsh.select(F.col("doc_id").alias("n_id"), F.explode("sh").alias("s"))
+    opost = osh.select(F.col("doc_id").alias("o_id"), F.explode("sh").alias("s"))
+    cand = npost.join(opost, "s").select("n_id", "o_id").distinct()
+    inter = F.size(F.array_intersect("n_sh", "o_sh"))
+    near_hit = (
+        cand.join(nsh.withColumnsRenamed({"doc_id": "n_id", "sh": "n_sh"}), "n_id")
+        .join(osh.withColumnsRenamed({"doc_id": "o_id", "sh": "o_sh"}), "o_id")
+        .filter(inter * 10 >= 6 * (F.size("n_sh") + F.size("o_sh") - inter))
+        .select(F.col("n_id").alias("doc_id"))
+        .distinct()
+    )
+    e = exact_hit.withColumnsRenamed({"doc_id": "e_id"})
+    h = near_hit.withColumnsRenamed({"doc_id": "h_id"})
+    out = (
+        new.select("doc_id")
+        .join(e, new.doc_id == e.e_id, "left")
+        .join(h, new.doc_id == h.h_id, "left")
+    )
+    return out.select(
+        "doc_id",
+        F.col("e_id").isNotNull().alias("dup_exact"),
+        (F.col("e_id").isNull() & F.col("h_id").isNotNull()).alias("dup_near"),
+        (F.col("e_id").isNull() & F.col("h_id").isNull()).alias("admitted"),
+    )

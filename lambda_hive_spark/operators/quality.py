@@ -330,3 +330,66 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+@op(
+    "quality_rule_audit",
+    oracle="""
+SELECT 'custkey_not_null' AS rule,
+       CAST(COUNT(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_pass,
+       CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_fail
+FROM orders
+UNION ALL
+SELECT 'price_in_range',
+       CAST(COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 END) AS BIGINT),
+       CAST(COUNT(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice < 1000000) THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'status_in_set',
+       CAST(COUNT(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS BIGINT),
+       CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'date_after_epoch',
+       CAST(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS BIGINT),
+       CAST(COUNT(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+""",
+)
+def quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule audit (the dbt-test / Deequ
+    shape): not-null, range, set-membership, temporal and uniqueness
+    rules evaluated in ONE scan — each rule is a conditional count
+    inside the same aggregate, and the per-rule rows are unpacked from
+    a struct array afterward, so adding a rule never adds a pass over
+    the data (the oracle's 5-scan UNION ALL is the naive formulation).
+    Uniqueness rides the same aggregate via count_distinct. This is
+    the gate a pipeline runs before promoting a landed batch."""
+    o = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    def rule(name, pred):
+        p = F.count(F.when(pred, 1))
+        return F.struct(F.lit(name).alias("rule"), p.alias("n_pass"), (n - p).alias("n_fail"))
+    price_ok = (F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000)
+    agg = o.agg(
+        F.array(
+            rule("custkey_not_null", F.col("o_custkey").isNotNull()),
+            rule("price_in_range", price_ok),
+            rule("status_in_set", F.col("o_orderstatus").isin("F", "O", "P")),
+            rule(
+                "date_after_epoch",
+                F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            ),
+            F.struct(
+                F.lit("orderkey_unique").alias("rule"),
+                F.count_distinct(F.col("o_orderkey")).alias("n_pass"),
+                (n - F.count_distinct(F.col("o_orderkey"))).alias("n_fail"),
+            ),
+        ).alias("rules")
+    )
+    return agg.select(F.explode("rules").alias("r")).select("r.rule", "r.n_pass", "r.n_fail")
