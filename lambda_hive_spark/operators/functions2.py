@@ -546,3 +546,39 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(toks, lambda x: F.upper(F.substring(x, 1, 1))), ""
         ).alias("initials"),
     )
+
+
+@op(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 1 MONTH AS plus_month,
+       o_orderdate + INTERVAL 45 DAY AS plus_45d,
+       o_orderdate + INTERVAL 90 MINUTE AS plus_90m,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since_epoch,
+       date_trunc('month', o_orderdate) AS month_start
+FROM orders WHERE o_orderkey % 13 = 0
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic pinned cross-engine: month
+    addition CLAMPS to the target month's last day (Jan 31 + 1 month =
+    Feb 28, and 2000-02-29 + 12 months = 2001-02-28 — both engines
+    agree, probed before writing this), day/minute intervals are exact
+    instant shifts, last_day/date_trunc give the month frame, and the
+    date difference is exact integer days. These are the primitives
+    every retention/billing-cycle query stands on; all per-row
+    codegen'd expressions, no shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH")).alias("plus_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias("plus_45d"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        F.last_day(F.to_date("o_orderdate")).cast("timestamp").alias("month_end"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )

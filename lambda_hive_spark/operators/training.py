@@ -510,3 +510,48 @@ def pipeline_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids"),
         F.count(F.when(F.col("id") == 0, 1)).alias("n_oov"),
     )
+
+
+@op(
+    "pipeline_shard_assignment",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT CAST(rk % 64 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(rk // 64) AS BIGINT) AS min_pos,
+       CAST(MAX(rk // 64) AS BIGINT) AS max_pos,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM ranked GROUP BY 1
+""",
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: md5-rank every doc
+    (reshuffle-stable, restart-idempotent), stripe ranks across 64
+    shards round-robin, and report per-shard balance (counts within
+    ±1 by construction — the audit a distributed training job runs
+    before reading its shard). Shard = rank % 64 rather than a range
+    split so a truncated corpus still fills every shard evenly.
+
+    Scale note, stated honestly: the global md5 rank is a total order
+    — one sort. A 100 TB corpus would stripe on md5 PREFIX buckets
+    (no global sort, same balance guarantee in expectation); the exact
+    rank variant here is what an oracle can verify, and the per-shard
+    audit output is identical in shape."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id").withColumn("rk", F.row_number().over(w) - 1)
+    return (
+        ranked.groupBy((F.col("rk") % 64).cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.floor(F.col("rk") / 64)).cast("long").alias("min_pos"),
+            F.max(F.floor(F.col("rk") / 64)).cast("long").alias("max_pos"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
