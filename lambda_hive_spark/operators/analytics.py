@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lambda_hive_spark.helpers import dsum, sql_dsum
 from lambda_hive_spark.io import register_views, table
@@ -286,4 +287,79 @@ def funnel_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(journey).alias("journey_md5"),
         journey.rlike("v.*c.*p").alias("saw_view_click_purchase"),
         journey.rlike("e{2}").alias("saw_error_streak"),
+    )
+
+
+@op(
+    "attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+         event_type IN ('click', 'view') AS is_touch
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN is_touch THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+         last_value(CASE WHEN is_touch THEN ms END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ms,
+         last_value(CASE WHEN is_touch THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM tagged
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 7 * 86400000
+            THEN touch_id END AS attributed_touch_id,
+       CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 7 * 86400000
+            THEN touch_type END AS attributed_type,
+       CASE WHEN touch_ms IS NOT NULL AND ms - touch_ms <= 7 * 86400000
+            THEN ms - touch_ms END AS gap_ms
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution with a 7-day lookback: each purchase is
+    credited to the user's most recent prior click/view, or left
+    unattributed when none lands inside the window — the
+    marketing-analytics sibling of the as-of join. One shuffle on
+    user_id; the three IGNORE-NULLS last_value frames share a single
+    window sort (Catalyst reuses the exchange+sort), and the frame
+    ends at 1 PRECEDING so a purchase can never attribute to itself
+    even at identical timestamps (tie-break (ms, event_id) is total).
+    Exact integer-ms gaps keep the oracle hash clean."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    tagged = ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.col("event_type").isin("click", "view").alias("is_touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    def last_touch(col):
+        return F.last(F.when(F.col("is_touch"), F.col(col)), ignorenulls=True).over(w)
+    enriched = tagged.select(
+        "*",
+        last_touch("event_id").alias("touch_id"),
+        last_touch("ms").alias("touch_ms"),
+        last_touch("event_type").alias("touch_type"),
+    ).filter(F.col("event_type") == "purchase")
+    in_window = F.col("touch_ms").isNotNull() & (
+        F.col("ms") - F.col("touch_ms") <= 7 * 86400000
+    )
+    return enriched.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("touch_id")).alias("attributed_touch_id"),
+        F.when(in_window, F.col("touch_type")).alias("attributed_type"),
+        F.when(in_window, F.col("ms") - F.col("touch_ms")).alias("gap_ms"),
     )
