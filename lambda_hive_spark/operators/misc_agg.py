@@ -307,3 +307,37 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)"
         ).alias("key_seq"),
     )
+
+
+@op(
+    "agg_filter_clause",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       {sql_dsum('l_extendedprice')} AS rev_all,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_discounted,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 40) AS BIGINT) AS bulk_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI aggregate FILTER clause — per-aggregate predicates
+    without CASE-WHEN scaffolding, including over SUM(decimal) and
+    COUNT(DISTINCT): one scan, one shuffle, every conditional metric
+    side by side. This is the standard shape of a KPI rollup; the
+    decimal-exact sum keeps the filtered revenue hash-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.expr("COUNT(*) FILTER (WHERE l_discount > 0.05)").alias("n_discounted"),
+        dsum("l_extendedprice").alias("rev_all"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))"
+            " FILTER (WHERE l_discount > 0.05) AS DOUBLE)"
+        ).alias("rev_discounted"),
+        F.expr(
+            "COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 40)"
+        ).alias("bulk_suppliers"),
+    )

@@ -254,3 +254,55 @@ def mm_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_df(spark, sf_dir).select("doc_id", "payload").mapInArrow(
         _checksum_batches, schema
     )
+
+
+@op(
+    "mm_chunk_manifest",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         substring(text, 1 + CAST(i * 64 AS INT), 64) AS chunk
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(0,
+           CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS i
+  ) g
+  WHERE doc_id % 4 = 0
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(length(chunk) AS BIGINT) AS chunk_bytes,
+       sha256(chunk) AS chunk_hash
+FROM chunks
+""",
+)
+def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunk manifest over binary payloads: split
+    each payload into fixed 64-byte blocks (JVM substring over
+    BinaryType — no Python in the loop) and fingerprint every block —
+    the manifest layout object stores and dedup-transfer protocols
+    (CAS, rsync-style delta sync) build on. A re-uploaded media file
+    then ships only blocks whose hash is unseen. The last block is
+    short, not padded, and its true length is part of the manifest.
+
+    Scale: chunk expansion is sequence+transform inside the scan
+    projection (exchange-free, like doc_chunk_sliding); payload bytes
+    never shuffle — only (doc_id, idx, 64-byte block) rows exist
+    post-projection, and the manifest output is hashes + lengths.
+    Oracle note: DuckDB's substring has no BLOB overload, so the
+    oracle slices the source VARCHAR — exact because the corpus is
+    ASCII (1 byte = 1 char; same convention as mm_frame_sample)."""
+    p = payload_df(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64).alias("chunk"),
+        ),
+    )
+    ex = p.select("doc_id", F.explode(chunk_structs).alias("c"))
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.length("c.chunk").cast("long").alias("chunk_bytes"),
+        F.lower(F.sha2(F.col("c.chunk"), 256)).alias("chunk_hash"),
+    )
