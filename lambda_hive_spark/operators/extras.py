@@ -328,3 +328,67 @@ def sim_pairs_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_pairs_rp_lsh.__doc__ = sim_pairs_rp_lsh.__doc__.format(
     bands=_RP_BANDS, bits=_RP_BITS, tau=_RP_TAU
 )
+
+
+@op(
+    "sql_pivot_clause",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup
+FROM events GROUP BY user_id
+""",
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT clause through the frontend — the syntax BI tools
+    emit (agg_pivot is the DataFrame-API twin). The IN list is
+    explicit, so the output schema is static (an inferred value list
+    would make the schema data-dependent — unplannable and
+    uncacheable). Pivot cells with no input rows surface as NULL in
+    Spark's PIVOT; they are COALESCEd to 0 to match the conditional-
+    count semantics the oracle (and every consumer of a count) expects."""
+    register_views(spark, sf_dir)
+    piv = spark.sql(
+        """
+        SELECT * FROM (SELECT user_id, event_type FROM events)
+        PIVOT (COUNT(*) FOR event_type IN
+               ('click' AS click, 'view' AS view, 'purchase' AS purchase,
+                'error' AS error, 'signup' AS signup))
+        """
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "error", "signup")],
+    )
+
+
+@op(
+    "sql_unpivot_clause",
+    oracle="""
+SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS val
+FROM orders WHERE o_orderkey % 17 = 0
+UNION ALL
+SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+FROM orders WHERE o_orderkey % 17 = 0
+""",
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT clause (Spark 4 frontend syntax; unpivot_long is
+    the DataFrame `melt` twin): wide measures to (metric, val) rows in
+    ONE Expand scan — the oracle's UNION ALL formulation reads the
+    table once per measure, which is exactly the rewrite this clause
+    exists to avoid."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, metric, val
+        FROM (SELECT o_orderkey, o_totalprice,
+                     CAST(o_custkey AS DOUBLE) AS o_custkey
+              FROM orders WHERE o_orderkey % 17 = 0)
+        UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
+        """
+    )
