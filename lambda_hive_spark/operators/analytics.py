@@ -363,3 +363,50 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("touch_type")).alias("attributed_type"),
         F.when(in_window, F.col("ms") - F.col("touch_ms")).alias("gap_ms"),
     )
+
+
+@op(
+    "funnel_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM trans GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(t.n AS DOUBLE) / CAST(o.n_from AS DOUBLE) AS p
+FROM trans t JOIN tot o ON t.from_type = o.from_type
+""",
+)
+def funnel_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix
+    (from→to counts per consecutive user-event pair, and the row-
+    normalized transition probability) — the input to Markov-chain
+    attribution and next-action prediction. One lag window (single
+    shuffle on user_id), one map-combined count; the row totals join
+    is 5×5. Probabilities are exact-integer divisions (bit-identical
+    IEEE on both engines), so no rounding is needed."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    trans = seq.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+        )
+    )

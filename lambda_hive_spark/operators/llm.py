@@ -1223,3 +1223,77 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w_a", "w_b")
         .limit(100)
     )
+
+
+@op(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT (p.shared * 1.0 / (len(x.shingles) + len(y.shingles) - p.shared)) AS j
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.doc_a
+  JOIN sh y ON y.doc_id = p.doc_b
+)
+SELECT t AS threshold, CAST(COUNT(CASE WHEN j >= t THEN 1 END) AS BIGINT) AS n_pairs
+FROM jac, (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t) th
+GROUP BY t
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning: pair counts at J ≥ {0.5..0.9} from ONE
+    pass over the shared-shingle pair computation — the diagnostic a
+    curation team reads before fixing the production threshold (too
+    low → real content merged; too high → boilerplate survives). The
+    pair pipeline is dedup_ngram_jaccard's bucket-pair plan; the sweep
+    adds only a 5-row broadcast cross join over the (tiny) scored-pair
+    set, NOT five re-computations."""
+    par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    max_df = int(os.environ.get("SPARK_GRAFT_JACCARD_MAX_DF", "10000"))
+    sh = _docs_with_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
+    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    buckets = (
+        e.repartition(par, "s")
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, max_df))
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .repartition(par, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})), "doc_a"
+        )
+        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
+        .select(
+            (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("j")
+        )
+    )
+    th = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double")
+    return (
+        jac.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(F.count(F.when(F.col("j") >= F.col("threshold"), 1)).alias("n_pairs"))
+    )
