@@ -410,3 +410,69 @@ def funnel_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
         )
     )
+
+
+@op(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order ASC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+  FROM base
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(o_custkey) AS BIGINT) AS sample_customer
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM cut: per customer, recency
+    (last order date), frequency (order count) and monetary
+    (decimal-exact revenue), each scored into quintiles with ntile(5),
+    then the 5×5×5 segment census. Every ntile ORDER BY carries the
+    customer key as tie-break: ntile assigns by position, so a
+    non-total order would make segment membership partitioning-
+    dependent — the classic nondeterminism trap with rank-based
+    scoring. Output is segment-level (≤125 rows) — the shape a
+    campaign tool consumes.
+
+    Scale: the base aggregate is map-combined on o_custkey; the three
+    ntiles share one global sort each over the per-customer aggregate
+    (not the fact table). A 100 TB deployment replaces exact ntile
+    with approx percentile cutpoints to avoid the global sorts; the
+    quintile SEMANTICS are what the oracle certifies here."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey", "frequency", "monetary",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("sample_customer"),
+        )
+    )

@@ -193,3 +193,51 @@ def vec_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum(F.col("col") * F.col("dv"), 12), 8).alias("v1"),
         )
     )
+
+
+@op(
+    "sim_label_centroids",
+    oracle=f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, round({sql_dsum('val', 12)} / COUNT(*), 8) AS c
+  FROM ex GROUP BY label, pos
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         {sql_dsum('a.c * b.c', 12)} AS dot_ab
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+       round(dot_ab, 6) AS centroid_dot
+FROM pairs
+""",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class diagnostics: per-label centroids (the
+    decimal-exact per-dimension mean, rounded at 1e-8 — the vec_stats
+    pattern), then the dot product between every label pair's
+    centroids — high off-diagonal values flag visually-confusable
+    classes before training ever starts. The pairwise stage joins on
+    DIMENSION (64 rows per label), so the 'matrix' is a 10×10-bounded
+    aggregate, never an all-vectors cross product; the dot sums also
+    accumulate through scale-12 decimal because they cross rows."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"col": "val"})
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(dsum("val", 12) / F.count(F.lit(1)), 8).alias("c")
+    )
+    a = cent.withColumnsRenamed({"label": "label_a", "c": "ca"})
+    b = cent.withColumnsRenamed({"label": "label_b", "c": "cb"})
+    return (
+        a.join(b, (a.pos == b.pos) & (a.label_a < b.label_b))
+        .groupBy("label_a", "label_b")
+        .agg(F.round(dsum(F.col("ca") * F.col("cb"), 12), 6).alias("centroid_dot"))
+    )
