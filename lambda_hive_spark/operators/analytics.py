@@ -476,3 +476,75 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_custkey").alias("sample_customer"),
         )
     )
+
+
+@op(
+    "basket_part_affinity",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 100 AS part_bucket FROM lineitem
+),
+n_baskets AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+single AS (
+  SELECT part_bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM baskets GROUP BY 1
+),
+pair AS (
+  SELECT a.part_bucket AS part_a, b.part_bucket AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.part_bucket < b.part_bucket
+  GROUP BY 1, 2 HAVING COUNT(*) >= 20
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab * t.n AS DOUBLE) / CAST(sa.n_b * sb.n_b AS DOUBLE) AS lift
+FROM pair p
+JOIN single sa ON p.part_a = sa.part_bucket
+JOIN single sb ON p.part_b = sb.part_bucket
+CROSS JOIN n_baskets t
+ORDER BY lift DESC, part_a, part_b
+LIMIT 50
+""",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: which part families co-occur in the
+    same order beyond chance — support counts plus lift =
+    P(ab)/(P(a)P(b)) from exact integers divided in double, top-50
+    fully tie-broken (the text_collocation_lift recipe applied to the
+    co-purchase graph). Parts bucket to 100 families so pair support
+    is meaningful at every sf; the ≥20-support floor is the standard
+    spurious-pair guard.
+
+    Scale: baskets are DISTINCT (order, family) projections; the pair
+    expansion is a self-equi-join on l_orderkey, bounded by
+    (families-per-order choose 2) — never parts², never orders². One
+    shuffle on the order key, map-combined counts after."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("part_bucket")
+    ).distinct()
+    n_baskets = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    single = baskets.groupBy("part_bucket").agg(F.count(F.lit(1)).alias("n_b"))
+    a = baskets.withColumnsRenamed({"part_bucket": "part_a"})
+    b = baskets.withColumnsRenamed({"part_bucket": "part_b"})
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    sa = single.withColumnsRenamed({"part_bucket": "part_a", "n_b": "na"})
+    sb = single.withColumnsRenamed({"part_bucket": "part_b", "n_b": "nb"})
+    lift = (F.col("n_ab") * F.col("n")).cast("double") / (
+        F.col("na") * F.col("nb")
+    ).cast("double")
+    return (
+        pair.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select("part_a", "part_b", "n_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(50)
+    )

@@ -174,3 +174,49 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_pagerank.__doc__ = graph_pagerank.__doc__.format(iters=_PR_ITERS)
+
+
+@op(
+    "graph_link_prediction",
+    oracle=f"""
+WITH {_SQL_SIM_EDGES},
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM sim
+  UNION ALL
+  SELECT doc_b, doc_a FROM sim
+),
+cn AS (
+  SELECT a.u AS doc_a, b.u AS doc_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.common_neighbors
+FROM cn c
+LEFT JOIN sim s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+WHERE s.doc_a IS NULL AND c.common_neighbors >= 2
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction over the near-dup graph:
+    non-adjacent doc pairs sharing ≥2 neighbors — the pairs the J≥0.6
+    threshold *just* missed inside a duplicate cluster, i.e. the
+    candidates a human review queue (or a lower-threshold re-check)
+    should see first. Wedge counting is the same neighbor-equi-join
+    shape as graph_triangles — quadratic only inside a hub's
+    neighborhood, never across the corpus — and the known-edge
+    exclusion is one anti join on the (small) edge list."""
+    edges = _sim_pairs(spark, sf_dir)
+    und = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
+        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    a = und.withColumnsRenamed({"u": "doc_a"})
+    b = und.withColumnsRenamed({"u": "doc_b"})
+    cn = (
+        a.join(b, "v")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return cn.join(edges, ["doc_a", "doc_b"], "left_anti").filter(
+        F.col("common_neighbors") >= 2
+    )
