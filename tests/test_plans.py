@@ -364,3 +364,29 @@ def test_runtime_bloom_filter_injected(spark):
     df = all_ops()["join_runtime_bloom"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan
+
+
+def test_headline_shuffle_counts_do_not_regress(spark):
+    """Shuffle-count regression guard: each headline op's physical plan
+    must not grow Exchanges beyond its audited count (sf0.01, AQE
+    initial plan). A new Exchange in one of these is a silent 100 TB
+    regression long before it is a local wall-clock one."""
+    from lambda_hive_spark.registry import all_ops
+
+    AUDITED_MAX = {
+        "agg_hash": 1,
+        "agg_partial_final": 1,
+        "join_multiway": 5,
+        "join_asof": 2,
+        "win_topk_per_group": 1,
+        "agg_pivot": 2,
+        "distinct_rows": 1,
+        "dedup_ngram_jaccard": 7,
+        "sim_knn_exact": 2,
+        "text_tf_idf": 4,
+    }
+    ops = all_ops()
+    for name, bound in AUDITED_MAX.items():
+        plan = ops[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        got = plan.count("Exchange")
+        assert got <= bound, f"{name}: {got} Exchanges (audited max {bound})"
