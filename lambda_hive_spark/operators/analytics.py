@@ -548,3 +548,37 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@op(
+    "events_burst_detect",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms
+  FROM events WHERE event_type = 'error'
+),
+w AS (
+  SELECT user_id, event_id, ms,
+         CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+              RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5min
+  FROM e
+)
+SELECT user_id, event_id, ms, n_5min FROM w WHERE n_5min >= 3
+""",
+)
+def events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: errors where the same user produced ≥3
+    errors inside the trailing 5 minutes — the ops-monitoring sibling
+    of the sliding window, expressed as a TIME-range frame (RANGE over
+    epoch-ms, so identical timestamps are peers and the result is
+    order-deterministic without a tie-break column). One shuffle on
+    user_id; at 100 TB this is the batch twin of stream_sliding with
+    per-key state bounded by the 5-minute horizon."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    e = ev.select("user_id", "event_id", F.unix_millis("ts").alias("ms"))
+    w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-300000, 0)
+    return (
+        e.withColumn("n_5min", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_5min") >= 3)
+        .select("user_id", "event_id", "ms", "n_5min")
+    )

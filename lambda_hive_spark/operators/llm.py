@@ -1297,3 +1297,55 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count(F.when(F.col("j") >= F.col("threshold"), 1)).alias("n_pairs"))
     )
+
+
+@op(
+    "text_keywords_topk",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  GROUP BY doc_id, tok
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf, n JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tfidf
+FROM ranked WHERE rn <= 5
+""",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-5 terms by tf-idf,
+    fully tie-broken on (score desc, term asc) — the per-doc metadata
+    a search index or topic labeler consumes. Reuses text_tf_idf's
+    scoring (idf rounded at 1e-6, ~9 orders above cross-engine libm
+    ulp drift in ln); the per-doc rank is a WindowGroupLimit, so each
+    partition early-exits after 5 rows instead of sorting every
+    doc's full vocabulary."""
+    n_docs = par_table(spark, sf_dir, "documents").count()
+    d = par_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", (F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "rn", "term", "tfidf")
+    )
