@@ -241,3 +241,71 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label_a", "label_b")
         .agg(F.round(dsum(F.col("ca") * F.col("cb"), 12), 6).alias("centroid_dot"))
     )
+
+
+# PQ codebook: 4 subspaces x 16 centroids x 16 dims, derived from a
+# pure-arithmetic formula both engines evaluate identically (no RNG,
+# no hash library): c[s][k][d] = ((s*131 + k*17 + d*7) % 21 - 10)/10.
+_PQ_SUB, _PQ_K, _PQ_DIM = 4, 16, 16
+
+
+def _pq_centroid(s: int, k: int, d: int) -> float:
+    return ((s * 131 + k * 17 + d * 7) % 21 - 10) / 10.0
+
+
+@op(
+    "vec_pq_encode",
+    oracle=f"""
+WITH sub AS (
+  SELECT vec_id, s.s AS s, k.k AS k,
+         list_reduce(list_transform(range(1, {_PQ_DIM} + 1),
+           d -> POW(CAST(embedding[s.s * {_PQ_DIM} + d] AS DOUBLE)
+                - CAST(((s.s * 131 + k.k * 17 + (d - 1) * 7) % 21 - 10) AS DOUBLE) / 10.0, 2)),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings,
+       (SELECT unnest(range(0, {_PQ_SUB})) AS s) s,
+       (SELECT unnest(range(0, {_PQ_K})) AS k) k
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       array_to_string(list(CAST(k AS VARCHAR) ORDER BY s), ',') AS pq_code
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""",
+)
+def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding — the compression step of every
+    large-scale ANN index (FAISS IVF-PQ shape): split each 64-d vector
+    into 4 subspaces of 16 dims, assign each to its nearest of 16
+    codebook centroids (argmin L2², ties broken by centroid id), emit
+    the 4-byte code. The codebook is a fixed arithmetic formula so
+    both engines derive it bit-identically; per-row distances are the
+    same IEEE fold (left-to-right, like helpers.dot) — a real PQ
+    trainer would swap in learned centroids without touching the
+    assignment plan. 64 bytes/vector → 4 bytes: the 16× memory lever
+    that makes billion-vector search fit RAM.
+
+    Scale: everything is per-row expression work fused into the scan —
+    the 4×16 centroid sweep is an unrolled JVM expression, no shuffle,
+    no UDF, no broadcast needed."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    codes = []
+    for s in range(_PQ_SUB):
+        dists = []
+        for k in range(_PQ_K):
+            terms = None
+            for d in range(_PQ_DIM):
+                diff = emb[s * _PQ_DIM + d].cast("double") - F.lit(_pq_centroid(s, k, d))
+                term = diff * diff
+                terms = term if terms is None else terms + term
+            dists.append(F.struct(terms.alias("dist"), F.lit(k).alias("k")))
+        # argmin via array_min over (dist, k) structs: struct ordering
+        # compares dist first, then k — the deterministic tie-break.
+        best = F.array_min(F.array(*dists)).getField("k")
+        codes.append(best.cast("string"))
+    return e.select("vec_id", F.concat_ws(",", *codes).alias("pq_code"))

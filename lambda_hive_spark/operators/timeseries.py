@@ -398,3 +398,58 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("next_v").isNotNull()
         ).alias("interpolated"),
     )
+
+
+@op(
+    "ts_seasonality_dow",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT dow, CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY dow
+),
+tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS n_total,
+         CAST(SUM(n_days) AS BIGINT) AS d_total
+  FROM per_dow
+)
+SELECT p.dow, p.n_events, p.n_days,
+       CAST(p.n_events * t.d_total AS DOUBLE)
+         / CAST(p.n_days * t.n_total AS DOUBLE) AS seasonal_index
+FROM per_dow p CROSS JOIN tot t
+""",
+)
+def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index: (mean events on that weekday) /
+    (overall daily mean), computed as one exact integer cross-ratio —
+    n_dow·days_total / (days_dow·n_total) — so no float accumulates
+    and no rounding is needed (index > 1 = busy weekday). ISO weekday
+    numbering on both engines (Spark weekday()+1 == DuckDB isodow).
+    Two tiny map-combined aggregates and a broadcast scalar — the
+    capacity-planning query every traffic system runs."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.weekday(F.to_date("ts")) + 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_events").cast("long").alias("n_total"),
+        F.sum("n_days").cast("long").alias("d_total"),
+    )
+    idx = (F.col("n_events") * F.col("d_total")).cast("double") / (
+        F.col("n_days") * F.col("n_total")
+    ).cast("double")
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select("dow", "n_events", "n_days", idx.alias("seasonal_index"))
+    )
