@@ -582,3 +582,103 @@ def events_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_5min") >= 3)
         .select("user_id", "event_id", "ms", "n_5min")
     )
+
+
+@op(
+    "parts_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey % 100 AS part_bucket,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS total FROM rev),
+ranked AS (
+  SELECT part_bucket, revenue,
+         CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+           ORDER BY revenue DESC, part_bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+  FROM rev
+)
+SELECT r.part_bucket, r.revenue,
+       CASE WHEN r.cum_rev / t.total <= 0.8 THEN 'A'
+            WHEN r.cum_rev / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked r CROSS JOIN tot t
+""",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: rank part families by
+    revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%, C rest).
+    Every sum — per-family, cumulative, and grand total — runs through
+    the decimal-exact pattern, so the cum/total ratio is the same
+    IEEE division on both engines and the class boundaries cannot
+    flip on accumulation order. The cumulative window orders by
+    (revenue desc, family) — a total order, or cum_rev itself would
+    be partitioning-dependent. Output is family-level (100 rows);
+    the window sorts the aggregate, never the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy((F.col("l_partkey") % 100).alias("part_bucket")).agg(
+        dsum("l_extendedprice").alias("revenue")
+    )
+    tot = rev.agg(dsum("revenue").alias("total"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "part_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # dsum().over() would attach the frame to dsum's outer double cast
+    # instead of the SUM; spell the windowed decimal sum explicitly.
+    cum = F.sum(F.col("revenue").cast("decimal(18,6)")).over(w).cast("double")
+    ranked = rev.withColumn("cum_rev", cum)
+    share = F.col("cum_rev") / F.col("total")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "part_bucket", "revenue",
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+        )
+    )
+
+
+@op(
+    "events_interarrival",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_ms) AS BIGINT) AS min_gap_ms,
+       CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+       CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms,
+       quantile_cont(gap_ms, 0.5) AS median_gap_ms
+FROM gaps WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: consecutive-event gaps in
+    exact integer milliseconds (lag over a total order), then count /
+    min / max / exact sum and the interpolated median. Everything is
+    integer arithmetic except the median, whose linear interpolation
+    on integer inputs yields at worst one exact .5 — hash-stable
+    without rounding (the agg_percentile precedent). One shuffle on
+    user_id shared by the lag window and the aggregate. Inter-arrival
+    distributions drive bot detection and session-gap calibration
+    (the 30-min sessionize threshold comes from exactly this table)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_millis("ts"), "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.sum("gap_ms").alias("total_gap_ms"),
+        F.percentile(F.col("gap_ms"), F.lit(0.5)).alias("median_gap_ms"),
+    )
