@@ -682,3 +682,47 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_ms").alias("total_gap_ms"),
         F.percentile(F.col("gap_ms"), F.lit(0.5)).alias("median_gap_ms"),
     )
+
+
+@op(
+    "events_week_over_week",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT event_type, week, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+  FROM weekly
+)
+SELECT event_type, week, n, prev_n,
+       n - prev_n AS delta,
+       CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS wow_ratio
+FROM paired WHERE prev_n IS NOT NULL
+""",
+)
+def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers: weekly counts per event type with the
+    previous week's count, absolute delta and growth ratio — the
+    dashboard query behind every "what changed" alert. Counts are
+    exact integers; the ratio is one exact-integer division. The lag
+    window runs over the (type, week) aggregate — dozens of rows —
+    never the event log; weeks ISO-truncate identically on both
+    engines under the pinned UTC session."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    paired = weekly.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return paired.select(
+        "event_type", "week", "n", "prev_n",
+        (F.col("n") - F.col("prev_n")).alias("delta"),
+        (F.col("n").cast("double") / F.col("prev_n").cast("double")).alias("wow_ratio"),
+    )

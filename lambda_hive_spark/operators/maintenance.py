@@ -279,3 +279,40 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("zmin"),
         F.max("zval").alias("zmax"),
     )
+
+
+@op("maintenance_analyze_stats", tags=("side_effect",))  # rows-only: stats are engine-internal
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS (table + column level) and
+    read the recorded stats back out of the catalog — the maintenance
+    step that feeds Catalyst's cost-based optimizer (join reordering,
+    broadcast decisions at 100 TB hinge on these numbers being
+    present and fresh). The op materializes a managed table from the
+    orders fixture, analyzes it, and returns the catalog's view of
+    it: row count, size, and per-column distinct/null counts for the
+    analyzed columns. Engine-internal numbers → rows-only check (the
+    invariant tests assert rowCount exactness and distinct-count
+    sanity instead)."""
+    tbl = f"orders_stats_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus"
+    )
+    det = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(F.col("col_name") == "Statistics")
+    stats_str = det.collect()[0]["data_type"] if det.count() else ""
+    key_stats = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()
+    status_stats = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderstatus").collect()
+    kv = {r["info_name"]: r["info_value"] for r in key_stats}
+    sv = {r["info_name"]: r["info_value"] for r in status_stats}
+    return spark.createDataFrame(
+        [
+            (
+                tbl,
+                stats_str,
+                int(kv.get("distinct_count", "-1")),
+                int(kv.get("num_nulls", "-1")),
+                int(sv.get("distinct_count", "-1")),
+            )
+        ],
+        "table string, table_stats string, key_distinct long, key_nulls long, status_distinct long",
+    )
