@@ -294,6 +294,14 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant tests assert rowCount exactness and distinct-count
     sanity instead)."""
     tbl = f"orders_stats_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    # A fresh session's in-memory catalog forgets managed tables but
+    # their warehouse dirs survive — drop both metadata and location
+    # (same hazard join_bucket_colocated handles).
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(
+        os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl),
+        ignore_errors=True,
+    )
     table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
     spark.sql(
         f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus"
