@@ -1,12 +1,12 @@
 """Operator modules — importing this package registers every op from
 SURVEY.md §2 into `lambda_hive_spark.registry`.
 
-Import order IS registration order, and the driver's bounded
-correctness window grades ungraded ops in registration order
-(`__spark_entry__._ordered_ops`) — so round-1/2 modules (including
-windows/udx, the oldest never-graded backlog) register BEFORE the
-round-3 additions (timeseries, tpch_full, training); newly added ops
-queue behind the existing backlog rather than displacing it."""
+Import order IS registration order. The driver's bounded correctness
+window grades ungraded ops in registration order EXCEPT that the
+oldest never-graded backlog (windows/streams/UDx/TPC-H/LSH) is pinned
+explicitly to the front by `__spark_entry__._BACKLOG_FIRST` —
+registration order alone cannot express op age once later rounds add
+ops to early-registering modules."""
 
 from lambda_hive_spark.operators import (  # noqa: F401
     advagg,
