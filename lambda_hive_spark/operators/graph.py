@@ -220,3 +220,55 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cn.join(edges, ["doc_a", "doc_b"], "left_anti").filter(
         F.col("common_neighbors") >= 2
     )
+
+
+@op(
+    "graph_component_density",
+    oracle=f"""
+WITH RECURSIVE
+{_SQL_SIM_EDGES.lstrip()},
+und AS (SELECT doc_a AS u, doc_b AS v FROM sim UNION ALL SELECT doc_b, doc_a FROM sim),
+verts AS (SELECT DISTINCT u AS node FROM und),
+reach(node, lab) AS (
+  SELECT node, node FROM verts
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node WHERE r.lab < e.v
+),
+labels AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+nodes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM labels GROUP BY 1),
+cedges AS (
+  SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM sim s JOIN labels l ON s.doc_a = l.doc_id
+  GROUP BY 1
+)
+SELECT n.cluster_id, n.n_nodes, c.n_edges,
+       CAST(2 * c.n_edges AS DOUBLE) / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE) AS density
+FROM nodes n JOIN cedges c ON n.cluster_id = c.cluster_id
+""",
+)
+def graph_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster edge density of the near-dup graph: 2E/(N·(N-1)) —
+    density 1.0 means a clique (transitive dedup is safe: keep one
+    representative), low density means chained borderline pairs where
+    collapsing the whole cluster would merge distinct content. This is
+    the decision metric between dedup_clusters (collapse all) and
+    dedup_apply_representative (collapse verified pairs only). Exact
+    integer counts; one double division. Edges attribute to their
+    endpoint's cluster (endpoints agree by construction), so the whole
+    diagnostic is two bounded groupBys over the edge/label lists."""
+    from lambda_hive_spark.operators.llm import dedup_clusters
+
+    labels = dedup_clusters(spark, sf_dir)
+    edges = _sim_pairs(spark, sf_dir)
+    nodes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    cedges = (
+        edges.join(labels.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    density = (2 * F.col("n_edges")).cast("double") / (
+        F.col("n_nodes") * (F.col("n_nodes") - 1)
+    ).cast("double")
+    return nodes.join(cedges, "cluster_id").select(
+        "cluster_id", "n_nodes", "n_edges", density.alias("density")
+    )
