@@ -355,3 +355,46 @@ def sink_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(c, n, key_sums[c], ok) for c, n, ok in out],
         "codec string, n_rows bigint, key_sum bigint, content_matches boolean",
     )
+
+
+@op(
+    "scan_ignore_corrupt_files",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    tags=("side_effect",),
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resilient directory scan: a landing dir contaminated with a
+    truncated/garbage `.parquet` file (the classic failed-upload
+    artifact) is read with ``ignoreCorruptFiles=true`` — the scan
+    skips the unreadable file and returns every row of the good ones,
+    proven by the oracle matching the clean source table exactly.
+    Without the option the whole job dies on one bad file; with it,
+    loss is bounded to the corrupt file and the pipeline keeps its
+    SLA. (Quarantine-style accounting for semi-structured rows is the
+    sibling op scan_corrupt_records.)"""
+    land = _scratch(f"corrupt_land_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(land, exist_ok=True)
+    good = os.path.join(land, "part-good.parquet")
+    bad = os.path.join(land, "part-bad.parquet")
+    if not os.path.exists(good):
+        import shutil
+
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), good)
+    if not os.path.exists(bad):
+        with open(bad, "wb") as f:
+            f.write(b"PAR1 this is not a parquet file at all \x00\xff" * 64)
+    # The per-reader OPTION (not the session conf) so the tolerance is
+    # baked into this plan and survives re-execution without leaking
+    # session-wide state. Schema declared explicitly: driver-side
+    # footer inference has no task-side tolerance and would throw on
+    # the corrupt file — and a production reader declares its schema
+    # anyway.
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(land)
+        .select("event_id", "user_id", "event_type")
+    )
