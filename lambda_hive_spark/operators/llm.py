@@ -1349,3 +1349,85 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "rn", "term", "tfidf")
     )
+
+
+@op(
+    "text_novelty_score",
+    oracle=f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+dfreq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY s)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN d.df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+       CAST(COUNT(CASE WHEN d.df = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM post p JOIN dfreq d ON p.s = d.s
+GROUP BY p.doc_id
+""",
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty: the fraction of a doc's shingles seen
+    NOWHERE else in the corpus (df = 1) — the inverse of boilerplate
+    share. doc_repetition measures repetition WITHIN a doc; this
+    measures it ACROSS docs, and together they split 'spammy' into
+    'self-repeating' vs 'template copy'. Document frequency is one
+    map-combined count over the postings; the score join keys on the
+    shingle and re-groups by doc — two shuffles, payload is (shingle
+    hash-key, df), never text. Exact integer ratio in double."""
+    sh = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    post = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = post.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.count(F.when(F.col("df") == 1, 1))
+    return (
+        post.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+@op("sim_recall_eval")  # rows-only: depends on MLlib LSH internals (seeded, engine-specific)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall of the LSH approximate
+    neighbor search against the exact brute-force top-k for the same
+    query set — THE metric that decides whether an ANN index is
+    usable (a fast index at 40% recall poisons retrieval silently).
+    Ground truth comes from sim_knn_exact; approx pairs from the
+    IVF cluster-pruned search (seeded, deterministic); recall@k =
+    |approx ∩ exact| / |exact| per query, plus the macro average as
+    an ALL row. Evaluation is a semi-join of two small per-query
+    result sets — at 100 TB the cost is the two searches, never the
+    comparison. Rows-only by necessity (LSH internals are
+    engine-specific); the invariant suite asserts the macro recall
+    floor instead."""
+    from lambda_hive_spark.operators.extras import sim_knn_ivf
+
+    exact = sim_knn_exact(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    approx = sim_knn_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n_approx")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.n_exact == approx.n_approx),
+    ).groupBy(exact.query_id.alias("qid")).agg(F.count(F.lit(1)).alias("n_hits"))
+    truth = exact.groupBy(F.col("query_id").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    per_q = truth.join(hits, "qid", "left").select(
+        F.col("qid").cast("string").alias("query"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_truth")).alias("recall"),
+    )
+    overall = per_q.agg(
+        F.lit("ALL").alias("query"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_truth").cast("long").alias("n_truth"),
+        (F.sum("n_hits").cast("double") / F.sum("n_truth")).alias("recall"),
+    )
+    return per_q.unionByName(overall)

@@ -359,3 +359,58 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e_id").isNull() & F.col("h_id").isNotNull()).alias("dup_near"),
         (F.col("e_id").isNull() & F.col("h_id").isNull()).alias("admitted"),
     )
+
+
+@op(
+    "pipeline_dataset_card",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens, md5(text) AS h
+  FROM documents
+),
+dups AS (
+  SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT COUNT(*) AS cnt FROM tok GROUP BY h)
+),
+top_lang AS (
+  SELECT lang FROM tok GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_docs,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM tok) AS n_langs,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM tok) AS total_tokens,
+       (SELECT CAST(MIN(n_tokens) AS BIGINT) FROM tok) AS min_tokens,
+       (SELECT CAST(MAX(n_tokens) AS BIGINT) FROM tok) AS max_tokens,
+       (SELECT n_dup_docs FROM dups) AS n_exact_dup_docs,
+       (SELECT lang FROM top_lang) AS top_lang
+""",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet (model-card companion): one row of
+    corpus-level facts — doc/language counts, token totals and range,
+    exact-duplicate excess, dominant language — the numbers every
+    dataset release documents. Three bounded aggregates composed with
+    broadcast cross joins; the md5 dup census reuses dedup_exact's
+    hash-group shape. Token totals are exact integers, so the card is
+    hash-stable by construction."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    core = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    dups = (
+        tok.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_exact_dup_docs"))
+    )
+    top_lang = (
+        tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang").limit(1).select(F.col("lang").alias("top_lang"))
+    )
+    return core.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(top_lang))

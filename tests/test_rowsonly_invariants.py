@@ -161,3 +161,20 @@ def test_approx_quantiles_bracketed_by_exact_neighbors(spark):
         for flag, (lo, hi) in bounds.items():
             v = getattr(approx[flag], col)
             assert lo <= v <= hi, (flag, col, lo, v, hi)
+
+
+def test_sim_recall_eval_floor_and_bounds(spark):
+    """ANN recall eval: every per-query recall is a valid fraction of
+    a k=5 truth set, and macro recall clears the usefulness floor for
+    this probe budget (measured 0.48-0.56 across scales)."""
+    from lambda_hive_spark.registry import all_ops
+
+    rows = all_ops()["sim_recall_eval"].fn(spark, SF_DIR).collect()
+    per_q = [r for r in rows if r["query"] != "ALL"]
+    overall = [r for r in rows if r["query"] == "ALL"]
+    assert len(overall) == 1 and len(per_q) == 10
+    for r in per_q:
+        assert r["n_truth"] == 5
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert abs(r["recall"] - r["n_hits"] / r["n_truth"]) < 1e-12
+    assert overall[0]["recall"] >= 0.3, overall
