@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lambda_hive_spark.io import par_table, table
 from lambda_hive_spark.operators.llm import _SQL_SHINGLES, _shingles, _tokens
@@ -393,3 +394,40 @@ def quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rules")
     )
     return agg.select(F.explode("rules").alias("r")).select("r.rule", "r.n_pass", "r.n_fail")
+
+
+@op(
+    "quality_key_gaps",
+    oracle="""
+WITH holed AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+),
+gaps AS (
+  SELECT LAG(k) OVER (ORDER BY k) AS prev_k, k
+  FROM holed
+)
+SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end,
+       CAST(k - prev_k - 1 AS BIGINT) AS n_missing
+FROM gaps WHERE k - prev_k > 1
+""",
+)
+def quality_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over a supposedly-dense key space: lag
+    the sorted keys and report every (gap_start, gap_end, n_missing)
+    range — the integrity check that catches dropped ingest batches
+    (holes are injected deterministically here: every 97th key
+    removed, so the oracle sees the identical holes). The lag runs on
+    the KEY projection only; at 100 TB you'd range-partition the keys
+    first and stitch the per-partition boundary pairs — same output,
+    no single-partition window (the global window here is the
+    oracle-checkable semantics statement)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
+    w = Window.orderBy("k")
+    gaps = o.select(F.col("o_orderkey").alias("k")).withColumn(
+        "prev_k", F.lag("k").over(w)
+    )
+    return gaps.filter(F.col("k") - F.col("prev_k") > 1).select(
+        (F.col("prev_k") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("prev_k") - 1).alias("n_missing"),
+    )
