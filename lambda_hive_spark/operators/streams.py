@@ -215,3 +215,45 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = core.events_stream(spark, core.landing_dir(sf_dir))
     state_path = plans.run_upsert(stream, core.scratch_dir("upsert-state"))
     return spark.read.parquet(state_path).select("user_id", "event_id", "value")
+
+
+@op("stream_progress_metrics", tags=("side_effect",))  # rows-only: progress is runtime telemetry
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: run a windowless streaming aggregate
+    to completion and report the query's own progress telemetry —
+    input rows per micro-batch, batch count, and the final state-store
+    row count — the numbers an on-call engineer watches to catch lag
+    and state blow-up. The invariant suite pins
+    total numInputRows == exact source row count (exactly-once
+    accounting through the file source's checkpointed file log);
+    telemetry shape itself is engine-internal → rows-only."""
+    import uuid as _uuid
+
+    stream = core.events_stream(
+        spark, core.landing_dir(sf_dir), max_files_per_trigger=1
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"prog_{_uuid.uuid4().hex[:10]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", core.scratch_dir("prog_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("stream_progress_metrics did not drain in 300s")
+    progress = query.recentProgress
+    total_in = sum(int(p["numInputRows"]) for p in progress)
+    n_batches = len([p for p in progress if int(p["numInputRows"]) > 0])
+    state_rows = 0
+    for p in progress:
+        for so in p.get("stateOperators", []):
+            state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
+    n_types = spark.table(name).count()
+    return spark.createDataFrame(
+        [(total_in, n_batches, state_rows, n_types)],
+        "total_input_rows long, n_batches long, state_rows long, n_groups long",
+    )

@@ -178,3 +178,18 @@ def test_sim_recall_eval_floor_and_bounds(spark):
         assert 0 <= r["n_hits"] <= r["n_truth"]
         assert abs(r["recall"] - r["n_hits"] / r["n_truth"]) < 1e-12
     assert overall[0]["recall"] >= 0.3, overall
+
+
+def test_stream_progress_accounts_every_row(spark):
+    """Streaming telemetry: total numInputRows across micro-batches
+    equals the exact source row count (exactly-once file-source
+    accounting), and the complete-mode state holds one row per
+    event_type."""
+    from lambda_hive_spark.io import table
+    from lambda_hive_spark.registry import all_ops
+
+    want = table(spark, SF_DIR, "events").count()
+    r = all_ops()["stream_progress_metrics"].fn(spark, SF_DIR).collect()[0]
+    assert r["total_input_rows"] == want
+    assert r["n_groups"] == 5 and r["state_rows"] == 5
+    assert r["n_batches"] >= 1
