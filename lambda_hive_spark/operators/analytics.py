@@ -726,3 +726,83 @@ def events_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("prev_n")).alias("delta"),
         (F.col("n").cast("double") / F.col("prev_n").cast("double")).alias("wow_ratio"),
     )
+
+
+@op(
+    "supplier_scorecard",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+       CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE) / COUNT(*) AS return_rate,
+       {sql_dsum('l.l_discount', 6)} / COUNT(*) AS avg_discount
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier KPI scorecard: line volume, decimal-exact revenue,
+    return counts and rate, and average discount — the vendor-review
+    table a procurement dashboard serves. One broadcast join (supplier
+    is dim-bounded), one map-combined aggregate; the return rate is an
+    exact-integer ratio, the average discount a decimal-exact sum over
+    an exact count, so every KPI is hash-stable at any parallelism."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.count(F.lit(1))
+    n_ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            n.alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            n_ret.alias("n_returned"),
+            (n_ret.cast("double") / n).alias("return_rate"),
+            (dsum("l_discount", 6) / n).alias("avg_discount"),
+        )
+    )
+
+
+@op(
+    "orders_duplicate_suspects",
+    oracle="""
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       a.o_custkey, a.o_totalprice,
+       CAST(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)) AS BIGINT) AS day_gap
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_totalprice = b.o_totalprice
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE))) <= 30
+""",
+)
+def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screening: order pairs from the same customer
+    with the IDENTICAL total inside a 30-day window — the classic
+    double-charge / double-submit audit. The self-join keys on
+    (customer, exact amount) — an equi-join whose buckets are tiny for
+    real data (amount collisions per customer are rare) — with the
+    day-gap as a post-filter, never a time-range join over the whole
+    customer history. Exact doubles compare exactly (both engines read
+    the same parquet bits)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("key_a"), "o_custkey", "o_totalprice",
+        F.to_date("o_orderdate").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("cb"), F.col("o_totalprice").alias("pb"),
+        F.to_date("o_orderdate").alias("db"),
+    )
+    gap = F.datediff("db", "da").cast("long")
+    return (
+        a.join(
+            b,
+            (a.o_custkey == b.cb) & (a.o_totalprice == b.pb) & (a.key_a < b.key_b),
+        )
+        .filter(F.abs(gap) <= 30)
+        .select("key_a", "key_b", "o_custkey", "o_totalprice", gap.alias("day_gap"))
+    )
