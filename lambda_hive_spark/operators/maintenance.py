@@ -324,3 +324,45 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "table string, table_stats string, key_distinct long, key_nulls long, status_distinct long",
     )
+
+
+@op(
+    "maintenance_cache_reuse",
+    oracle=f"""
+SELECT 'by_segment' AS cut, c_mktsegment AS key,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('c_acctbal')} AS total_bal
+FROM customer GROUP BY c_mktsegment
+UNION ALL
+SELECT 'rich_by_nation', CAST(c_nationkey AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), {sql_dsum('c_acctbal')}
+FROM customer WHERE c_acctbal > 5000
+GROUP BY c_nationkey
+""",
+    tags=("side_effect",),
+)
+def maintenance_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cache reuse: pin the hot dimension in executor memory
+    (`.cache()`), then serve two different aggregates from the SAME
+    in-memory columnar copy — the second query's scan is an
+    InMemoryTableScan, not a second parquet read (plan-asserted in
+    tests). This is the dashboard-serving pattern: one warm dim, many
+    cuts. The cached entity is the wall-clock-bounded dimension, never
+    a fact table — at 100 TB caching facts evicts itself uselessly,
+    caching dims is free. Results are semantically cache-invisible,
+    which is exactly what the oracle certifies."""
+    c = table(spark, sf_dir, "customer").cache()
+    by_segment = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal")
+    ).select(
+        F.lit("by_segment").alias("cut"), F.col("c_mktsegment").alias("key"), "n", "total_bal"
+    )
+    rich_by_nation = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal"))
+        .select(
+            F.lit("rich_by_nation").alias("cut"),
+            F.col("c_nationkey").cast("string").alias("key"), "n", "total_bal",
+        )
+    )
+    return by_segment.unionByName(rich_by_nation)

@@ -390,3 +390,21 @@ def test_headline_shuffle_counts_do_not_regress(spark):
         plan = ops[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         got = plan.count("Exchange")
         assert got <= bound, f"{name}: {got} Exchanges (audited max {bound})"
+
+
+def test_cache_reuse_serves_from_memory(spark):
+    """After maintenance_cache_reuse pins the dimension, an identical
+    scan plans as InMemoryRelation — the second cut reads columnar
+    cache, not parquet."""
+    from lambda_hive_spark.io import table
+    from lambda_hive_spark.registry import all_ops
+
+    all_ops()["maintenance_cache_reuse"].fn(spark, SF_DIR).collect()
+    plan = (
+        table(spark, SF_DIR, "customer")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    try:
+        assert "InMemoryRelation" in plan, plan[:500]
+    finally:
+        table(spark, SF_DIR, "customer").unpersist()
