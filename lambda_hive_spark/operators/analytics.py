@@ -806,3 +806,59 @@ def orders_duplicate_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(gap) <= 30)
         .select("key_a", "key_b", "o_custkey", "o_totalprice", gap.alias("day_gap"))
     )
+
+
+@op(
+    "events_active_users",
+    oracle="""
+WITH dau AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1
+),
+mau AS (
+  SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+),
+wau AS (
+  SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau,
+       w.wau, m.mau,
+       CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+FROM dau d
+JOIN wau w ON date_trunc('week', d.day) = w.week
+JOIN mau m ON date_trunc('month', d.day) = m.month
+""",
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU and the DAU/MAU stickiness ratio — the engagement
+    table every product review opens with. Three calendar-bucketed
+    distinct-user counts (each one map-partial distinct aggregate),
+    joined back onto the day grain; stickiness is one exact-integer
+    division. Calendar WAU/MAU (not rolling) keeps every count a
+    plain groupBy — the rolling variants need a per-day window over
+    a (day × user) distinct projection, which at 100 TB is the same
+    projection fed to a 7/30-day range frame."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    wau = ev.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    mau = ev.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    out = (
+        dau.join(wau, F.date_trunc("week", F.col("day")) == F.col("week"))
+        .join(mau, F.date_trunc("month", F.col("day")) == F.col("month"))
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau", "wau", "mau",
+        (F.col("dau").cast("double") / F.col("mau").cast("double")).alias("stickiness"),
+    )
