@@ -862,3 +862,51 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau", "wau", "mau",
         (F.col("dau").cast("double") / F.col("mau").cast("double")).alias("stickiness"),
     )
+
+
+@op(
+    "events_rolling_active_7d",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+bounds AS (SELECT MAX(day) AS d1 FROM act),
+covered AS (
+  SELECT DISTINCT a.user_id, a.day + CAST(g.i AS INT) AS cday
+  FROM act a, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g
+),
+valid AS (
+  SELECT c.cday, c.user_id FROM covered c CROSS JOIN bounds b
+  WHERE c.cday <= b.d1
+    AND c.cday >= (SELECT MIN(day) FROM act)
+)
+SELECT strftime(CAST(cday AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+FROM valid GROUP BY cday
+""",
+)
+def events_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 7-day active users (the true WAU curve, not calendar
+    weeks): a user active on day d counts as active on days d..d+6,
+    so each distinct (user, day) activity explodes into ≤7 covered
+    days and the rolling count is a plain distinct-count per covered
+    day — the scatter formulation that turns a sliding-window
+    distinct (not natively expressible) into groupBys. Cost is
+    bounded at 7× the DISTINCT (user, day) projection (tiny next to
+    the event log); days outside the observed range are clipped so
+    the curve has no partially-covered tail fabricating decline."""
+    act = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    b = act.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    covered = act.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("i")).alias("cday")).distinct()
+    valid = covered.crossJoin(F.broadcast(b)).filter(
+        (F.col("cday") <= F.col("d1")) & (F.col("cday") >= F.col("d0"))
+    )
+    return valid.groupBy(
+        F.date_format("cday", "yyyy-MM-dd").alias("day")
+    ).agg(F.count_distinct("user_id").alias("active_7d"))

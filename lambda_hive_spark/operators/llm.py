@@ -1431,3 +1431,78 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_hits").cast("double") / F.sum("n_truth")).alias("recall"),
     )
     return per_q.unionByName(overall)
+
+
+@op(
+    "text_lang_divergence_tv",
+    oracle="""
+WITH tok AS (
+  SELECT lang, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE lang IN ('en', 'es', 'fr', 'de', 'zh')
+),
+counts AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
+),
+totals AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tot FROM counts GROUP BY 1),
+en AS (
+  SELECT c.term, CAST(c.n AS DOUBLE) / t.n_tot AS p
+  FROM counts c JOIN totals t ON c.lang = t.lang WHERE c.lang = 'en'
+),
+oth AS (
+  SELECT c.lang, c.term, CAST(c.n AS DOUBLE) / t.n_tot AS q
+  FROM counts c JOIN totals t ON c.lang = t.lang WHERE c.lang <> 'en'
+),
+joined AS (
+  SELECT o.lang, abs(COALESCE(e.p, 0) - o.q) AS d
+  FROM oth o LEFT JOIN en e ON o.term = e.term
+  UNION ALL
+  SELECT l.lang, e.p AS d
+  FROM en e CROSS JOIN (SELECT DISTINCT lang FROM oth) l
+  WHERE NOT EXISTS (SELECT 1 FROM oth o2 WHERE o2.lang = l.lang AND o2.term = e.term)
+)
+SELECT lang,
+       round(CAST(SUM(CAST(d AS DECIMAL(18,15))) AS DOUBLE) / 2, 8) AS tv_distance
+FROM joined GROUP BY lang
+""",
+)
+def text_lang_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-distribution divergence per language vs the 'en'
+    reference, as TOTAL-VARIATION distance ½·Σ|p−q| — the
+    information-theoretic drift check without KL's log (no libm, no
+    zero-probability blowups). Terms missing on either side contribute
+    their full mass via the outer-join + anti-join union. Per-term
+    |p−q| is exact IEEE on exact-integer ratios; the cross-term SUM
+    accumulates through scale-15 decimal (masses ≤1, so 3 integer
+    digits suffice) and rounds at 1e-8 — the stats.py pattern. One
+    vocabulary-keyed join tree; nothing fact-sized shuffles twice."""
+    tok = (
+        par_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "es", "fr", "de", "zh"))
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+    )
+    counts = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("lang").agg(F.sum("n").cast("long").alias("n_tot"))
+    probs = counts.join(totals, "lang").select(
+        "lang", "term", (F.col("n").cast("double") / F.col("n_tot")).alias("p")
+    )
+    en = probs.filter(F.col("lang") == "en").select("term", F.col("p").alias("p_en"))
+    oth = probs.filter(F.col("lang") != "en").select("lang", "term", F.col("p").alias("q"))
+    shared = oth.join(en, "term", "left").select(
+        "lang", F.abs(F.coalesce("p_en", F.lit(0.0)) - F.col("q")).alias("d")
+    )
+    langs = oth.select("lang").distinct()
+    en_only = (
+        en.crossJoin(langs)
+        .join(oth.select("lang", "term"), ["lang", "term"], "left_anti")
+        .select("lang", F.col("p_en").alias("d"))
+    )
+    return (
+        shared.unionByName(en_only)
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(18,15)")).cast("double") / 2, 8
+            ).alias("tv_distance")
+        )
+    )
