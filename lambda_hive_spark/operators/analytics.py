@@ -910,3 +910,102 @@ def events_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return valid.groupBy(
         F.date_format("cday", "yyyy-MM-dd").alias("day")
     ).agg(F.count_distinct("user_id").alias("active_7d"))
+
+
+@op(
+    "cohort_value_ltv",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort_week
+  FROM events GROUP BY user_id
+),
+cell AS (
+  SELECT f.cohort_week,
+         strftime(date_trunc('week', e.ts), '%Y-%m-%d') AS activity_week,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS week_value
+  FROM events e JOIN first_seen f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_week, activity_week, week_value,
+       CAST(SUM(CAST(week_value AS DECIMAL(18,6))) OVER (
+         PARTITION BY cohort_week ORDER BY activity_week
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM cell
+""",
+)
+def cohort_value_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: purchase value per (signup-week
+    cohort × activity week) plus the running cumulative — the LTV
+    curve finance reads off retention_cohort's monetary sibling. Both
+    the cell sums and the cumulative run through decimal (the window
+    re-sums the already-exact cell values, so cum_value is
+    order-independent too). The cumulative window sorts the tiny
+    cohort×week matrix, never the event log."""
+    ev = table(spark, sf_dir, "events")
+    week = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
+    first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first), "user_id")
+        .groupBy("cohort_week", week(F.col("ts")).alias("activity_week"))
+        .agg(dsum("value").alias("week_value"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("activity_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("week_value").cast("decimal(18,6)")).over(w).cast("double")
+    return cell.withColumn("cum_value", cum)
+
+
+@op(
+    "brand_share_trend",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year, p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS brand_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS year_rev
+  FROM lineitem GROUP BY 1
+)
+SELECT r.ship_year, r.p_brand, r.brand_rev,
+       r.brand_rev / t.year_rev AS share
+FROM rev r JOIN tot t ON r.ship_year = t.ship_year
+""",
+)
+def brand_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue share by ship year for a watched brand set — the
+    market-share trend line. Brand revenue and the year total are both
+    decimal-exact sums, so the share division sees identical doubles
+    on both engines; the year-total table is years-bounded and
+    broadcasts. At 100 TB the part join broadcasts the dim and the
+    two aggregates map-combine — two passes over lineitem, or one
+    with a grouping-sets rewrite when the scan dominates."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"), "p_brand"
+        )
+        .agg(dsum(revenue).alias("brand_rev"))
+    )
+    tot = li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
+        dsum(revenue).alias("year_rev")
+    )
+    return (
+        rev.join(F.broadcast(tot), "ship_year")
+        .select(
+            "ship_year", "p_brand", "brand_rev",
+            (F.col("brand_rev") / F.col("year_rev")).alias("share"),
+        )
+    )
