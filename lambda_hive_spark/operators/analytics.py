@@ -1009,3 +1009,99 @@ def brand_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("brand_rev") / F.col("year_rev")).alias("share"),
         )
     )
+
+
+@op(
+    "events_control_chart",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT CAST(SUM(n_err) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS p_bar FROM daily
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n, d.n_err,
+       CAST(d.n_err AS DOUBLE) / CAST(d.n AS DOUBLE) AS p,
+       b.p_bar,
+       b.p_bar + 3 * sqrt(b.p_bar * (1 - b.p_bar) / d.n) AS ucl,
+       CAST(d.n_err AS DOUBLE) / CAST(d.n AS DOUBLE)
+         > b.p_bar + 3 * sqrt(b.p_bar * (1 - b.p_bar) / d.n) AS out_of_control
+FROM daily d CROSS JOIN base b
+""",
+)
+def events_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (p-chart): daily error proportion
+    against the 3σ upper control limit p̄ + 3·√(p̄(1−p̄)/n) — the
+    alerting rule that distinguishes real incidents from sampling
+    noise (a fixed threshold can't: small days are noisier). Every
+    input is an exact integer; the only transcendental is sqrt, which
+    IEEE 754 requires correctly rounded — so unlike ln/exp the limit
+    is bit-identical across engines and the boolean flag cannot
+    flicker at the boundary. One daily aggregate + a broadcast 1-row
+    baseline."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    base = daily.agg(
+        (F.sum("n_err").cast("double") / F.sum("n").cast("double")).alias("p_bar")
+    )
+    p = F.col("n_err").cast("double") / F.col("n").cast("double")
+    ucl = F.col("p_bar") + 3 * F.sqrt(F.col("p_bar") * (1 - F.col("p_bar")) / F.col("n"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n", "n_err", p.alias("p"), "p_bar",
+            ucl.alias("ucl"), (p > ucl).alias("out_of_control"),
+        )
+    )
+
+
+@op(
+    "regression_price_vs_size",
+    oracle="""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(p_size AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(p_size * p_size AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(p_size * p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+  FROM part
+)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s
+""",
+)
+def regression_price_vs_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS fit (does part size predict retail price?) in closed
+    form from the four mergeable power sums — the agg_corr_covar
+    pattern extended to slope/intercept, instead of the builtins
+    regr_slope/regr_intercept whose double accumulation is
+    order-dependent on both engines. One map-combinable pass; the
+    same five numbers drive an incremental re-fit when data arrives.
+    Outputs rounded 8/6 decimals above residual division noise."""
+    p = table(spark, sf_dir, "part")
+    d4 = lambda c: F.sum(c.cast("decimal(18,4)")).cast("double")  # noqa: E731
+    x, y = F.col("p_size"), F.col("p_retailprice")
+    s = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        d4(x).alias("sx"), d4(y).alias("sy"),
+        d4(x * x).alias("sxx"), d4(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return s.select(
+        n.cast("bigint").alias("n"),
+        F.round(slope, 8).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
