@@ -1105,3 +1105,78 @@ def regression_price_vs_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@op(
+    "nation_trade_matrix",
+    oracle=f"""
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS volume
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT a.supp_nation AS nation_a, a.cust_nation AS nation_b,
+       a.volume AS export_ab,
+       COALESCE(b.volume, 0) AS export_ba,
+       CAST(CAST(a.volume AS DECIMAL(18,6))
+            - CAST(COALESCE(b.volume, 0) AS DECIMAL(18,6)) AS DOUBLE) AS net_balance
+FROM flows a
+LEFT JOIN flows b ON a.supp_nation = b.cust_nation AND a.cust_nation = b.supp_nation
+WHERE a.supp_nation < a.cust_nation OR b.supp_nation IS NULL
+""",
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade matrix with NET balance: revenue flowing
+    supplier-nation → customer-nation, self-joined with the reverse
+    direction so each unordered pair appears once with both legs and
+    their difference (Q7's volume query upgraded to the balance the
+    trade economist actually wants). The flow table is
+    nations²-bounded (≤625 rows), so the direction self-join is free;
+    the heavy work is the one star join, dims broadcast. The net is a
+    decimal-exact difference of two decimal-exact sums."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flows = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(dsum(rev).alias("volume"))
+    )
+    rev_b = flows.select(
+        F.col("supp_nation").alias("b_supp"),
+        F.col("cust_nation").alias("b_cust"),
+        F.col("volume").alias("volume_b"),
+    )
+    j = flows.join(
+        rev_b,
+        (flows.supp_nation == rev_b.b_cust) & (flows.cust_nation == rev_b.b_supp),
+        "left",
+    )
+    net = (
+        F.col("volume").cast("decimal(18,6)")
+        - F.coalesce(F.col("volume_b"), F.lit(0.0)).cast("decimal(18,6)")
+    ).cast("double")
+    return j.filter(
+        (F.col("supp_nation") < F.col("cust_nation")) | F.col("b_supp").isNull()
+    ).select(
+        F.col("supp_nation").alias("nation_a"),
+        F.col("cust_nation").alias("nation_b"),
+        F.col("volume").alias("export_ab"),
+        F.coalesce("volume_b", F.lit(0.0)).alias("export_ba"),
+        net.alias("net_balance"),
+    )

@@ -309,3 +309,59 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = F.array_min(F.array(*dists)).getField("k")
         codes.append(best.cast("string"))
     return e.select("vec_id", F.concat_ws(",", *codes).alias("pq_code"))
+
+
+@op(
+    "stats_chi2_independence",
+    oracle="""
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+),
+row_m AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+col_m AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY nat),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT o.seg, o.nat, o.o,
+         CAST(r.r * c.c AS DOUBLE) / t.n AS e
+  FROM obs o JOIN row_m r ON o.seg = r.seg
+             JOIN col_m c ON o.nat = c.nat
+             CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(CAST(SUM(CAST((o - e) * (o - e) / e AS DECIMAL(18,12))) AS DOUBLE), 6) AS chi2
+FROM cells
+""",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence statistic for market segment × nation: observed
+    cell counts vs marginal-product expectations, Σ(O−E)²/E over the
+    OBSERVED cells (the zero-cell convention stated explicitly — both
+    sides use the same one, which is what makes the statistic
+    comparable at all). Expectations are exact-integer products
+    divided once in double; the cell terms cross rows, so they
+    accumulate through scale-12 decimal and round at 1e-6. The whole
+    test is two marginal aggregates + a broadcast scalar over a
+    bounded contingency table — the correlation screen for
+    categorical columns at any scale."""
+    c = table(spark, sf_dir, "customer")
+    obs = c.groupBy(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    col_m = obs.groupBy("nat").agg(F.sum("o").cast("long").alias("c"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_m), "seg")
+        .join(F.broadcast(col_m), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o", ((F.col("r") * F.col("c")).cast("double") / F.col("n")).alias("e")
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(term.cast("decimal(18,12)")).cast("double"), 6).alias("chi2"),
+    )
