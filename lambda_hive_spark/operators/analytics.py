@@ -1180,3 +1180,55 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("volume_b", F.lit(0.0)).alias("export_ba"),
         net.alias("net_balance"),
     )
+
+
+@op(
+    "session_depth_distribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_ms(ts) AS ms, event_id,
+         CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+              PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+              > 1800000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM seq
+),
+depth AS (
+  SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM depth GROUP BY depth
+""",
+)
+def session_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram: sessionize on the 30-minute gap rule
+    (lag + running break-sum, the pipeline_sessionize mechanics), then
+    the distribution of events-per-session — the engagement-depth
+    curve that separates bounce traffic from real usage. The lag and
+    cumulative-sum windows share one (user_id, ms, event_id) sort;
+    both downstream groupBys are map-combined. Output is
+    depth-bounded (dozens of rows), exact integers end to end."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("ms") - F.lag("ms").over(w) > 1800000, 1
+        ).otherwise(0),
+    )
+    sess = seq.withColumn(
+        "session_no",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    depth = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_sessions"))

@@ -1506,3 +1506,38 @@ def text_lang_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv_distance")
         )
     )
+
+
+@op(
+    "text_hapax_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT lang, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+),
+freq AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS hapax_ratio
+FROM freq GROUP BY lang
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per language: the hapax-legomenon fraction
+    (terms appearing exactly once) of each language's vocabulary — the
+    Zipf-tail health check: too low flags templated/duplicated text,
+    too high flags tokenizer damage or OCR noise. Two map-combined
+    counts over (lang, term); exact-integer ratio. The per-language
+    vocabulary is language-bounded, so the second aggregate is tiny
+    at any corpus size."""
+    tok = par_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    hapax = F.count(F.when(F.col("n") == 1, 1))
+    return freq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        hapax.alias("n_hapax"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
+    )

@@ -365,3 +365,46 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum(term.cast("decimal(18,12)")).cast("double"), 6).alias("chi2"),
     )
+
+
+@op(
+    "vec_norm_audit",
+    oracle="""
+WITH norms AS (
+  SELECT label,
+         sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (acc, x) -> acc + x)) AS l2
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN abs(l2 - 1.0) < 0.001 THEN 1 END) AS BIGINT) AS n_unit,
+       round(CAST(SUM(CAST(l2 AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 8) AS mean_l2,
+       MIN(l2) AS min_l2, MAX(l2) AS max_l2
+FROM norms GROUP BY label
+""",
+)
+def vec_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health audit: per-label L2-norm census — count
+    within unit tolerance, mean (decimal-accumulated, rounded), exact
+    min/max. THE precondition check before any cosine-as-dot shortcut
+    (sim_knn_exact, dedup_embedding assume unit norms; this op is the
+    gate that licenses the assumption). The squared-sum fold is
+    left-to-right (helpers.dot shape) and sqrt is IEEE-correctly-
+    rounded, so every per-row norm is bit-identical cross-engine;
+    min/max need no rounding at all."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = e.select(F.col("label").cast("long").alias("label"), F.sqrt(sq).alias("l2"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.abs(F.col("l2") - 1.0) < 0.001, 1)).alias("n_unit"),
+        F.round(dsum("l2", 12) / F.count(F.lit(1)), 8).alias("mean_l2"),
+        F.min("l2").alias("min_l2"),
+        F.max("l2").alias("max_l2"),
+    )
