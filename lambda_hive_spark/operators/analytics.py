@@ -1232,3 +1232,29 @@ def session_depth_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("depth")
     )
     return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@op(
+    "events_heatmap_hour_dow",
+    oracle="""
+SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases
+FROM events GROUP BY 1, 2
+""",
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity heatmap (ISO weekday × hour-of-day, total and
+    purchase counts) — the first dashboard every traffic product
+    ships. One map-combined aggregate to a ≤168-cell output; weekday
+    and hour extraction agree across engines under the pinned UTC
+    session (Spark weekday()+1 == DuckDB isodow, pinned in fn_date)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )

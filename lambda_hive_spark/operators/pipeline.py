@@ -414,3 +414,67 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "lang").limit(1).select(F.col("lang").alias("top_lang"))
     )
     return core.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(top_lang))
+
+
+@op(
+    "pipeline_dedup_report",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+           i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS shingles
+  FROM documents
+),
+exact_groups AS (
+  SELECT CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_removable
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY md5(text))
+),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_near_pairs
+  FROM pairs p JOIN sh x ON x.doc_id = p.doc_a JOIN sh y ON y.doc_id = p.doc_b
+  WHERE (p.shared / (len(x.shingles) + len(y.shingles) - p.shared)) >= 0.6
+),
+corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT c.n_docs, g.n_dup_groups, g.n_removable, n.n_near_pairs,
+       CAST(g.n_removable AS DOUBLE) / c.n_docs AS exact_dup_rate
+FROM corpus c CROSS JOIN exact_groups g CROSS JOIN near n
+""",
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup executive summary: corpus size, exact-duplicate
+    groups and removable-doc count, near-dup pair count at the
+    production threshold, and the exact-dup rate — the one-row report
+    a curation run publishes (its history over runs IS the corpus
+    drift monitor). Composes the dedup_exact hash census with the
+    bucket-pair near-dup pipeline; both already scale, and the report
+    adds only scalar aggregates and broadcast cross joins on 1-row
+    inputs."""
+    from lambda_hive_spark.operators.llm import dedup_ngram_jaccard
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    groups = d.groupBy(F.md5("text")).agg(F.count(F.lit(1)).alias("cnt"))
+    exact = groups.agg(
+        F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+    )
+    near = dedup_ngram_jaccard(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_near_pairs")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(near))
+        .select(
+            "n_docs", "n_dup_groups", "n_removable", "n_near_pairs",
+            (F.col("n_removable").cast("double") / F.col("n_docs")).alias("exact_dup_rate"),
+        )
+    )
