@@ -1258,3 +1258,73 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
     )
+
+
+@op(
+    "lineitem_band_crosstab",
+    oracle="""
+SELECT CASE WHEN l_discount < 0.03 THEN 'low' WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS discount_band,
+       CASE WHEN l_tax < 0.03 THEN 'low' WHEN l_tax < 0.06 THEN 'mid' ELSE 'high' END AS tax_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def lineitem_band_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-policy cross-tab: discount band × tax band with counts
+    and decimal-exact revenue — the 9-cell grid a pricing analyst
+    reads before touching either lever. Band edges are exact decimal
+    literals compared against exact parquet doubles, so banding is
+    engine-identical; one map-combined aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_band = (
+        F.when(F.col("l_discount") < 0.03, "low")
+        .when(F.col("l_discount") < 0.07, "mid")
+        .otherwise("high")
+    )
+    tax_band = (
+        F.when(F.col("l_tax") < 0.03, "low")
+        .when(F.col("l_tax") < 0.06, "mid")
+        .otherwise("high")
+    )
+    return li.groupBy(
+        disc_band.alias("discount_band"), tax_band.alias("tax_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@op(
+    "customer_balance_deciles",
+    oracle="""
+WITH ranked AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM ranked GROUP BY decile
+""",
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance decile table: boundaries, counts and
+    decimal-exact mass per decile — the wealth-distribution summary
+    (and the cutpoint source for downstream band features). ntile's
+    ORDER BY carries the customer key so equal balances assign
+    deterministically; the window sorts the customer dim, not a
+    fact."""
+    c = table(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_acctbal",
+        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
+    )
+    return ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        dsum("c_acctbal").alias("total_bal"),
+    )

@@ -582,3 +582,37 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("days_since_epoch"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
     )
+
+
+@op(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'small' END AS size_tag,
+       CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status_or_null,
+       COALESCE(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END, 'PENDING') AS status_defaulted,
+       CASE WHEN CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END IS NOT NULL
+            THEN 'known' ELSE 'unknown' END AS nvl2_tag,
+       CASE o_orderpriority
+         WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS priority_code
+FROM orders WHERE o_orderkey % 19 = 0
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional scalar surface beyond CASE: if(), nullif(),
+    nvl(), nvl2(), and decode() — the Oracle/Hive-compat idioms a
+    migrating user's SQL is full of. Each is a thin alias Catalyst
+    rewrites to CASE (the oracle IS that rewrite, so parity proves
+    the equivalences, not just the values). Map-only, codegen'd."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.expr("if(o_totalprice > 300000, 'big', 'small')").alias("size_tag"),
+        status_or_null.alias("status_or_null"),
+        F.nvl(status_or_null, F.lit("PENDING")).alias("status_defaulted"),
+        F.nvl2(status_or_null, F.lit("known"), F.lit("unknown")).alias("nvl2_tag"),
+        F.expr(
+            "decode(o_orderpriority, '1-URGENT', 1, '2-HIGH', 2, 9)"
+        ).cast("long").alias("priority_code"),
+    )
