@@ -392,3 +392,37 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
         """
     )
+
+
+@op(
+    "sql_window_clause",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       row_number() OVER w AS rn,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend,
+       MAX(o_totalprice) OVER w AS max_so_far
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL named WINDOW clause through the frontend: three
+    analytics share ONE window definition `w` — the maintainable form
+    BI-generated SQL uses (change the frame once, every measure
+    follows), and Spark plans the shared spec as a single
+    exchange+sort. Running spend goes through the windowed decimal
+    sum; the frame's ORDER BY is total (date + key), so every
+    cumulative value is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER w AS rn,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_spend,
+               MAX(o_totalprice) OVER w AS max_so_far
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
