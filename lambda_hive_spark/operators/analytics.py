@@ -1328,3 +1328,99 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("hi"),
         dsum("c_acctbal").alias("total_bal"),
     )
+
+
+@op(
+    "retention_day_n",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+flags AS (
+  SELECT f.user_id, f.d0,
+         MAX(CASE WHEN a.day = f.d0 + 1 THEN 1 ELSE 0 END) AS came_d1,
+         MAX(CASE WHEN a.day > f.d0 AND a.day <= f.d0 + 7 THEN 1 ELSE 0 END) AS came_w1
+  FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+  GROUP BY f.user_id, f.d0
+)
+SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_new_users,
+       CAST(SUM(came_d1) AS BIGINT) AS n_d1,
+       CAST(SUM(came_w1) AS BIGINT) AS n_w1,
+       CAST(SUM(came_d1) AS DOUBLE) / COUNT(*) AS d1_rate,
+       CAST(SUM(came_w1) AS DOUBLE) / COUNT(*) AS w1_rate
+FROM flags GROUP BY d0
+""",
+)
+def retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 / week-1 retention per acquisition-day cohort: did each
+    day's NEW users come back the next day, and within seven? — the
+    growth team's headline metric (retention_cohort gives the full
+    triangle; this is the two numbers leadership tracks). Per-user
+    flags are MAX over the bounded activity join; rates are
+    exact-integer ratios. The per-user dim is users-bounded →
+    broadcast at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    flags = (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(F.col("day") == F.date_add("d0", 1), 1).otherwise(0)
+            ).alias("came_d1"),
+            F.max(
+                F.when(
+                    (F.col("day") > F.col("d0"))
+                    & (F.col("day") <= F.date_add("d0", 7)),
+                    1,
+                ).otherwise(0)
+            ).alias("came_w1"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return flags.groupBy(F.date_format("d0", "yyyy-MM-dd").alias("cohort_day")).agg(
+        n.alias("n_new_users"),
+        F.sum("came_d1").cast("long").alias("n_d1"),
+        F.sum("came_w1").cast("long").alias("n_w1"),
+        (F.sum("came_d1").cast("double") / n).alias("d1_rate"),
+        (F.sum("came_w1").cast("double") / n).alias("w1_rate"),
+    )
+
+
+@op(
+    "part_price_premium",
+    oracle="""
+WITH per_type AS (
+  SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS type_total
+  FROM part GROUP BY p_type
+),
+overall AS (
+  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS all_total,
+         CAST(COUNT(*) AS BIGINT) AS all_n
+  FROM part
+)
+SELECT t.p_type, t.n,
+       round((t.type_total / t.n) / (o.all_total / o.all_n), 8) AS price_premium
+FROM per_type t CROSS JOIN overall o
+""",
+)
+def part_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price premium per part type: type mean / corpus mean — above
+    1.0 commands a premium. Both means are decimal-exact sums over
+    exact counts; their ratio is two IEEE divisions, rounded at 1e-8
+    well above division noise. One aggregate + a broadcast scalar."""
+    p = table(spark, sf_dir, "part")
+    per_type = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("p_retailprice").alias("type_total")
+    )
+    overall = p.agg(
+        dsum("p_retailprice").alias("all_total"), F.count(F.lit(1)).alias("all_n")
+    )
+    prem = (F.col("type_total") / F.col("n")) / (F.col("all_total") / F.col("all_n"))
+    return per_type.crossJoin(F.broadcast(overall)).select(
+        "p_type", "n", F.round(prem, 8).alias("price_premium")
+    )
