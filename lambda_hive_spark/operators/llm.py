@@ -1541,3 +1541,48 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.alias("n_hapax"),
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_ratio"),
     )
+
+
+@op(
+    "eval_langid_confusion",
+    oracle=f"""
+WITH pred AS (
+  SELECT doc_id, lang AS true_lang,
+       CASE
+         WHEN {_sql_hits('en')} >= {_sql_hits('es')} AND {_sql_hits('en')} >= {_sql_hits('fr')}
+              AND {_sql_hits('en')} >= {_sql_hits('de')} AND {_sql_hits('en')} > 0 THEN 'en'
+         WHEN {_sql_hits('es')} >= {_sql_hits('fr')} AND {_sql_hits('es')} >= {_sql_hits('de')}
+              AND {_sql_hits('es')} > 0 THEN 'es'
+         WHEN {_sql_hits('fr')} >= {_sql_hits('de')} AND {_sql_hits('fr')} > 0 THEN 'fr'
+         WHEN {_sql_hits('de')} > 0 THEN 'de'
+         ELSE 'unknown'
+       END AS pred_lang
+  FROM documents
+)
+SELECT true_lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       pred_lang = true_lang AS correct
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation against labels: the confusion matrix of
+    the marker-word language-ID heuristic vs the labeled lang column —
+    the eval every curation classifier needs before it gates data
+    (text_langid produces predictions; this op grades them). Cells
+    carry counts and the diagonal flag; composing the registered
+    predictor with the label join keeps ONE definition of the
+    heuristic under test. Bounded output (langs² cells), one
+    map-combined count."""
+    preds = text_langid(spark, sf_dir)
+    labels = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        preds.join(labels, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+        )
+    )
