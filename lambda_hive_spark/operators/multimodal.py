@@ -306,3 +306,59 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c.chunk").cast("long").alias("chunk_bytes"),
         F.lower(F.sha2(F.col("c.chunk"), 256)).alias("chunk_hash"),
     )
+
+
+@op(
+    "mm_block_dedup_savings",
+    oracle="""
+WITH chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         substring(text, 1 + CAST(i * 64 AS INT), 64) AS chunk
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(0,
+           CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS i
+  ) g
+),
+blocks AS (
+  SELECT sha256(chunk) AS h, CAST(length(chunk) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS refs
+  FROM chunks GROUP BY sha256(chunk), length(chunk)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_blocks,
+       CAST(SUM(refs) AS BIGINT) AS n_total_refs,
+       CAST(SUM(refs * b) AS BIGINT) AS logical_bytes,
+       CAST(SUM(b) AS BIGINT) AS physical_bytes,
+       CAST(SUM((refs - 1) * b) AS BIGINT) AS saved_bytes,
+       CAST(SUM((refs - 1) * b) AS DOUBLE) / SUM(refs * b) AS dedup_ratio
+FROM blocks
+""",
+)
+def mm_block_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level dedup savings estimate: content-address every
+    64-byte payload block (mm_chunk_manifest's expansion over the
+    WHOLE corpus), then one census of reference counts — logical vs
+    physical bytes and the savings a CAS store would realize. THE
+    sizing query before deploying block dedup on a media corpus.
+    Shuffle payload is (hash, length) pairs; blocks never move after
+    the in-scan expansion; output is one row of exact integers."""
+    p = payload_df(spark, sf_dir)
+    n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64),
+    )
+    ex = p.select(F.explode(chunk_structs).alias("chunk"))
+    blocks = ex.groupBy(
+        F.lower(F.sha2("chunk", 256)).alias("h"),
+        F.length("chunk").cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("refs"))
+    saved = F.sum((F.col("refs") - 1) * F.col("b"))
+    logical = F.sum(F.col("refs") * F.col("b"))
+    return blocks.agg(
+        F.count(F.lit(1)).alias("n_unique_blocks"),
+        F.sum("refs").cast("long").alias("n_total_refs"),
+        logical.cast("long").alias("logical_bytes"),
+        F.sum("b").cast("long").alias("physical_bytes"),
+        saved.cast("long").alias("saved_bytes"),
+        (saved.cast("double") / logical).alias("dedup_ratio"),
+    )
