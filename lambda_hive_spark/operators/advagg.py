@@ -46,14 +46,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("agg_approx_distinct")
+@op(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL cardinality — approximate, engine-specific → rows-only.
-    Our own suite checks it lands within rsd of the exact count."""
+    """HLL++ cardinality under the accuracy-contract gate (the
+    agg_approx_error_bound pattern, VERDICT r3 item 2): the estimate
+    itself is engine-specific so it cannot be value-compared, but
+    |approx − exact| ≤ 5·rsd·exact is a hash-checkable boolean — a
+    sketch drifting past five standard errors fails the driver gate.
+    Scale: at 100 TB drop the exact column and keep the HLL's fixed
+    per-group state; the contract column exists to make the sketch
+    drivable by the correctness gate at test scale."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    rsd = 0.02
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 5 * rsd * F.col("exact_parts")
+        ).alias("within_bound"),
     )
 
 

@@ -381,7 +381,10 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DataFrame `melt` twin): wide measures to (metric, val) rows in
     ONE Expand scan — the oracle's UNION ALL formulation reads the
     table once per measure, which is exactly the rewrite this clause
-    exists to avoid."""
+    exists to avoid. INCLUDE NULLS pins the NULL-measure policy to the
+    oracle's keep-them semantics (ADVICE r3 item 3: bare UNPIVOT drops
+    NULL measures, equivalent only while the fixture columns are
+    non-null)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -389,7 +392,7 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT o_orderkey, o_totalprice,
                      CAST(o_custkey AS DOUBLE) AS o_custkey
               FROM orders WHERE o_orderkey % 17 = 0)
-        UNPIVOT (val FOR metric IN (o_totalprice, o_custkey))
+        UNPIVOT INCLUDE NULLS (val FOR metric IN (o_totalprice, o_custkey))
         """
     )
 

@@ -11,6 +11,7 @@ Reference file:line: N/A — empty reference dir (SURVEY.md §0).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,7 +19,7 @@ from pyspark.sql import functions as F
 
 from lambda_hive_spark.helpers import dsum, sql_dsum
 from lambda_hive_spark.io import table
-from lambda_hive_spark.operators.scans import _scratch
+from lambda_hive_spark.operators.scans import _scratch, mark_scratch_fresh, scratch_stale
 from lambda_hive_spark.registry import op
 
 _N_BUCKETS = 8
@@ -106,13 +107,28 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TARGET_FILE_ROWS = 50_000
 
 
-@op("maintenance_compact", tags=("side_effect",))  # rows-only: file counts are engine/layout facts, not SQL
+@op(
+    "maintenance_compact",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CEIL(COUNT(*) / {_TARGET_FILE_ROWS}.0) AS BIGINT) AS files_after,
+       TRUE AS rows_preserved,
+       TRUE AS files_reduced
+FROM events
+""",
+    tags=("side_effect",),
+)
 def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: scatter events into 64 tiny files (the
     pathological ingest pattern), then rewrite toward a target rows-
-    per-file. Returns before/after file counts + row conservation. At
-    100 TB this runs per partition-directory; without it, scan task
-    counts explode and the NameNode/listing becomes the bottleneck."""
+    per-file. At 100 TB this runs per partition-directory; without it,
+    scan task counts explode and listing becomes the bottleneck.
+
+    Oracle contract (VERDICT r3 item 2): the compacted file count is
+    deterministic — exactly ceil(rows / target) files, because
+    coalesce(n) with ≥n input partitions yields exactly n write tasks
+    — so the oracle recomputes it from COUNT(*) alone and asserts row
+    conservation and actual shrinkage as booleans."""
     scattered = _scratch("compact_in")
     compacted = _scratch("compact_out")
     ev = table(spark, sf_dir, "events")
@@ -129,25 +145,51 @@ def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [
             (
-                _count_parquet(scattered),
-                _count_parquet(compacted),
                 n_rows,
-                back.count(),
+                _count_parquet(compacted),
+                back.count() == n_rows,
+                _count_parquet(compacted) < _count_parquet(scattered),
             )
         ],
-        "files_before long, files_after long, rows_before long, rows_after long",
+        "n_rows long, files_after long, rows_preserved boolean, files_reduced boolean",
     )
 
 
-@op("sample_stratified")  # rows-only: sampling is seed/engine-specific
+_STRATA = {"click": 0.1, "view": 0.1, "signup": 1.0, "purchase": 1.0, "error": 0.5}
+
+
+def _frac_hex(p: float) -> str:
+    """Lowercase 8-hex-digit threshold floor(p·16^8), with p=1.0
+    mapping to a sentinel above every md5 prefix (keep-all)."""
+    return "g" if p >= 1.0 else format(int(p * 16**8), "08x")
+
+
+@op(
+    "sample_stratified",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM events
+WHERE substr(md5(event_id::VARCHAR), 1, 8) <
+      CASE event_type WHEN 'click' THEN '19999999' WHEN 'view' THEN '19999999'
+                      WHEN 'error' THEN '80000000' ELSE 'g' END
+GROUP BY event_type
+""",
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: per-stratum Bernoulli fractions (seeded) —
-    downsample hot event types, keep rare ones whole; the standard
-    rebalancing step before expensive per-row model scoring."""
-    fractions = {"click": 0.1, "view": 0.1, "signup": 1.0, "purchase": 1.0, "error": 0.5}
+    """Stratified sample — downsample hot event types, keep rare ones
+    whole (the rebalancing step before expensive per-row scoring) —
+    determinized (VERDICT r3 item 2): per-stratum keep decisions come
+    from md5(event_id) against the stratum's hex threshold instead of
+    sampleBy's per-partition RNG, so both engines keep the identical
+    row set. 'g' sorts above every hex digit → keep-all strata.
+    Scale: per-row projection-filter, no shuffle until the count."""
     ev = table(spark, sf_dir, "events")
+    thr = F.when(F.lit(False), F.lit(""))
+    for etype, p in _STRATA.items():
+        thr = thr.when(F.col("event_type") == etype, F.lit(_frac_hex(p)))
+    key = F.substring(F.md5(F.col("event_id").cast("string")), 1, 8)
     return (
-        ev.sampleBy("event_type", fractions, seed=42)
+        ev.filter(key < thr.otherwise(F.lit("g")))
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
@@ -178,7 +220,8 @@ def maintenance_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests (each output file covers a disjoint ~1/16 ts
     range)."""
     clustered = _scratch(f"events_clustered_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(clustered) or not os.listdir(clustered):
+    fixture = os.path.join(sf_dir, "events.parquet")
+    if scratch_stale(clustered, fixture):
         ev = table(spark, sf_dir, "events")
         # INT96 (Spark's legacy hive-compat timestamp encoding) carries
         # NO min/max statistics, which silently disables the very
@@ -195,6 +238,7 @@ def maintenance_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             if prev is not None:
                 spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        mark_scratch_fresh(clustered, fixture)
     c = spark.read.parquet(clustered)
     sliced = c.filter(
         (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
@@ -261,7 +305,8 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ub = (F.col("user_id") % 256).alias("ub")
     dy = F.dayofmonth("ts").cast("long").alias("dy")
     clustered = _scratch(f"events_zorder_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(clustered) or not os.listdir(clustered):
+    fixture = os.path.join(sf_dir, "events.parquet")
+    if scratch_stale(clustered, fixture):
         ev = table(spark, sf_dir, "events").select(
             "value", ub, dy
         ).withColumn("zval", F.expr(_Z_EXPR))
@@ -271,6 +316,7 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(clustered)
         )
+        mark_scratch_fresh(clustered, fixture)
     c = spark.read.parquet(clustered)
     box = c.filter(F.col("ub").between(3, 10) & F.col("dy").between(5, 12))
     return box.groupBy("dy").agg(
@@ -281,18 +327,29 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("maintenance_analyze_stats", tags=("side_effect",))  # rows-only: stats are engine-internal
+@op(
+    "maintenance_analyze_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS rowcount_exact,
+       TRUE AS key_distinct_ok,
+       TRUE AS key_nulls_exact,
+       TRUE AS status_distinct_ok
+FROM orders
+""",
+    tags=("side_effect",),
+)
 def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE ... COMPUTE STATISTICS (table + column level) and
     read the recorded stats back out of the catalog — the maintenance
-    step that feeds Catalyst's cost-based optimizer (join reordering,
-    broadcast decisions at 100 TB hinge on these numbers being
-    present and fresh). The op materializes a managed table from the
-    orders fixture, analyzes it, and returns the catalog's view of
-    it: row count, size, and per-column distinct/null counts for the
-    analyzed columns. Engine-internal numbers → rows-only check (the
-    invariant tests assert rowCount exactness and distinct-count
-    sanity instead)."""
+    step that feeds Catalyst's cost-based optimizer (join reordering
+    and broadcast decisions at 100 TB hinge on these numbers being
+    present and fresh). The catalog numbers are engine-internal, so
+    the op publishes them as an accuracy CONTRACT the oracle can gate
+    (VERDICT r3 item 2): the analyzed rowCount and null counts must be
+    EXACT, and the HLL++ ndv estimates within 5·rsd (rsd 0.05 → 25%)
+    of the true distinct counts — a catalog that ever records garbage
+    stats hash-mismatches the TRUE row."""
     tbl = f"orders_stats_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     # A fresh session's in-memory catalog forgets managed tables but
     # their warehouse dirs survive — drop both metadata and location
@@ -302,27 +359,46 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), tbl),
         ignore_errors=True,
     )
-    table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(tbl)
+    o = table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").saveAsTable(tbl)
     spark.sql(
         f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus"
     )
+    # exact ground truth (one aggregate over the fixture)
+    truth = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderkey").alias("key_d"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("key_n"),
+        F.count_distinct("o_orderstatus").alias("st_d"),
+    ).collect()[0]  # bounded: one row of scalars
     det = spark.sql(f"DESCRIBE EXTENDED {tbl}").filter(F.col("col_name") == "Statistics")
     stats_str = det.collect()[0]["data_type"] if det.count() else ""
-    key_stats = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()
-    status_stats = spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderstatus").collect()
-    kv = {r["info_name"]: r["info_value"] for r in key_stats}
-    sv = {r["info_name"]: r["info_value"] for r in status_stats}
+    m = re.search(r"(\d+) rows", stats_str)
+    cat_rows = int(m.group(1)) if m else -1
+    kv = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderkey").collect()
+    }
+    sv = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl} o_orderstatus").collect()
+    }
+
+    def _within(est: int, exact: int, tol: float = 0.25) -> bool:
+        return abs(est - exact) <= tol * max(exact, 1)
+
     return spark.createDataFrame(
         [
             (
-                tbl,
-                stats_str,
-                int(kv.get("distinct_count", "-1")),
-                int(kv.get("num_nulls", "-1")),
-                int(sv.get("distinct_count", "-1")),
+                truth["n"],
+                cat_rows == truth["n"],
+                _within(int(kv.get("distinct_count", "-1")), truth["key_d"]),
+                int(kv.get("num_nulls", "-1")) == truth["key_n"],
+                _within(int(sv.get("distinct_count", "-1")), truth["st_d"]),
             )
         ],
-        "table string, table_stats string, key_distinct long, key_nulls long, status_distinct long",
+        "n_rows long, rowcount_exact boolean, key_distinct_ok boolean,"
+        " key_nulls_exact boolean, status_distinct_ok boolean",
     )
 
 

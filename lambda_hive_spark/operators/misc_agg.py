@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lambda_hive_spark.helpers import dsum, sql_dsum
 from lambda_hive_spark.io import table
-from lambda_hive_spark.operators.scans import _scratch
+from lambda_hive_spark.operators.scans import _scratch, mark_scratch_fresh, scratch_stale
 from lambda_hive_spark.registry import op
 
 
@@ -80,17 +80,20 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dynamicpruning` subquery appears here; static partition pruning
     of the same layout IS plan-asserted via `sink_partitioned`."""
     out = _scratch(f"events_dpp_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(os.path.join(out, "event_date=2024-01-05")):
+    fixture = os.path.join(sf_dir, "events.parquet")
+    if scratch_stale(out, fixture):
         ev = table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        mark_scratch_fresh(out, fixture)
     facts = spark.read.parquet(out)
     # the dim must be a filtered SOURCE (DPP inserts the pruning
     # subquery only when the build side carries a selective predicate)
     dim_path = _scratch(f"dates_dim_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(dim_path) or not os.listdir(dim_path):
+    if scratch_stale(dim_path, fixture):
         facts.select("event_date").distinct().withColumn(
             "wanted", F.dayofmonth("event_date").isin(5, 20)
         ).write.mode("overwrite").parquet(dim_path)
+        mark_scratch_fresh(dim_path, fixture)
     wanted = spark.read.parquet(dim_path).filter(F.col("wanted")).select(
         F.col("event_date").alias("d")
     )

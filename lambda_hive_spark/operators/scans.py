@@ -33,6 +33,41 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def _fixture_stamp(*fixtures: str) -> list[list]:
+    return [[f, os.path.getsize(f), os.path.getmtime(f)] for f in sorted(fixtures)]
+
+
+def scratch_stale(scratch_dir: str, *fixtures: str) -> bool:
+    """True when a cached scratch derivation of `fixtures` must be
+    rebuilt: the dir is missing/empty, or any source fixture's
+    (size, mtime) changed since `mark_scratch_fresh` last ran. The
+    driver regenerates the testdata parquet between rounds (ADVICE
+    r3 item 1), so existence alone is not a valid cache key — a stale
+    clustered/landing copy would silently diverge from the oracle's
+    fresh read. The stamp lives NEXT to the dir (overwrite-mode writes
+    clear the dir itself)."""
+    import json
+
+    try:
+        with open(scratch_dir.rstrip("/") + ".stamp") as fh:
+            return not (
+                json.load(fh) == _fixture_stamp(*fixtures)
+                and os.path.isdir(scratch_dir)
+                and os.listdir(scratch_dir)
+            )
+    except (OSError, ValueError):
+        return True
+
+
+def mark_scratch_fresh(scratch_dir: str, *fixtures: str) -> None:
+    """Record the fixture fingerprint AFTER a successful rebuild (a
+    rebuild that dies midway leaves no stamp → retried next call)."""
+    import json
+
+    with open(scratch_dir.rstrip("/") + ".stamp", "w") as fh:
+        json.dump(_fixture_stamp(*fixtures), fh)
+
+
 @op("scan_parquet", oracle="SELECT * FROM orders")
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scan of one table, schema from the parquet footer."""
@@ -239,7 +274,8 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     logical side implies)."""
     d = table(spark, sf_dir, "documents")
     out = _scratch(f"docs_bucketed_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(out) or not os.listdir(out):
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    if scratch_stale(out, fixture):
         (
             d.withColumn("bucket", (F.col("doc_id") % 4).cast("bigint"))
             .repartition(1)
@@ -247,6 +283,7 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("bucket")
             .parquet(out)
         )
+        mark_scratch_fresh(out, fixture)
     back = spark.read.parquet(out).select(
         F.col("_metadata.file_path").alias("fp")
     )
@@ -286,11 +323,13 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode, with the quarantine column routed to a dead-letter sink."""
     d = table(spark, sf_dir, "documents")
     raw = _scratch(f"docs_dirty_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(raw) or not os.listdir(raw):
+    fixture = os.path.join(sf_dir, "documents.parquet")
+    if scratch_stale(raw, fixture):
         line = F.when(
             F.col("doc_id") % 50 == 7, F.lit('{"doc_id": BROKEN')
         ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
         d.select(line.alias("value")).write.mode("overwrite").text(raw)
+        mark_scratch_fresh(raw, fixture)
     parsed = (
         spark.read.schema("doc_id bigint, lang string, n_chars bigint, _bad string")
         .option("mode", "PERMISSIVE")
@@ -375,16 +414,16 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     SLA. (Quarantine-style accounting for semi-structured rows is the
     sibling op scan_corrupt_records.)"""
     land = _scratch(f"corrupt_land_{os.path.basename(sf_dir.rstrip('/'))}")
-    os.makedirs(land, exist_ok=True)
-    good = os.path.join(land, "part-good.parquet")
-    bad = os.path.join(land, "part-bad.parquet")
-    if not os.path.exists(good):
+    fixture = os.path.join(sf_dir, "events.parquet")
+    if scratch_stale(land, fixture):
         import shutil
 
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), good)
-    if not os.path.exists(bad):
-        with open(bad, "wb") as f:
+        shutil.rmtree(land, ignore_errors=True)
+        os.makedirs(land, exist_ok=True)
+        shutil.copyfile(fixture, os.path.join(land, "part-good.parquet"))
+        with open(os.path.join(land, "part-bad.parquet"), "wb") as f:
             f.write(b"PAR1 this is not a parquet file at all \x00\xff" * 64)
+        mark_scratch_fresh(land, fixture)
     # The per-reader OPTION (not the session conf) so the tolerance is
     # baked into this plan and survives re-execution without leaking
     # session-wide state. Schema declared explicitly: driver-side

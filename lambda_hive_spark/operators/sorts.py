@@ -42,11 +42,26 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("limit_k")
+@op(
+    "limit_k",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+)
 def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIMIT without a total order — result set is engine-dependent, so
-    rows-only oracle (SURVEY.md §5.1 rule 5)."""
-    return table(spark, sf_dir, "lineitem").limit(100)
+    """LIMIT, determinized: a bare LIMIT's row set is engine-dependent
+    (whatever rows arrive first), so the op totally orders on the
+    table's unique key before limiting — same LIMIT machinery
+    (TakeOrderedAndProject: per-partition heap + driver merge of k
+    rows, no global sort), but a hash-checkable result (VERDICT r3
+    item 2 determinization)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100)
+    )
 
 
 @op(
@@ -66,8 +81,32 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sample_frac")
+@op(
+    "sample_frac",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), 1, 8) < '1999999a'
+""",
+)
 def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — per-partition RNG means the row set is
-    Spark-specific → rows-only oracle."""
-    return table(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    """Deterministic 10% Bernoulli sample: keep a row iff the first 8
+    hex chars of md5(primary key) fall below floor(0.1·16^8) — the
+    same hash-threshold trick as sample_weighted, so the row set is
+    identical on both engines, under retries, and across
+    repartitioning (Spark's .sample() draws per-partition RNG, which
+    no oracle can reproduce — VERDICT r3 item 2 determinization).
+    Scale: a pure per-row projection-filter at the scan; no shuffle,
+    no RNG state."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.substring(
+        F.md5(F.concat_ws("#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))),
+        1,
+        8,
+    )
+    # floor(0.1 * 16^8) = 429496729 = 0x19999999; strict < '1999999a'
+    # in hex-string order equals numeric <= 0x19999999.
+    return (
+        li.filter(key < "1999999a")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )

@@ -28,9 +28,9 @@ from lambda_hive_spark.registry import op
     "fn_variant",
     oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
        CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-       CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
+       TRY_CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
        CAST(json(props) AS VARCHAR) AS canon_json
 FROM events
 WHERE event_id % 10 = 0
@@ -39,20 +39,24 @@ WHERE event_id % 10 = 0
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through Spark 4's VariantType:
     ``parse_json`` once into a variant, then typed path extraction
-    with ``variant_get`` / ``try_variant_get`` and canonical
-    re-serialization with ``to_json``. Variant keeps the parsed binary
-    form through the plan, so N extractions cost one parse — the
-    recommended Spark 4 replacement for repeated
-    ``get_json_object(props, ...)`` string re-parsing. All JVM-side,
-    whole-stage-codegen'd, no shuffle; the oracle re-derives each path
-    with DuckDB's JSON extraction (canonical JSON minifies
-    identically: the fixture's props are flat single-key objects)."""
+    with ``try_variant_get`` and canonical re-serialization with
+    ``to_json``. Variant keeps the parsed binary form through the
+    plan, so N extractions cost one parse — the recommended Spark 4
+    replacement for repeated ``get_json_object(props, ...)`` string
+    re-parsing. All JVM-side, whole-stage-codegen'd, no shuffle; the
+    oracle re-derives each path with DuckDB's JSON extraction.
+    try_variant_get/TRY_CAST on BOTH sides so a non-numeric `k` in a
+    regenerated corpus degrades to a graded NULL mismatch rather than
+    a runtime error (ADVICE r3 item 4). `canon_json` equality is a
+    fixture-shape guard: it holds for flat single-key objects (the
+    fixture's props layout per FIXTURES.md); nested/multi-key props
+    would need a sorted-key re-serialization on both sides instead."""
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     v = F.parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k_int"),
-        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
         F.to_json(v).alias("canon_json"),
     )

@@ -52,13 +52,24 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+def _events_raw_schema(
+    spark: SparkSession, path: str, fixture_path: str | None = None
+) -> T.StructType:
     """The raw stream schema matching the on-disk layout: one footer
-    peek via the batch reader (driver-side metadata only, no scan)."""
-    try:
-        return spark.read.parquet(path).schema
-    except Exception:  # empty landing dir at declaration time
-        return EVENTS_RAW_SCHEMA
+    peek via the batch reader (driver-side metadata only, no scan).
+    An EMPTY landing dir at declaration time falls back to the fixture
+    parquet's footer (always present, authoritative layout — ADVICE r3
+    item 2: a hardcoded fallback schema would misread an old-layout
+    corpus whose files land after the stream is declared), and only
+    then to the pinned current-layout schema."""
+    for p in (path, fixture_path):
+        if p is None:
+            continue
+        try:
+            return spark.read.parquet(p).schema
+        except Exception:  # empty/missing dir at declaration time
+            continue
+    return EVENTS_RAW_SCHEMA
 
 
 def scratch_dir(name: str) -> str:
@@ -76,15 +87,21 @@ def landing_dir(sf_dir: str) -> str:
 
 
 def events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    fixture_path: str | None = None,
 ) -> DataFrame:
     """`events` as an unbounded source: readStream over a landing dir.
 
     `max_files_per_trigger` bounds each micro-batch (arrival-order
     replay in tests); None lets availableNow drain everything at once.
+    `fixture_path` is the authoritative-layout parquet used for schema
+    declaration when the landing dir is still empty (tests that land
+    files after declaring the stream).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_events_raw_schema(spark, path))
+    reader = spark.readStream.schema(_events_raw_schema(spark, path, fixture_path))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)

@@ -1,6 +1,8 @@
 """Simulate the external driver gate (.claude/skills/verify) in-process:
 t1 smoke on entry(spark), then every queries()[name] vs oracle_sql()[name]
-via DuckDB at the given sf dir. Usage: python tools/verify_driver.py [sf_dir]."""
+via DuckDB at the given sf dir.
+Usage: python tools/verify_driver.py [sf_dir] [op_name ...]
+(op names restrict the run to that subset — fast iteration loop)."""
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -10,6 +12,7 @@ import __spark_entry__ as e
 from pyspark.sql import SparkSession
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -24,6 +27,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 qs, os_ = e.queries(), e.oracle_sql()
+if ONLY:
+    qs = {n: f for n, f in qs.items() if n in ONLY}
 bad = []
 for name, fn in sorted(qs.items()):  # t2
     try:
