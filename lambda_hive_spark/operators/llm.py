@@ -12,20 +12,17 @@ Scale design (the whole point of these ops):
 - Similarity search = brute-force top-k as the checkable baseline
   (broadcast the bounded query set, never the corpus) and a seeded
   random-projection LSH join as the scale path.
-- Everything stays in JVM built-ins (higher-order functions) except
-  SimHash, which is an Arrow-batched pandas_udf (vectorized, no
-  row-at-a-time Python).
+- Everything stays in JVM built-ins (higher-order functions) —
+  including SimHash, whose ±1 bit votes are a 64-column CASE-sum
+  aggregation over md5 halves (no Python in any hot path).
 """
 
 from __future__ import annotations
 
 import os
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from lambda_hive_spark.helpers import davg, dot, dsum, sql_davg, sql_dot, sql_dsum
@@ -184,22 +181,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_BANDS = 8
 
+_NEAR_MINHASH_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents),
+nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+eb AS (
+  SELECT doc_id, b.band AS band, t.s AS s
+  FROM nz, unnest(shingles) AS t(s),
+       (SELECT unnest(range({_N_BANDS})) AS band) b
+),
+sigs AS (
+  SELECT doc_id, band, MIN(md5(s || '#' || CAST(band AS VARCHAR))) AS sig
+  FROM eb GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+e AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM nz),
+shared AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+  FROM cand c
+  JOIN e ea ON ea.doc_id = c.doc_a
+  JOIN e eb2 ON eb2.doc_id = c.doc_b AND eb2.h = ea.h
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b,
+       (s.shared / (len(x.shingles) + len(y.shingles) - s.shared)) AS jaccard
+FROM shared s JOIN nz x ON x.doc_id = s.doc_a JOIN nz y ON y.doc_id = s.doc_b
+WHERE (s.shared / (len(x.shingles) + len(y.shingles) - s.shared)) >= 0.6
+"""
 
-@op("dedup_near_minhash")
+
+@op("dedup_near_minhash", oracle=_NEAR_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection — the 100 TB path. Per doc:
-    8 one-hash bands (sig_b = min over shingles of xxhash64(s, b));
+    8 one-hash bands (sig_b = min over shingles of md5(s + '#' + b));
     candidate pairs collide in ≥1 band (P = 1-(1-J)^8 ≈ 0.9993 at
-    J=0.6); exact Jaccard verify on candidates only. xxhash64 has no
-    DuckDB twin → rows-only oracle; the exact sibling op above is the
-    sql-checked semantics."""
+    J=0.6); exact Jaccard verify on candidates only. The hash family
+    is md5 — which both engines compute bit-identically — so the
+    WHOLE pipeline including banding recall is driver-hash-gated
+    (VERDICT r3 item 2; xxhash64 is ~4× faster per hash and the drop-in
+    swap for a Spark-only deployment, but it has no DuckDB twin)."""
     sh = _docs_with_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.array_min(
-                    F.transform("shingles", lambda s: F.xxhash64(s, F.lit(b)))
+                    F.transform(
+                        "shingles",
+                        lambda s: F.md5(F.concat(s, F.lit(f"#{b}"))),
+                    )
                 ).alias("sig"),
             )
             for b in range(_N_BANDS)
@@ -227,13 +259,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stage 2 — exact verify via the shared-shingle-count plan (same
     # shape as dedup_ngram_jaccard's): join the candidate ids to the
-    # exploded 8-byte shingle hashes on each side; a shingle common to
-    # both docs survives the second equi-join, so COUNT(*) per pair is
-    # the exact intersection size. Sizes are broadcast. All shuffled
-    # rows are fixed-width scalars.
+    # exploded shingle hashes on each side; a shingle common to both
+    # docs survives the second equi-join, so COUNT(*) per pair is the
+    # exact intersection size. Sizes are broadcast. All shuffled rows
+    # are fixed-width scalars (md5 here for oracle parity; xxhash64
+    # halves the payload to 8 bytes in a Spark-only deployment).
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
     expl = sh.select("doc_id", F.explode("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("sh")
+        "doc_id", F.md5("s").alias("sh")
     )
     shared = (
         cand.join(expl.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -255,70 +288,119 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _make_simhash64():
-    """Build the SimHash pandas_udf lazily — pandas_udf("long") parses
-    DDL and needs an active session, so it cannot live at module
-    import time (the driver imports __spark_entry__ before creating
-    its SparkSession)."""
-
-    @pandas_udf("long")
-    def _simhash64(texts: pd.Series) -> pd.Series:
-        # 64-bit SimHash over distinct tokens (md5-derived token
-        # hashes), Arrow-batched — one batch of docs per call.
-        import hashlib
-
-        import numpy as np
-
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in set(t.split(" ")):
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                # h can exceed int64 — shift in uint64 space
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits == np.uint64(1), 1, -1)
-            sig = 0
-            for bit in np.nonzero(votes > 0)[0]:
-                sig |= 1 << int(bit)
-            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out)
-
-    return _simhash64
+def _simhash_votes_sql(half: str, b: int) -> str:
+    return f"SUM(CASE WHEN (({half} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{half}_{b}"
 
 
-@op("dedup_simhash")
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+hv AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {", ".join(_simhash_votes_sql(h, b) for h in ("lo", "hi") for b in range(32))}
+  FROM hv GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         ({" + ".join(f"(CASE WHEN v_lo_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(32))}) AS sig_lo,
+         ({" + ".join(f"(CASE WHEN v_hi_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(32))}) AS sig_hi
+  FROM votes
+),
+ch AS (
+  SELECT doc_id, sig_lo, sig_hi, c.chunk AS chunk,
+         CASE c.chunk WHEN 0 THEN sig_lo & 65535 WHEN 1 THEN sig_lo >> 16
+                      WHEN 2 THEN sig_hi & 65535 ELSE sig_hi >> 16 END AS key
+  FROM sig, (SELECT unnest(range(4)) AS chunk) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig_lo AS alo, a.sig_hi AS ahi, b.sig_lo AS blo, b.sig_hi AS bhi
+  FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+"""
+
+
+@op("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature per doc, banded into 4×16-bit
-    chunks for candidate generation (any pair within Hamming distance
-    3 agrees on ≥1 chunk by pigeonhole — exact recall), then Hamming
-    verify via bit_count(xor), threshold 3 (the Manku et al. 2007
-    standard for 64-bit fingerprints). Deterministic; rows-only oracle
-    (md5 bit-slicing has no cheap DuckDB twin).
+    """SimHash near-dup: 64-bit signature per doc (two 32-bit halves
+    from md5 token hashes — bit b of a half votes ±1 per distinct
+    token, signature bit set where votes are positive), banded into
+    4×16-bit chunks for candidate generation (any pair within Hamming
+    distance 3 agrees on ≥1 chunk by pigeonhole — exact recall), then
+    Hamming verify via bit_count(xor), threshold 3 (the Manku et al.
+    2007 standard for 64-bit fingerprints).
+
+    Formerly an Arrow-batched pandas_udf; rewritten as pure JVM
+    higher-order aggregation over md5 halves — identical on DuckDB,
+    which upgrades it from rows-only to full hash-compare (VERDICT r3
+    item 2), and keeps the hot path in whole-stage codegen. Scale:
+    votes are one map-side-combinable groupBy over exploded distinct
+    tokens (64 CASE-sum columns, no Python); banding joins are id-only.
 
     Measured on this corpus: weakly discriminative — all documents
-    share one small vocabulary, so signatures cluster (planted
-    J≈0.99 pairs sit at hamming 0-8, random pairs at 5.6±2.0). The
+    share one small vocabulary, so signatures cluster. The
     MinHash/Jaccard ops are the effective detectors here; SimHash
     earns its keep on corpora with heterogeneous vocabularies."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", _make_simhash64()(F.col("text")).alias("sig")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
+    md5c = F.md5("tok")
+    hv = toks.select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    votes = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{h}_{b}")
+            for h in ("lo", "hi")
+            for b in range(32)
+        ]
+    )
+
+    def _sig(half: str) -> F.Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(32):
+            out = out + F.when(F.col(f"v_{half}_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+        return out
+
+    sig = votes.select("doc_id", _sig("lo").alias("sig_lo"), _sig("hi").alias("sig_hi"))
     chunks = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright("sig", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    (
+                        F.shiftright("sig_lo", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                        if c < 2
+                        else F.shiftright("sig_hi", 16 * (c - 2)).bitwiseAND(F.lit(0xFFFF))
+                    ).alias("key"),
                 )
                 for c in range(4)
             ]
         )
     ).alias("ck")
-    e = d.select("doc_id", "sig", chunks).select(
-        "doc_id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    e = sig.select("doc_id", "sig_lo", "sig_hi", chunks).select(
+        "doc_id", "sig_lo", "sig_hi", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
     a, b = e.alias("a"), e.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    hamming = F.bit_count(
+        F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo"))
+    ) + F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
     return (
         a.join(
             b,
@@ -336,6 +418,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_EXACT_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_EMB_EXACT_MAX_ROWS", "200000"))
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unguarded exact all-pairs plan (test/oracle-scale only)."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
 @op(
     "dedup_embedding",
     oracle=f"""
@@ -347,18 +445,25 @@ WHERE {sql_dot('a.embedding', 'b.embedding')} >= 0.4
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact; unit-norm ⇒ cosine =
-    dot). All-pairs is the sf0.01-checkable semantics; the scale path
-    is sim_pairs_threshold (LSH). Dot products are left-fold double on
-    both engines → bit-identical."""
-    e = table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = dot(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
-    )
+    dot). All-pairs is the sf0.01-checkable EXACT semantics — which is
+    inherently quadratic, so the plan is hard-guarded (VERDICT r3
+    item 5): above {_EMB_EXACT_MAX_ROWS} corpus rows
+    (env SPARK_GRAFT_EMB_EXACT_MAX_ROWS) it refuses with a pointer to
+    the banded-LSH scale siblings (sim_pairs_rp_lsh at the same τ=0.4,
+    sim_pairs_threshold at τ=0.5) rather than launching a cartesian
+    that is 10,000× the work at 100× the rows. The count() guard is a
+    metadata-cheap single-column scan. Dot products are left-fold
+    double on both engines → bit-identical."""
+    n = table(spark, sf_dir, "embeddings").select("vec_id").count()
+    if n > _EMB_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding is the exact all-pairs sibling: {n} corpus rows "
+            f"exceeds the O(n²) guard ({_EMB_EXACT_MAX_ROWS}). Use the "
+            "banded-LSH scale path (sim_pairs_rp_lsh, τ=0.4 — same output "
+            "contract on recalled pairs) or raise "
+            "SPARK_GRAFT_EMB_EXACT_MAX_ROWS explicitly."
+        )
+    return dedup_embedding_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -405,53 +510,131 @@ def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_knn_approx")
+from lambda_hive_spark.operators.extras import _rp_bucket_sql as _rp_bsql
+
+_KNN_LSH_BANDS = 4   # sim_knn_approx banding (16-bucket bands, like sim_pairs_rp_lsh)
+_PT_BANDS = 8        # sim_pairs_threshold banding
+_PT_BITS = 3         # 3 sign-bits per band → 8 buckets, higher recall at τ=0.5
+_PT_TAU = 0.5
+
+_KNN_APPROX_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_rp_bsql(b, 'embedding')} AS bucket_{b}" for b in range(_KNN_LSH_BANDS))}
+  FROM embeddings
+),
+q AS (SELECT * FROM sig WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+  FROM q JOIN sig s ON s.vec_id <> q.vec_id
+   AND ({" OR ".join(f"q.bucket_{b} = s.bucket_{b}" for b in range(_KNN_LSH_BANDS))})
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {sql_dot('x.embedding', 'y.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.query_id
+  JOIN embeddings y ON y.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@op("sim_knn_approx", oracle=_KNN_APPROX_ORACLE)
 def sim_knn_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via seeded random-projection LSH (MLlib BRP):
-    unit-norm ⇒ cos ≥ τ ⇔ ||a-b||² ≤ 2-2τ, so a Euclidean-distance
-    similarity join implements cosine ANN. Deterministic under the
-    fixed seed, but engine-specific → rows-only oracle."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """Approximate NN via DETERMINISTIC random-hyperplane LSH: each
+    query's candidates are corpus vectors sharing ≥1 of 4 md5-derived
+    16-bucket band signatures (the sim_pairs_rp_lsh hash family —
+    VERDICT r3 item 2's oracle-izable rewrite of the seeded MLlib BRP
+    variant this op used to wrap); exact-cosine rank ≤ 5 within the
+    recalled set. Both engines compute identical signatures, so even
+    the LSH recall behavior is hash-gated, not just the scoring.
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    Scale: signatures are scan-side JVM HOFs; candidate generation is
+    band-bucket equi-joins (id-only payloads); only recalled pairs are
+    scored — the corpus is never crossed with the query set."""
+    from lambda_hive_spark.operators.extras import rp_signatures
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = rp_signatures(e, _KNN_LSH_BANDS)
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"bucket_{b}").alias(f"qb_{b}") for b in range(_KNN_LSH_BANDS)],
     )
-    q = e.filter(F.col("vec_id") < 10)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
+    cand = None
+    for b in range(_KNN_LSH_BANDS):
+        pairs_b = (
+            q.join(
+                sig,
+                (F.col("query_id") != F.col("vec_id"))
+                & (F.col(f"qb_{b}") == F.col(f"bucket_{b}")),
+            )
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.distinct()
+    x = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    y = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(x), F.col("query_id") == F.col("qid"))
+        .join(y, F.col("neighbor_id") == F.col("nid"))
+        .select("query_id", "neighbor_id", dot(F.col("qe"), F.col("ne")).alias("cosine"))
     )
-    model = lsh.fit(e)
-    # cos τ=0.2 → dist threshold sqrt(2-2*0.2) ≈ 1.265
-    joined = model.approxSimilarityJoin(q, e, 1.265, distCol="dist")
-    return joined.select(
-        F.col("datasetA.vec_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("neighbor_id"),
-        F.col("dist"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
 
 
-@op("sim_pairs_threshold")
+_PT_ORACLE = f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         {", ".join(f"{_rp_bsql(b, 'embedding', bits=_PT_BITS)} AS bucket_{b}" for b in range(_PT_BANDS))}
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+   AND ({" OR ".join(f"a.bucket_{b} = b.bucket_{b}" for b in range(_PT_BANDS))})
+)
+SELECT c.vec_a, c.vec_b, {sql_dot('x.embedding', 'y.embedding')} AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.vec_a
+JOIN embeddings y ON y.vec_id = c.vec_b
+WHERE {sql_dot('x.embedding', 'y.embedding')} >= {_PT_TAU}
+"""
+
+
+@op("sim_pairs_threshold", oracle=_PT_ORACLE)
 def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cos ≥ τ via LSH similarity join — the scale path
-    for dedup_embedding (which is its exact, sql-checked sibling)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """All pairs with cos ≥ τ={tau} via deterministic md5-hyperplane
+    LSH banding ({bands} bands × {bits} sign-bits — wider/looser than
+    sim_pairs_rp_lsh's 4×4 so recall targets the higher τ), exact
+    cosine verify on candidates only — the scale path for
+    dedup_embedding (its exact, guard-railed sibling). Hash family is
+    engine-reproducible (VERDICT r3 item 2), so the full
+    banding+verify pipeline is hash-compared against DuckDB."""
+    from lambda_hive_spark.operators.extras import rp_candidate_pairs, rp_signatures
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = rp_signatures(e, _PT_BANDS, bits=_PT_BITS)
+    cand = rp_candidate_pairs(sig, _PT_BANDS)
+    x = e.select(F.col("vec_id").alias("xa"), F.col("embedding").alias("ea"))
+    y = e.select(F.col("vec_id").alias("yb"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(x, F.col("vec_a") == F.col("xa"))
+        .join(y, F.col("vec_b") == F.col("yb"))
+        .select("vec_a", "vec_b", dot(F.col("ea"), F.col("eb")).alias("cosine"))
+        .filter(F.col("cosine") >= _PT_TAU)
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
-    )
-    model = lsh.fit(e)
-    # cos τ=0.4 → dist ≤ sqrt(2-0.8) ≈ 1.0954
-    joined = model.approxSimilarityJoin(e, e, 1.0954, distCol="dist")
-    return joined.select(
-        F.col("datasetA.vec_id").alias("vec_a"),
-        F.col("datasetB.vec_id").alias("vec_b"),
-        F.col("dist"),
-    ).filter(F.col("vec_a") < F.col("vec_b"))
+
+
+sim_pairs_threshold.__doc__ = sim_pairs_threshold.__doc__.format(
+    tau=_PT_TAU, bands=_PT_BANDS, bits=_PT_BITS
+)
 
 
 @op(
@@ -1389,20 +1572,58 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_recall_eval")  # rows-only: depends on MLlib LSH internals (seeded, engine-specific)
+def _recall_oracle() -> str:
+    from lambda_hive_spark.operators.extras import IVF_ORACLE_CTES, IVF_ORACLE_TOPK
+
+    return f"""
+WITH {IVF_ORACLE_CTES},
+ivf5 AS ({IVF_ORACLE_TOPK}),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_dot('q.embedding', 'c.embedding')} AS cosine
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+exact5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM exact_scored
+  ) WHERE rank <= 5
+),
+per_q AS (
+  SELECT e.query_id,
+         COUNT(a.neighbor_id) AS n_hits,
+         COUNT(*) AS n_truth
+  FROM exact5 e
+  LEFT JOIN ivf5 a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT CAST(query_id AS VARCHAR) AS query,
+       CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+       (CAST(n_hits AS DOUBLE) / n_truth) AS recall
+FROM per_q
+UNION ALL
+SELECT 'ALL', CAST(SUM(n_hits) AS BIGINT), CAST(SUM(n_truth) AS BIGINT),
+       (CAST(SUM(n_hits) AS DOUBLE) / SUM(n_truth))
+FROM per_q
+"""
+
+
+@op("sim_recall_eval", oracle=_recall_oracle())
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality evaluation: recall of the LSH approximate
-    neighbor search against the exact brute-force top-k for the same
-    query set — THE metric that decides whether an ANN index is
-    usable (a fast index at 40% recall poisons retrieval silently).
-    Ground truth comes from sim_knn_exact; approx pairs from the
-    IVF cluster-pruned search (seeded, deterministic); recall@k =
-    |approx ∩ exact| / |exact| per query, plus the macro average as
-    an ALL row. Evaluation is a semi-join of two small per-query
-    result sets — at 100 TB the cost is the two searches, never the
-    comparison. Rows-only by necessity (LSH internals are
-    engine-specific); the invariant suite asserts the macro recall
-    floor instead."""
+    """ANN quality evaluation: recall of the approximate neighbor
+    search against the exact brute-force top-k for the same query set
+    — THE metric that decides whether an ANN index is usable (a fast
+    index at 40% recall poisons retrieval silently). Ground truth
+    comes from sim_knn_exact; approx pairs from the IVF cluster-pruned
+    search (deterministic); recall@k = |approx ∩ exact| / |exact| per
+    query, plus the micro average as an ALL row. Evaluation is a
+    semi-join of two small per-query result sets — at 100 TB the cost
+    is the two searches, never the comparison. Both pipelines are
+    engine-deterministic, so the oracle replays BOTH searches and the
+    driver hash-gates the recall numbers themselves (VERDICT r3
+    item 2; formerly rows-only)."""
     from lambda_hive_spark.operators.extras import sim_knn_ivf
 
     exact = sim_knn_exact(spark, sf_dir).select(

@@ -24,7 +24,17 @@ from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
 
-@op("sketch_hll_rollup", tags=("approx",))
+@op(
+    "sketch_hll_rollup",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+""",
+    tags=("approx",),
+)
 def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HLL distinct-user sketches PLUS their union rolled up
     to a global estimate — the canonical mergeable-sketch rollup. The
@@ -33,38 +43,102 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hll_union_agg over the per-group sketches — NOT a rescan.
     This is the shape that lets a 100 TB daily pipeline keep per-day
     per-group sketches and answer "distinct users this quarter" by
-    unioning 90 tiny states. lgConfigK=14 → ~0.8% relative error;
-    the invariant test pins estimates within 5% of exact."""
+    unioning 90 tiny states.
+
+    Oracle contract (the agg_approx_error_bound pattern, VERDICT r3
+    item 2): Datasketches internals are engine-specific, so each row
+    publishes the exact count plus within_bound = |est − exact| ≤
+    5%·exact (lgConfigK=14 → ~0.8% rsd; 5% ≈ 6σ). The UNIONED
+    estimate must meet the same bound — sketch-merge error is gated,
+    not just per-group error. At 100 TB drop the exact column; the
+    contract column makes the sketch drivable by the gate here."""
     ev = table(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 14).alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
     per_est = per.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_bound"),
     )
-    glob = per.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+    glob_exact = ev.agg(F.count_distinct("user_id").alias("ge"))
+    glob = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(glob_exact)  # broadcast of one scalar row
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.col("ge").alias("exact_users"),
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("ge")) <= 0.05 * F.col("ge")
+            ).alias("within_bound"),
+        )
     )
     return per_est.unionByName(glob)
 
 
-@op("sketch_approx_quantiles", tags=("approx",))
+_GK_ACC = 10000  # percentile_approx accuracy → rank error ε = 1/acc
+
+
+@op(
+    "sketch_approx_quantiles",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("approx",),
+)
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of l_extendedprice per returnflag via
-    percentile_approx (Greenwald-Khanna/t-digest style summary,
-    accuracy parameter 10000 → ε = 1/10000 rank error). The summary is
-    mergeable like the HLL sketch, so the same partial/final split
-    applies; this is what agg_percentile's docstring tells you to swap
-    to at 100 TB, exercised as its own op. Invariant test bounds each
-    approx quantile between the exact neighbors at ±2ε rank."""
-    li = table(spark, sf_dir, "lineitem")
+    percentile_approx (Greenwald-Khanna summary, accuracy {acc} →
+    ε = 1/{acc} rank error, a DETERMINISTIC worst-case bound). The
+    summary is mergeable like the HLL sketch, so the same
+    partial/final split applies; this is what agg_percentile's
+    docstring says to swap to at 100 TB.
+
+    Oracle contract (VERDICT r3 item 2): the sketch value itself is
+    engine-internal, so the op verifies the GK guarantee and publishes
+    booleans — for each q, the returned value's occupied rank interval
+    [cnt_lt+1, cnt_le] must intersect [(q−ε)n − 1, (q+ε)n + 1]. The
+    verify pass joins the 3-row quantile table back to the scan
+    (broadcast) and counts comparisons — one extra scan at test scale,
+    dropped at 100 TB where the guarantee is carried by the algorithm."""
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     pr = F.col("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(pr, 0.5, 10000).alias("p50"),
-        F.percentile_approx(pr, 0.95, 10000).alias("p95"),
-        F.percentile_approx(pr, 0.99, 10000).alias("p99"),
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(pr, 0.5, _GK_ACC).alias("p50"),
+        F.percentile_approx(pr, 0.95, _GK_ACC).alias("p95"),
+        F.percentile_approx(pr, 0.99, _GK_ACC).alias("p99"),
     )
+    j = li.join(F.broadcast(qs), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            c
+            for q in ("p50", "p95", "p99")
+            for c in (
+                F.count(F.when(pr < F.col(q), 1)).alias(f"lt_{q}"),
+                F.count(F.when(pr <= F.col(q), 1)).alias(f"le_{q}"),
+            )
+        ],
+    )
+    eps = 1.0 / _GK_ACC
+
+    def ok(q: str, frac: float):
+        n = F.col("n")
+        return (
+            (F.col(f"lt_{q}") + 1 <= F.ceil((frac + eps) * n) + 1)
+            & (F.col(f"le_{q}") >= F.floor((frac - eps) * n) - 1)
+        ).alias(f"{q}_ok")
+
+    return agg.select("l_returnflag", "n", ok("p50", 0.5), ok("p95", 0.95), ok("p99", 0.99))
+
+
+sketch_approx_quantiles.__doc__ = sketch_approx_quantiles.__doc__.format(acc=_GK_ACC)
 
 
 # ---------------------------------------------------------------------------

@@ -98,11 +98,30 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plans.dedup(ev.unionByName(ev))
 
 
-@op("stream_watermark", tags=("side_effect",))  # rows-only: emitted-window set depends on the watermark frontier
+@op(
+    "stream_watermark",
+    tags=("side_effect",),
+    oracle="""
+WITH wm AS (SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events)
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, COUNT(*) AS n
+FROM events, wm
+WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' <= wm.w
+GROUP BY 1, 2
+""",
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True streaming watermarked aggregation in append mode — only
-    windows the event-time watermark has closed are emitted, so the
-    trailing open windows are withheld (hence no batch-SQL oracle)."""
+    windows the event-time watermark has closed are emitted; trailing
+    open windows are withheld (their state stays pending).
+
+    Batch-twin oracle (VERDICT r3 item 2): with the single-file
+    landing layout the final watermark is deterministic — max(ts) −
+    delay — and availableNow's closing no-data batch flushes every
+    window the frontier passed, so the emitted set is EXACTLY the
+    batch-computable {windows : w_end ≤ max(ts) − 10min} (verified
+    empirically row-for-row at sf0.001/0.01). The oracle recomputes
+    that set; a watermark that ever leaks an open window or drops a
+    closed one hash-mismatches."""
     stream = core.events_stream(spark, core.landing_dir(sf_dir))
     return core.run_available_now(plans.watermarked_counts(stream), mode="append")
 
@@ -217,16 +236,28 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state_path).select("user_id", "event_id", "value")
 
 
-@op("stream_progress_metrics", tags=("side_effect",))  # rows-only: progress is runtime telemetry
+@op(
+    "stream_progress_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+       TRUE AS batches_ok,
+       TRUE AS state_ok,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups
+FROM events
+""",
+    tags=("side_effect",),
+)
 def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability: run a windowless streaming aggregate
     to completion and report the query's own progress telemetry —
-    input rows per micro-batch, batch count, and the final state-store
-    row count — the numbers an on-call engineer watches to catch lag
-    and state blow-up. The invariant suite pins
-    total numInputRows == exact source row count (exactly-once
-    accounting through the file source's checkpointed file log);
-    telemetry shape itself is engine-internal → rows-only."""
+    the numbers an on-call engineer watches to catch lag and state
+    blow-up. Oracle contract (VERDICT r3 item 2): telemetry SHAPE is
+    engine-internal, but its accounting invariants are not — total
+    numInputRows must equal the exact source row count (exactly-once
+    accounting through the file source's checkpointed file log), at
+    least one non-empty batch must have run, and the state store must
+    hold exactly one row per group. Broken exactly-once delivery or
+    state leakage hash-mismatches the TRUE row."""
     import uuid as _uuid
 
     stream = core.events_stream(
@@ -254,6 +285,6 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_rows = max(state_rows, int(so.get("numRowsTotal", 0)))
     n_types = spark.table(name).count()
     return spark.createDataFrame(
-        [(total_in, n_batches, state_rows, n_types)],
-        "total_input_rows long, n_batches long, state_rows long, n_groups long",
+        [(total_in, n_batches >= 1, state_rows == n_types, n_types)],
+        "total_input_rows long, batches_ok boolean, state_ok boolean, n_groups long",
     )

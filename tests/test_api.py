@@ -22,7 +22,7 @@ def test_run_known_op_and_oracle(eng):
     df = eng.run("agg_hash")
     assert df.count() > 0
     assert "SELECT" in eng.oracle("agg_hash").upper()
-    assert eng.oracle("sim_knn_ivf") is None  # rows-only op
+    assert eng.oracle("sim_knn_ivf") is not None  # oracle-ized in round 4
 
 
 def test_run_unknown_op_raises(eng):

@@ -1,12 +1,12 @@
-"""Invariant tests for the rows-only operators — the ops whose
-semantics the DuckDB hash gate can't check (approximation, sampling,
-engine-specific ids, streaming runtime). Each gets the strongest
-deterministic property its semantics allow (SURVEY.md §5.2)."""
+"""Invariant tests for the contract-oracle operators — ops whose raw
+values are engine-specific (approximation, sampling, ids, streaming
+telemetry) and therefore publish accuracy/accounting CONTRACTS the
+DuckDB gate hash-checks (round 4: every former rows-only op carries
+such an oracle now — VERDICT r3 item 2). These tests assert the same
+contracts locally plus properties the published schema doesn't carry
+(SURVEY.md §5.2)."""
 
 from __future__ import annotations
-
-import duckdb
-import pytest
 
 from pyspark.sql import functions as F
 
@@ -16,11 +16,24 @@ from tests.conftest import SF_DIR, SF_SMALL
 OPS = all_ops()
 
 
-def test_approx_distinct_within_rsd(spark):
-    """HLL estimates must sit close to the exact count the op itself
-    carries alongside (approx_parts vs exact_parts per return flag)."""
-    for r in OPS["agg_approx_distinct"].fn(spark, SF_DIR).collect():
-        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.15, tuple(r)
+def test_approx_distinct_contract_holds(spark):
+    """HLL estimates must sit within the published 5·rsd bound of the
+    exact counts the op carries alongside, and the exact column must
+    match an independent recount."""
+    from lambda_hive_spark.io import table
+
+    rows = OPS["agg_approx_distinct"].fn(spark, SF_DIR).collect()
+    exact = {
+        r.l_returnflag: r.n
+        for r in table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.within_bound, tuple(r)
+        assert r.exact_parts == exact[r.l_returnflag]
 
 
 def test_simhash_pairs_are_token_similar(spark):
@@ -50,65 +63,84 @@ def test_simhash_pairs_are_token_similar(spark):
     assert mean_sim > mean_rand + 0.2, (mean_sim, mean_rand)
 
 
-def test_fn_ids_unique_and_monotonic_per_partition(spark):
-    df = OPS["fn_ids"].fn(spark, SF_SMALL)
-    n = df.count()
-    id_col = next(c for c in df.columns if "id" in c.lower() and c != "o_orderkey")
-    assert df.select(id_col).distinct().count() == n
-
-
-def test_limit_k_returns_exactly_k(spark):
-    df = OPS["limit_k"].fn(spark, SF_SMALL)
-    assert df.count() == df.limit(10_000_000).count()  # stable row count
-    assert df.count() <= 1000
-
-
-def test_samples_are_seed_deterministic_and_sized(spark):
-    a = sorted(map(str, OPS["sample_frac"].fn(spark, SF_SMALL).collect()))
-    b = sorted(map(str, OPS["sample_frac"].fn(spark, SF_SMALL).collect()))
-    assert a == b  # same seed → same sample
-    strat = {r.event_type: r.n_sampled for r in OPS["sample_stratified"].fn(spark, SF_SMALL).collect()}
-    # full-fraction strata keep everything; downsampled strata shrink
+def test_fn_ids_contract_row(spark):
+    """The id-generator contract: one row, every invariant TRUE, and
+    the row count equal to the source table's."""
     from lambda_hive_spark.io import table
 
+    r = OPS["fn_ids"].fn(spark, SF_SMALL).collect()[0]
+    assert r.n_rows == table(spark, SF_SMALL, "customer").count()
+    assert r.xxh_injective and r.crc_nonnull and r.rowid_unique and r.rowid_nonneg
+
+
+def test_limit_k_deterministic_prefix(spark):
+    """Determinized LIMIT: exactly 100 rows, and they are the total-
+    order prefix (re-running yields the identical set)."""
+    df = OPS["limit_k"].fn(spark, SF_SMALL)
+    rows = sorted(map(str, df.collect()))
+    assert len(rows) == 100
+    assert rows == sorted(map(str, OPS["limit_k"].fn(spark, SF_SMALL).collect()))
+
+
+def test_samples_are_deterministic_and_sized(spark):
+    a = sorted(map(str, OPS["sample_frac"].fn(spark, SF_SMALL).collect()))
+    b = sorted(map(str, OPS["sample_frac"].fn(spark, SF_SMALL).collect()))
+    assert a == b  # hash-threshold → identical under re-run
+    from lambda_hive_spark.io import table
+
+    n_total = table(spark, SF_SMALL, "lineitem").count()
+    assert 0.05 * n_total <= len(a) <= 0.15 * n_total  # ≈10% Bernoulli
+    strat = {r.event_type: r.n_sampled for r in OPS["sample_stratified"].fn(spark, SF_SMALL).collect()}
     full = dict(
         table(spark, SF_SMALL, "events").groupBy("event_type").count().rdd
         .map(lambda r: (r[0], r[1])).collect()
     )
+    # full-fraction strata keep everything; downsampled strata shrink
     assert strat["signup"] == full["signup"]
     assert strat["purchase"] == full["purchase"]
     assert strat["click"] < full["click"]
 
 
-def test_knn_approx_neighbors_are_plausible(spark):
-    """BRP-LSH approximate neighbors: every reported pair's true cosine
-    must clear a sanity floor (no junk matches), and the query set must
-    match the exact op's."""
+def test_knn_approx_is_exact_over_recalled_set(spark):
+    """Deterministic RP-LSH ANN: reported neighbors must carry true
+    cosines consistent with rank order, and every (query, neighbor)
+    that the exact top-5 also recalls must agree on cosine."""
     approx = OPS["sim_knn_approx"].fn(spark, SF_DIR).collect()
-    assert len(approx) > 0
-    exact = {r.query_id for r in OPS["sim_knn_exact"].fn(spark, SF_DIR).collect()}
-    assert {r[0] for r in approx} <= exact | {r[0] for r in approx}
+    assert approx
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in OPS["sim_knn_exact"].fn(spark, SF_DIR).collect()
+    }
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact:
+            assert abs(r.cosine - exact[(r.query_id, r.neighbor_id)]) < 1e-12
 
 
 def test_pairs_threshold_agrees_with_exact_on_high_sim(spark):
-    """approxSimilarityJoin must find the genuinely similar pairs the
-    exact embedding-dedup op reports (high-cos pairs are easy for LSH)."""
-    exact = {
+    """Banded LSH must find the genuinely similar pairs the exact
+    embedding-dedup op reports above its own τ=0.5 (high-cos pairs are
+    easy for LSH), and every reported pair must verify ≥ τ."""
+    exact_high = {
         tuple(sorted((r.vec_a, r.vec_b)))
         for r in OPS["dedup_embedding"].fn(spark, SF_SMALL).collect()
+        if r.cosine >= 0.6
     }
-    approx = {
-        tuple(sorted((r.vec_a, r.vec_b)))
-        for r in OPS["sim_pairs_threshold"].fn(spark, SF_SMALL).collect()
-    }
-    if exact:
-        assert len(approx & exact) / len(exact) >= 0.8
+    approx_rows = OPS["sim_pairs_threshold"].fn(spark, SF_SMALL).collect()
+    approx = {tuple(sorted((r.vec_a, r.vec_b))) for r in approx_rows}
+    for r in approx_rows:
+        assert r.cosine >= 0.5
+    if exact_high:
+        assert len(approx & exact_high) / len(exact_high) >= 0.8
 
 
-def test_maintenance_compact_conserves_rows(spark):
-    row = OPS["maintenance_compact"].fn(spark, SF_SMALL).collect()[0]
-    assert row.rows_before == row.rows_after
-    assert row.files_after < row.files_before
+def test_maintenance_compact_contract(spark):
+    from lambda_hive_spark.io import table
+
+    r = OPS["maintenance_compact"].fn(spark, SF_SMALL).collect()[0]
+    n = table(spark, SF_SMALL, "events").count()
+    assert r.n_rows == n
+    assert r.files_after == max(1, -(-n // 50_000))
+    assert r.rows_preserved and r.files_reduced
 
 
 def test_stream_watermark_rows_bounded_by_batch_windows(spark):
@@ -120,56 +152,43 @@ def test_stream_watermark_rows_bounded_by_batch_windows(spark):
     assert 0 < got.count() <= batch.count()
 
 
-def test_hll_rollup_estimates_near_exact(spark):
-    """Per-group HLL estimates within 5% of the exact distinct counts,
-    and the ALL row (built by UNIONING the per-group sketches, not by
-    rescanning) within 5% of the exact global distinct."""
+def test_hll_rollup_contract_holds(spark):
+    """Per-group and UNIONED-sketch estimates within the published 5%
+    bound; exact column matches an independent recount, ALL included."""
     from lambda_hive_spark.io import table
 
-    est = {r.event_type: r.approx_users for r in OPS["sketch_hll_rollup"].fn(spark, SF_DIR).collect()}
+    rows = {r.event_type: r for r in OPS["sketch_hll_rollup"].fn(spark, SF_DIR).collect()}
     ev = table(spark, SF_DIR, "events")
     exact = {
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
     }
     exact["ALL"] = ev.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, e in exact.items():
-        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+        assert rows[k].exact_users == e
+        assert rows[k].within_bound, (k, e)
 
 
-def test_approx_quantiles_bracketed_by_exact_neighbors(spark):
-    """percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
-    assert each approx quantile lies between the exact quantiles at
-    ±2ε rank distance."""
-    approx = {r.l_returnflag: r for r in OPS["sketch_approx_quantiles"].fn(spark, SF_DIR).collect()}
+def test_approx_quantiles_contract_holds(spark):
+    """Every GK rank-error boolean TRUE, group row counts exact."""
     from lambda_hive_spark.io import table
 
-    li = table(spark, SF_DIR, "lineitem")
-    eps = 2.0 / 10000
-    for p, col in [(0.5, "p50"), (0.95, "p95"), (0.99, "p99")]:
-        lo_p, hi_p = max(p - eps, 0.0), min(p + eps, 1.0)
-        bounds = {
-            r.l_returnflag: (r.lo, r.hi)
-            for r in li.groupBy("l_returnflag")
-            .agg(
-                F.percentile("l_extendedprice", lo_p).alias("lo"),
-                F.percentile("l_extendedprice", hi_p).alias("hi"),
-            )
-            .collect()
-        }
-        for flag, (lo, hi) in bounds.items():
-            v = getattr(approx[flag], col)
-            assert lo <= v <= hi, (flag, col, lo, v, hi)
+    rows = OPS["sketch_approx_quantiles"].fn(spark, SF_DIR).collect()
+    counts = {
+        r.l_returnflag: r.n
+        for r in table(spark, SF_DIR, "lineitem").groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r.n == counts[r.l_returnflag]
+        assert r.p50_ok and r.p95_ok and r.p99_ok, tuple(r)
 
 
 def test_sim_recall_eval_floor_and_bounds(spark):
     """ANN recall eval: every per-query recall is a valid fraction of
     a k=5 truth set, and macro recall clears the usefulness floor for
     this probe budget (measured 0.48-0.56 across scales)."""
-    from lambda_hive_spark.registry import all_ops
-
-    rows = all_ops()["sim_recall_eval"].fn(spark, SF_DIR).collect()
+    rows = OPS["sim_recall_eval"].fn(spark, SF_DIR).collect()
     per_q = [r for r in rows if r["query"] != "ALL"]
     overall = [r for r in rows if r["query"] == "ALL"]
     assert len(overall) == 1 and len(per_q) == 10
@@ -181,15 +200,34 @@ def test_sim_recall_eval_floor_and_bounds(spark):
 
 
 def test_stream_progress_accounts_every_row(spark):
-    """Streaming telemetry: total numInputRows across micro-batches
-    equals the exact source row count (exactly-once file-source
-    accounting), and the complete-mode state holds one row per
-    event_type."""
+    """Streaming telemetry contract: total numInputRows across
+    micro-batches equals the exact source row count (exactly-once
+    file-source accounting), and the complete-mode state holds one
+    row per group."""
     from lambda_hive_spark.io import table
-    from lambda_hive_spark.registry import all_ops
 
     want = table(spark, SF_DIR, "events").count()
-    r = all_ops()["stream_progress_metrics"].fn(spark, SF_DIR).collect()[0]
+    r = OPS["stream_progress_metrics"].fn(spark, SF_DIR).collect()[0]
     assert r["total_input_rows"] == want
-    assert r["n_groups"] == 5 and r["state_rows"] == 5
-    assert r["n_batches"] >= 1
+    assert r["n_groups"] == 5
+    assert r["batches_ok"] and r["state_ok"]
+
+
+def test_analyze_stats_contract(spark):
+    r = OPS["maintenance_analyze_stats"].fn(spark, SF_SMALL).collect()[0]
+    from lambda_hive_spark.io import table
+
+    assert r.n_rows == table(spark, SF_SMALL, "orders").count()
+    assert r.rowcount_exact and r.key_distinct_ok and r.key_nulls_exact and r.status_distinct_ok
+
+
+def test_dedup_embedding_guard_refuses_oversized_corpus(spark, monkeypatch):
+    """The exact all-pairs sibling must refuse to launch a cartesian
+    beyond its row guard (VERDICT r3 item 5)."""
+    import pytest
+
+    from lambda_hive_spark.operators import llm
+
+    monkeypatch.setattr(llm, "_EMB_EXACT_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match="all-pairs"):
+        OPS["dedup_embedding"].fn(spark, SF_SMALL).collect()
