@@ -75,6 +75,7 @@ def _scale_corpus(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
     from lambda_hive_spark.io import TABLES
+    from lambda_hive_spark.operators.scans import mark_scratch_fresh, scratch_stale
 
     repo = os.path.dirname(os.path.abspath(__file__))
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo, ".tmp"))
@@ -83,7 +84,11 @@ def _scale_corpus(spark, sf_dir: str) -> str:
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
         if t in SCALE_TABLES:
-            if os.path.isdir(dst) and os.path.exists(os.path.join(dst, "_SUCCESS")):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            # (size, mtime)-stamped cache: the driver regenerates the
+            # fixtures between rounds (ADVICE r3), so a _SUCCESS-only
+            # check would serve a stale replica.
+            if not scratch_stale(dst, src):
                 continue
             key, copies = SCALE_TABLES[t]
             base = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
@@ -92,6 +97,7 @@ def _scale_corpus(spark, sf_dir: str) -> str:
             for i in range(1, copies):
                 big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))
             big.repartition(32).write.mode("overwrite").parquet(dst)
+            mark_scratch_fresh(dst, src)
         elif not os.path.lexists(dst):
             os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
     return out_dir

@@ -52,15 +52,39 @@ def par_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name).repartition(scan_parallelism())
 
 
+# Catalog cache: `spark.read.parquet` re-lists the path and re-reads a
+# footer for schema on EVERY call — measured 50-100 ms per table, so a
+# 5-table join pays ~0.4 s of driver time before the first task runs. A
+# real warehouse resolves tables through a catalog once; this cache is
+# that catalog. DataFrames are immutable, so returning the same object
+# is safe; the (mtime, size) stamp in the key self-invalidates when a
+# fixture or scratch corpus is regenerated in-process.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _path_stamp(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path, _path_stamp(path))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Legacy corpus layout: events.ts was parquet TIMESTAMP(NANOS),
         # which Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL).
         # The conf is a no-op for the current µs layout but keeps old
         # checkouts of the corpus loadable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _normalize_timestamps(df)
+    df = _normalize_timestamps(spark.read.parquet(path))
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:

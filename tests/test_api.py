@@ -79,3 +79,31 @@ def test_graded_manifest_hash_guard(tmp_path, monkeypatch):
     graded = entry._graded_names()
     assert "agg_hash" in graded
     assert "agg_global" not in graded  # hash mismatch → re-queued
+
+
+def test_table_catalog_cache_reuses_and_invalidates(spark, tmp_path):
+    """io.table() acts as a catalog: repeated loads return the same
+    DataFrame object (no re-list / footer re-read per query), and a
+    regenerated source parquet — the driver rewrites fixtures between
+    rounds — invalidates the entry via its (mtime, size) stamp."""
+    import os
+    import shutil
+
+    from lambda_hive_spark.io import table
+
+    d1 = table(spark, "/root/testdata/sf0.001", "nation")
+    d2 = table(spark, "/root/testdata/sf0.001", "nation")
+    assert d1 is d2
+
+    # regenerate a copy of the corpus file -> cache must miss
+    src = "/root/testdata/sf0.001/nation.parquet"
+    dst = str(tmp_path / "nation.parquet")
+    shutil.copyfile(src, dst)
+    a = table(spark, str(tmp_path), "nation")
+    assert a.count() == 25
+    sub = a.limit(5).toPandas()
+    spark.createDataFrame(sub).coalesce(1).write.mode("overwrite").parquet(dst + ".new")
+    os.replace(next(str(p) for p in (tmp_path / "nation.parquet.new").glob("part-*.parquet")), dst)
+    b = table(spark, str(tmp_path), "nation")
+    assert b is not a
+    assert b.count() == 5
