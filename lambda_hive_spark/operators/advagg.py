@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.helpers import dsum, hier_exact_agg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -286,11 +286,16 @@ FROM lineitem GROUP BY l_suppkey
 def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-cardinality groupBy whose plan must contain partial_count/
     partial_sum before the shuffle (asserted in tests/test_plans.py) —
-    the map-side combine that makes 100 TB aggregation feasible."""
+    the map-side combine that makes 100 TB aggregation feasible. The
+    quantity sum uses hier_exact_agg's long-micros partial + decimal
+    merge (helpers.py) — same exact doubles, decimal ops off the
+    per-row hot loop."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dsum("l_quantity").alias("total_qty"),
+    return hier_exact_agg(
+        li,
+        ["l_suppkey"],
+        sums=[("total_qty", "l_quantity")],
+        count_star="n_items",
     )
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.helpers import dsum, hier_exact_agg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -290,14 +290,13 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(dsum(revenue).alias("revenue"))
     )
+    return hier_exact_agg(joined, ["r_name", "n_name"], sums=[("revenue", revenue)])
 
 
 @op(

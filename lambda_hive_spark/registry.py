@@ -39,7 +39,11 @@ def op(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Call
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # The driver calls ops on ITS session — pin the parity/perf
+            # confs (UTC, excluded optimizer rules) at every call.
+            from lambda_hive_spark.session import tune_runtime
+
+            tune_runtime(spark)
             return fn(spark, sf_dir)
 
         if name in _OPS:

@@ -373,10 +373,15 @@ def test_headline_shuffle_counts_do_not_regress(spark):
     regression long before it is a local wall-clock one."""
     from lambda_hive_spark.registry import all_ops
 
+    # agg_hash / agg_partial_final / join_multiway carry one extra
+    # audited Exchange since hier_exact_agg (helpers.py): its decimal
+    # merge level re-shuffles one row per (group, input partition) —
+    # bytes are negligible at any scale; the win is long (not 128-bit
+    # decimal) accumulation in the per-row hot loop.
     AUDITED_MAX = {
-        "agg_hash": 1,
-        "agg_partial_final": 1,
-        "join_multiway": 5,
+        "agg_hash": 2,
+        "agg_partial_final": 2,
+        "join_multiway": 6,
         "join_asof": 2,
         "win_topk_per_group": 1,
         "agg_pivot": 2,
