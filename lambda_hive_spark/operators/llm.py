@@ -143,12 +143,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     max_df = int(os.environ.get("SPARK_GRAFT_JACCARD_MAX_DF", "10000"))
     sh = _docs_with_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n_sh"))
-    e = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # Carry each doc's shingle count INSIDE the bucket structs instead
+    # of joining it back at the end: the former final two
+    # broadcast-joins re-ran the whole shingling pass once per side to
+    # build (doc_id, n_sh) — measured 2.6 s → 1.4 s at sf0.1 when the
+    # count rides along. Shuffle rows widen by one long per side;
+    # sort_array orders structs by leading field, so doc_a < doc_b
+    # pair order is unchanged.
+    e = sh.select(
+        F.struct(F.col("doc_id"), F.size("shingles").cast("long").alias("n_sh")).alias("d"),
+        F.explode("shingles").alias("s"),
+    )
     buckets = (
         e.repartition(par, "s")
         .groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list("d")).alias("ids"))
         .filter(F.size("ids").between(2, max_df))
     )
     n = F.size("ids")
@@ -157,25 +166,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ids",
             lambda x, i: F.transform(
                 F.slice("ids", i + F.lit(2), n - i - 1),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_sh"].alias("na"),
+                    y["n_sh"].alias("nb"),
+                ),
             ),
         )
     )
+    # na/nb are functionally dependent on doc_a/doc_b — adding them to
+    # the grouping keys keeps cardinality identical.
     pairs = (
         buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .repartition(par, "doc_a", "doc_b")
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        pairs.join(
-            F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"})), "doc_a"
-        )
-        .join(F.broadcast(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"})), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
     )
 
 
