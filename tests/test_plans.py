@@ -413,3 +413,19 @@ def test_cache_reuse_serves_from_memory(spark):
         assert "InMemoryRelation" in plan, plan[:500]
     finally:
         table(spark, SF_DIR, "customer").unpersist()
+
+
+def test_generate_has_no_inferred_prefilter(spark):
+    """InferFiltersFromGenerate must stay excluded (session.py): it
+    rewrites explode(expr) into a size()>0/isnotnull pre-filter that
+    re-evaluates the full generator expression twice more per row —
+    tripling scan-stage work for computed arrays (measured 3.0 s vs
+    0.4 s on the sf0.1 shingle explode). Guard: the shingle pipeline's
+    plan must contain no size(...) > 0 filter under the scan."""
+    from lambda_hive_spark.registry import all_ops
+
+    df = all_ops()["dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    scan_lines = [l for l in plan.splitlines() if "DataFilters" in l]
+    assert not any("size(" in l for l in scan_lines), scan_lines
