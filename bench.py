@@ -55,12 +55,20 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 # the clones are real duplicates: pair work grows quadratically).
 SCALE_TABLES = {
     "lineitem": ("l_orderkey", 10),
+    "orders": ("o_orderkey", 10),
     "documents": ("doc_id", 3),
     "embeddings": ("vec_id", 10),
 }
+# lineitem and orders must shift their orderkeys by the SAME offset so
+# the replicated fact-fact join keys still line up (clone i of a
+# lineitem row joins clone i of its order; o_custkey is left alone, so
+# dimension joins hit the unreplicated customer table unchanged).
+SCALE_SHIFT_GROUPS = ({"lineitem", "orders"},)
 SCALE_HEADLINE = (
     "agg_hash",            # 6M-row scan + groupBy
     "distinct_rows",       # 6M-row full-width shuffle dedup
+    "join_multiway",       # 6M x 1.5M fact-fact shuffle join + broadcast dims
+    "agg_partial_final",   # 6M-row mid-cardinality groupBy (map-side combine)
     "text_tf_idf",         # 15k docs, explode + two-level agg
     "dedup_ngram_jaccard", # 15k docs, 9× pair work (real duplicates)
     "sim_knn_exact",       # 10 queries × 5k corpus vectors
@@ -92,7 +100,16 @@ def _scale_corpus(spark, sf_dir: str) -> str:
                 continue
             key, copies = SCALE_TABLES[t]
             base = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-            shift = base.agg(F.max(key)).collect()[0][0] + 1
+            group = next((g for g in SCALE_SHIFT_GROUPS if t in g), {t})
+            shift = (
+                max(
+                    spark.read.parquet(os.path.join(sf_dir, f"{m}.parquet"))
+                    .agg(F.max(SCALE_TABLES[m][0]))
+                    .collect()[0][0]
+                    for m in group
+                )
+                + 1
+            )
             big = base
             for i in range(1, copies):
                 big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))

@@ -31,6 +31,15 @@ from pyspark.sql import SparkSession
 # changes results — it only removes the redundant re-evaluation.
 _EXCLUDED_OPT_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
+# Default 10 MB broadcast threshold is sized for ~1 GB executors; at the
+# 4-32 GB executors a 100 TB deployment runs, 64 MB is the conventional
+# setting — mid-size filtered dimensions (e.g. half of orders projected
+# to two columns) broadcast instead of shuffling the 40× bigger fact.
+# Genuinely-at-scale fact-fact joins exceed any threshold and still
+# plan sort-merge; ops that must demonstrate SMJ pin it via
+# hint("merge") or a scoped conf, so nothing flips plans by accident.
+_BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
+
 
 def get_spark(app_name: str = "lambda_hive_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -44,6 +53,8 @@ def get_spark(app_name: str = "lambda_hive_spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
+        .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -56,4 +67,6 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     create (the driver hands us its own session in `__spark_entry__`)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
     return spark
