@@ -751,7 +751,13 @@ FROM tf, n JOIN df ON tf.term = df.term
 def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: explode → tf per (doc,term), df per term, idf=ln(N/df)
     rounded to 6 (transcendental; see functions.py note), tfidf exact
-    product. df table broadcasts at scale (vocabulary-bounded)."""
+    product. df table broadcasts at scale (vocabulary-bounded). The
+    diamond (df derives from tf, joined back to tf) does execute the
+    explode+groupBy subtree twice — measured FASTER than the
+    single-pass COUNT() OVER (PARTITION BY term) rewrite (0.5 s vs
+    1.0 s at sf0.1): the window's mandatory sort over a million string
+    keys costs more than a second explode pass, and the broadcast keeps
+    the probe side shuffle-free."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("term"))
