@@ -72,6 +72,11 @@ _BACKLOG_FIRST = (
     "dedup_embedding", "maintenance_zorder", "maintenance_cluster_by",
     "join_dpp", "scan_ignore_corrupt_files", "scan_corrupt_records",
     "scan_file_metadata", "sql_unpivot_clause", "fn_variant",
+    # headline ops whose plans were rewritten for the round-4 perf work
+    # (hier_exact_agg / struct-carried jaccard counts) — must re-earn
+    # their green rows THIS round, not lapse until the next window
+    "agg_hash", "agg_partial_final", "join_multiway",
+    "dedup_ngram_jaccard", "text_tf_idf",
     # never-graded siblings the rewrites cite as their pattern
     "sim_pairs_rp_lsh", "dedup_minhash_md5", "sketch_countmin",
     "sketch_bloom_membership",
