@@ -1301,7 +1301,7 @@ def lineitem_band_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ranked AS (
   SELECT c_acctbal,
          ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 )
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1316,8 +1316,10 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and the cutpoint source for downstream band features). ntile's
     ORDER BY carries the customer key so equal balances assign
     deterministically; the window sorts the customer dim, not a
-    fact."""
-    c = table(spark, sf_dir, "customer")
+    fact. Deciles are defined over KNOWN balances only (IS NOT NULL
+    on both sides) — otherwise each engine's default null placement
+    would put unknown balances at opposite ends of the ranking."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     ranked = c.select(
         "c_acctbal",
         F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),

@@ -37,7 +37,7 @@ SELECT p_partkey,
        CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
        regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
-       trim(concat(' ', p_type, ' ')) AS trimmed
+       trim(concat(' ', coalesce(p_type, ''), ' ')) AS trimmed
 FROM part
 """,
 )
@@ -55,7 +55,12 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
-        F.trim(F.concat(F.lit(" "), F.col("p_type"), F.lit(" "))).alias("trimmed"),
+        # coalesce pins the NULL policy on BOTH sides: Spark concat is
+        # NULL-propagating while DuckDB concat skips NULLs — a real
+        # engine divergence the null-injected resilience sweep caught.
+        F.trim(
+            F.concat(F.lit(" "), F.coalesce(F.col("p_type"), F.lit("")), F.lit(" "))
+        ).alias("trimmed"),
     )
 
 
@@ -194,12 +199,18 @@ FROM documents
 )
 def fn_array_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_distinct + array_sort, string-joined for the oracle
-    (SURVEY.md §5.1 rule 4 + the no-array-output policy)."""
+    (SURVEY.md §5.1 rule 4 + the no-array-output policy). NULL text →
+    NULL vocab (concat_ws would otherwise flatten it to '', diverging
+    from the oracle's NULL-propagating array_to_string on a
+    null-bearing corpus)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).alias("vocab"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks))),
+        ).alias("vocab"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
     )
 
@@ -224,7 +235,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed.getField("k").cast("long").alias("k_typed"),
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.concat_ws(",", F.array_sort(F.map_keys(as_map))).alias("prop_keys"),
+        # NULL props → NULL key list (matches the oracle's json_keys
+        # NULL propagation; concat_ws alone would flatten to '').
+        F.when(
+            F.col("props").isNotNull(),
+            F.concat_ws(",", F.array_sort(F.map_keys(as_map))),
+        ).alias("prop_keys"),
     )
 
 

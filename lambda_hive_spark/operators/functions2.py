@@ -246,7 +246,14 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.k").alias("k"),
         F.col("entry.v").alias("v"),
         F.col("nested.inner.price").alias("nested_price"),
-        F.concat_ws("/", F.col("nested.status"), F.col("o_orderpriority")).alias("tag"),
+        # concat_ws silently SKIPS null elements while the oracle's ||
+        # propagates NULL — emit NULL when either part is missing so a
+        # null-bearing corpus cannot diverge.
+        F.when(
+            F.col("nested.status").isNotNull()
+            & F.col("o_orderpriority").isNotNull(),
+            F.concat_ws("/", F.col("nested.status"), F.col("o_orderpriority")),
+        ).alias("tag"),
     )
 
 
@@ -373,9 +380,13 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%05d/%x", "o_orderkey", "o_orderkey").alias("key_fmt"),
         F.lpad("o_orderpriority", 12, ".").alias("prio_padded"),
         F.rpad("o_orderstatus", 4, "_").alias("status_padded"),
-        F.format_string("cust-%d @ %s", "o_custkey", "o_orderpriority").alias(
-            "note"
-        ),
+        # Java's Formatter renders a NULL %s arg as the string "null"
+        # while DuckDB printf propagates NULL — emit NULL explicitly
+        # so both sides agree on a null-bearing corpus.
+        F.when(
+            F.col("o_orderpriority").isNotNull(),
+            F.format_string("cust-%d @ %s", "o_custkey", "o_orderpriority"),
+        ).alias("note"),
     )
 
 
@@ -483,7 +494,8 @@ def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        to_base64(encode(lang)) AS lang_b64,
        lower(hex(encode(lang))) AS lang_hex,
-       decode(from_base64(to_base64(encode(lang)))) = lang AS b64_roundtrip,
+       decode(from_base64(to_base64(encode(lang)))) IS NOT DISTINCT FROM lang
+         AS b64_roundtrip,
        CAST(octet_length(encode(text)) AS BIGINT) AS text_bytes
 FROM documents
 """,
@@ -500,9 +512,13 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.base64(lang_bin).alias("lang_b64"),
         F.lower(F.hex(lang_bin)).alias("lang_hex"),
-        (
-            F.decode(F.unbase64(F.base64(lang_bin)), "UTF-8") == F.col("lang")
-        ).alias("b64_roundtrip"),
+        # null-safe equality (<=> / IS NOT DISTINCT FROM) on both
+        # sides: a NULL lang round-trips trivially (TRUE), instead of
+        # producing a nullable boolean whose None/NaN rendering
+        # diverges between engines on a null-bearing corpus.
+        F.decode(F.unbase64(F.base64(lang_bin)), "UTF-8")
+        .eqNullSafe(F.col("lang"))
+        .alias("b64_roundtrip"),
         F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("text_bytes"),
     )
 
@@ -513,8 +529,8 @@ def fn_binary_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
        CAST(len(list_filter(toks, x -> len(x) > 6)) AS INT) AS n_long,
-       len(list_filter(toks, x -> x = 'join')) > 0 AS has_join,
-       len(list_filter(toks, x -> len(x) = 0)) = 0 AS all_nonempty,
+       coalesce(len(list_filter(toks, x -> x = 'join')) > 0, FALSE) AS has_join,
+       coalesce(len(list_filter(toks, x -> len(x) = 0)) = 0, FALSE) AS all_nonempty,
        CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_chars,
        array_to_string(list_transform(toks, x -> upper(x[1:1])), '') AS initials
 FROM t
@@ -535,8 +551,15 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 6)).alias("n_long"),
-        F.exists(toks, lambda x: x == "join").alias("has_join"),
-        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        # COALESCE(..., FALSE) on both sides: a NULL token array (NULL
+        # text) yields a definite "not verified" instead of a nullable
+        # boolean whose None/NaN rendering differs between engines.
+        F.coalesce(F.exists(toks, lambda x: x == "join"), F.lit(False)).alias(
+            "has_join"
+        ),
+        F.coalesce(F.forall(toks, lambda x: F.length(x) > 0), F.lit(False)).alias(
+            "all_nonempty"
+        ),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),

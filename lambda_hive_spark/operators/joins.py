@@ -236,19 +236,26 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     user ordered by (ts, tag) — clicks sort before purchases at equal
     ts, making the join inclusive. One shuffle on user_id; state is
     O(1) per row. DuckDB oracle uses its native ASOF JOIN.
+
+    The carried payload is a STRUCT wrapping the click row, not the
+    bare value: as-of semantics pick the latest click ROW (whose value
+    may itself be NULL), and the struct is non-null for every click
+    row, so last(ignorenulls) lands on the right row instead of
+    skipping back to an older click with a non-null value.
     """
     ev = table(spark, sf_dir, "events")
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("click_value"))
-        .select("user_id", "ts", F.lit(0).alias("tag"), "click_value",
+        .select("user_id", "ts", F.lit(0).alias("tag"),
+                F.struct(F.col("click_value")).alias("click_row"),
                 F.lit(None).cast("long").alias("event_id"),
                 F.lit(None).cast("double").alias("purchase_value"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(1).alias("tag"),
-        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("struct<click_value:double>").alias("click_row"),
         "event_id", F.col("value").alias("purchase_value"),
     )
     w = (
@@ -257,7 +264,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = clicks.unionByName(purchases).withColumn(
-        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        "last_click_value",
+        F.last("click_row", ignorenulls=True).over(w).getField("click_value"),
     )
     return merged.filter(F.col("tag") == 1).select(
         "event_id", "user_id", "purchase_value", "last_click_value"

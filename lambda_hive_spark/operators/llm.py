@@ -925,7 +925,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens())))
     return d.select(
         "doc_id",
-        F.md5(vocab).alias("fingerprint"),
+        # Missing text → NULL fingerprint (not md5('')): concat_ws
+        # flattens a NULL array to '', which would assign every absent
+        # doc the SAME fingerprint and glue them into one bogus dedup
+        # cluster; the oracle's md5(NULL) is already NULL.
+        F.when(F.col("text").isNotNull(), F.md5(vocab)).alias("fingerprint"),
         F.size(F.array_distinct(_tokens())).cast("long").alias("vocab_size"),
     )
 
@@ -1799,7 +1803,7 @@ WITH pred AS (
 )
 SELECT true_lang, pred_lang,
        CAST(COUNT(*) AS BIGINT) AS n,
-       pred_lang = true_lang AS correct
+       pred_lang IS NOT DISTINCT FROM true_lang AS correct
 FROM pred GROUP BY true_lang, pred_lang
 """,
 )
@@ -1821,6 +1825,9 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.col("pred_lang") == F.col("true_lang")).alias("correct"),
+            # null-safe eq: an unlabeled doc (NULL true_lang) grades
+            # as a definite miss, not a NULL cell — and both engines'
+            # null-safe operators agree exactly.
+            F.col("pred_lang").eqNullSafe(F.col("true_lang")).alias("correct"),
         )
     )

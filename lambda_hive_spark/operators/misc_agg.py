@@ -206,10 +206,14 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "agg_weighted",
     oracle=f"""
-WITH pw AS (
+WITH li AS (
+  SELECT * FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+pw AS (
   SELECT l_returnflag AS flag, l_extendedprice AS price,
          {sql_dsum("l_quantity", 2)} AS w
-  FROM lineitem GROUP BY 1, 2
+  FROM li GROUP BY 1, 2
 ),
 c AS (
   SELECT flag, price, w,
@@ -226,7 +230,7 @@ mean AS (
          ROUND({sql_dsum("l_extendedprice * l_quantity", 2)}
                / {sql_dsum("l_quantity", 2)}, 4) AS weighted_mean,
          {sql_dsum("l_quantity", 2)} AS total_weight
-  FROM lineitem GROUP BY 1
+  FROM li GROUP BY 1
 )
 SELECT m.flag, m.weighted_mean, d.weighted_median, m.total_weight
 FROM mean m JOIN med d ON m.flag = d.flag
@@ -253,7 +257,13 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     from pyspark.sql.window import Window
 
-    li = table(spark, sf_dir, "lineitem")
+    # Weighted stats are defined over observed (price, weight) pairs:
+    # rows missing either are excluded on BOTH sides — otherwise a
+    # NULL price group's engine-specific ORDER BY placement (Spark
+    # NULLS FIRST vs DuckDB NULLS LAST) shifts every cumulative sum.
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     pw = (
         li.groupBy(
             F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")

@@ -51,8 +51,11 @@ def decode_media(payload: bytes, modality: str):
 
 def fake_dims(payload: bytes) -> tuple[int, int]:
     """Deterministic fake decode: 'dimensions' derived from the first
-    two payload bytes — stands in for a real header parse."""
-    return payload[0] % 64 + 1, payload[1] % 64 + 1
+    two payload bytes — stands in for a real header parse. Payloads
+    shorter than 2 bytes read as zero bytes, mirroring the oracle's
+    ascii(substr(text, i, 1)) = 0 on out-of-range positions."""
+    padded = (payload + b"\x00\x00")[:2]
+    return padded[0] % 64 + 1, padded[1] % 64 + 1
 
 
 def payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,15 +88,26 @@ def mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # na_action='ignore' + nullable Int64: a NULL payload (missing
+    # media) propagates NULL features, matching the oracle's
+    # NULL-propagating length()/ascii() — instead of crashing the
+    # Python worker on None.
     for pdf in batches:
         pay = pdf["payload"]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pay.map(len).astype("int64"),
-                "n_space_bytes": pay.map(lambda b: b.count(b" ")).astype("int64"),
-                "first_byte": pay.map(lambda b: b[0]).astype("int64"),
-                "last_byte": pay.map(lambda b: b[-1]).astype("int64"),
+                "n_bytes": pay.map(len, na_action="ignore").astype("Int64"),
+                "n_space_bytes": pay.map(
+                    lambda b: b.count(b" "), na_action="ignore"
+                ).astype("Int64"),
+                # empty payload → 0, mirroring DuckDB ascii('') = 0
+                "first_byte": pay.map(
+                    lambda b: b[0] if len(b) else 0, na_action="ignore"
+                ).astype("Int64"),
+                "last_byte": pay.map(
+                    lambda b: b[-1] if len(b) else 0, na_action="ignore"
+                ).astype("Int64"),
             }
         )
 
@@ -123,6 +137,12 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     rows: dict[str, list] = {"doc_id": [], "width": [], "height": [], "thumb_w": [], "thumb_h": []}
     for pdf in batches:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # missing media → no thumbnail row (the oracle filters
+                # NULL text out; Spark's greatest/NULL and DuckDB's
+                # greatest/NULL disagree, so a NULL-dims row cannot be
+                # pinned consistently — absence can)
+                continue
             w, h = fake_dims(payload)
             long_edge = max(w, h)
             rows["doc_id"].append(doc_id)
@@ -145,7 +165,7 @@ SELECT doc_id,
        CAST(greatest(1, (ascii(substr(text, 2, 1)) % 64 + 1) * {THUMB}
             // greatest(ascii(substr(text, 1, 1)) % 64 + 1,
                         ascii(substr(text, 2, 1)) % 64 + 1)) AS BIGINT) AS thumb_h
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,6 +186,10 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_n_bytes": [], "frame_sha": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # missing media → no frames, mirroring the oracle's
+                # lateral UNNEST(range(NULL)) yielding zero rows
+                continue
             n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
             for i in range(0, n_frames, FRAME_STRIDE):
                 frame = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
@@ -207,12 +231,14 @@ def _checksum_batches(batches):
 
     for batch in batches:
         doc_ids = batch.column("doc_id")
-        payloads = batch.column("payload")
+        payloads = [p.as_py() for p in batch.column("payload")]
+        # None payload → NULL checksum/length (oracle: md5(NULL) is
+        # NULL), instead of crashing hashlib on a non-buffer.
         crcs = [
-            int(hashlib.md5(p.as_py()).hexdigest()[:8], 16)
+            None if p is None else int(hashlib.md5(p).hexdigest()[:8], 16)
             for p in payloads
         ]
-        n_bytes = [len(p.as_py()) for p in payloads]
+        n_bytes = [None if p is None else len(p) for p in payloads]
         yield pa.RecordBatch.from_arrays(
             [doc_ids, pa.array(crcs, pa.int64()), pa.array(n_bytes, pa.int64())],
             names=["doc_id", "crc32ish", "n_bytes"],

@@ -343,17 +343,17 @@ FROM orders
 UNION ALL
 SELECT 'price_in_range',
        CAST(COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 END) AS BIGINT),
-       CAST(COUNT(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice < 1000000) THEN 1 END) AS BIGINT)
+       CAST(COUNT(*) - COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000 THEN 1 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'status_in_set',
        CAST(COUNT(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS BIGINT),
-       CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT)
+       CAST(COUNT(*) - COUNT(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'date_after_epoch',
        CAST(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS BIGINT),
-       CAST(COUNT(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS BIGINT)
+       CAST(COUNT(*) - COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' THEN 1 END) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'orderkey_unique',
@@ -370,7 +370,12 @@ def quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a struct array afterward, so adding a rule never adds a pass over
     the data (the oracle's 5-scan UNION ALL is the naive formulation).
     Uniqueness rides the same aggregate via count_distinct. This is
-    the gate a pipeline runs before promoting a landed batch."""
+    the gate a pipeline runs before promoting a landed batch.
+
+    Null policy (pinned on both sides): n_fail = total − n_pass, so a
+    row whose rule predicate evaluates to NULL (e.g. a NULL price for
+    price_in_range) counts as FAILING — the conservative audit
+    posture, and the only formulation both engines agree on."""
     o = table(spark, sf_dir, "orders")
     n = F.count(F.lit(1))
     def rule(name, pred):

@@ -86,7 +86,7 @@ _GK_ACC = 10000  # percentile_approx accuracy → rank error ε = 1/acc
 @op(
     "sketch_approx_quantiles",
     oracle="""
-SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+SELECT l_returnflag, CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
        TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
 FROM lineitem GROUP BY l_returnflag
 """,
@@ -116,7 +116,11 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(F.broadcast(qs), "l_returnflag")
     agg = j.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
+        # count(col), not count(*): percentile_approx ignores NULL
+        # prices, so the GK rank bound must be taken over the non-null
+        # population or the check falsely fails on a null-bearing
+        # corpus (the oracle's n mirrors COUNT(l_extendedprice)).
+        F.count(pr).alias("n"),
         *[
             c
             for q in ("p50", "p95", "p99")

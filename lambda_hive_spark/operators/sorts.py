@@ -46,19 +46,35 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "limit_k",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber,
+         l_quantity NULLS LAST, l_extendedprice NULLS LAST
+LIMIT 100
 """,
 )
 def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIMIT, determinized: a bare LIMIT's row set is engine-dependent
-    (whatever rows arrive first), so the op totally orders on the
-    table's unique key before limiting — same LIMIT machinery
-    (TakeOrderedAndProject: per-partition heap + driver merge of k
-    rows, no global sort), but a hash-checkable result (VERDICT r3
-    item 2 determinization)."""
+    (whatever rows arrive first), so the op totally orders before
+    limiting — same LIMIT machinery (TakeOrderedAndProject:
+    per-partition heap + driver merge of k rows, no global sort), but
+    a hash-checkable result (VERDICT r3 item 2 determinization).
+
+    The sort key is ALL FOUR output columns, not just (l_orderkey,
+    l_linenumber): this corpus's lineitem does NOT keep that pair
+    unique (unlike TPC-H proper — ~1.2k duplicate pairs at sf0.001),
+    so a two-column "total" order ties at the LIMIT boundary and the
+    row set silently depends on scan order — the regen-resilience
+    sweep caught it flaking once the file had >1 row group. Ordering
+    by every emitted column (NULLS LAST pinned) makes the output a
+    function of the data alone, even under duplicate keys."""
     return (
         table(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").asc_nulls_last(),
+            F.col("l_extendedprice").asc_nulls_last(),
+        )
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .limit(100)
     )

@@ -200,7 +200,8 @@ _EMA_NUM, _EMA_DEN = _sql_ema_terms()
     "ts_ema",
     oracle=f"""
 SELECT user_id, event_id, value,
-       ({_EMA_NUM}) / ({_EMA_DEN}) AS ema
+       CASE WHEN ({_EMA_DEN}) > 0
+            THEN ({_EMA_NUM}) / ({_EMA_DEN}) END AS ema
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
@@ -230,8 +231,12 @@ def ts_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         wgt = F.when(lag_j.isNotNull(), F.pow(F.lit(0.5), F.lit(j))).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = wgt if den is None else den + wgt
+    # A window whose observations are ALL NULL has zero total weight:
+    # emit NULL instead of dividing by zero (ANSI mode hard-errors on
+    # it; the oracle's CASE mirrors the same guard).
     return table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "value", (num / den).alias("ema")
+        "user_id", "event_id", "value",
+        F.when(den > 0, num / den).alias("ema"),
     )
 
 

@@ -64,13 +64,17 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segment_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+    # dropna first: SQL SUM/MAX skip NULLs (and SUM of an all-NULL
+    # group is NULL, which pandas' sum-of-empty == 0.0 would get
+    # wrong); COUNT(*) still counts every row.
+    bal = pdf["c_acctbal"].dropna()
+    cents = (bal * 100).round().astype("int64")
     return pd.DataFrame(
         {
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
             "n_customers": [len(pdf)],
-            "sum_acctbal": [cents.sum() / 100.0],
-            "max_acctbal": [pdf["c_acctbal"].max()],
+            "sum_acctbal": [cents.sum() / 100.0 if len(cents) else None],
+            "max_acctbal": [bal.max() if len(bal) else None],
         }
     )
 
@@ -143,7 +147,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = F.map_from_entries(F.arrays_zip(F.map_keys(m), F.map_values(m)))
     return ev.select(
         "event_id",
-        F.concat_ws(",", F.map_keys(m)).alias("ks_csv"),
+        # NULL props → NULL csv (concat_ws alone would emit '' while
+        # the oracle's array_to_string propagates NULL).
+        F.when(
+            F.col("props").isNotNull(), F.concat_ws(",", F.map_keys(m))
+        ).alias("ks_csv"),
         F.element_at(rebuilt, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
     )
@@ -244,9 +252,12 @@ def _tok_count_batches(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
     amortized over every Arrow batch the executor feeds it."""
     _VOCAB = {"the", "a", "of", "and"}  # stands in for a real tokenizer load
     for texts in it:
+        # na_action + nullable Int64: NULL text → NULL count (the
+        # oracle's list/len chain propagates NULL the same way).
         yield texts.map(
-            lambda t: sum(1 for w in t.split(" ") if w not in _VOCAB)
-        ).astype("int64")
+            lambda t: sum(1 for w in t.split(" ") if w not in _VOCAB),
+            na_action="ignore",
+        ).astype("Int64")
 
 
 @op(

@@ -193,14 +193,20 @@ SELECT o_orderkey,
        percent_rank() OVER w AS pct_rank,
        cume_dist() OVER w AS cume
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice ASC NULLS LAST, o_orderkey ASC)
 """,
 )
 def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist per status partition. percent_rank
-    = (rank-1)/(n-1) — identical integer division on both engines."""
+    = (rank-1)/(n-1) — identical integer division on both engines.
+    NULLS LAST is pinned explicitly on both sides: the engines'
+    default ASC null placement differs (Spark FIRST, DuckDB LAST),
+    which would shift every rank on a null-bearing corpus."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
     return o.select(
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),

@@ -1,0 +1,88 @@
+"""Corpus-regeneration resilience tier (opt-in, like test_scale_smoke).
+
+The driver regenerated the fixture corpus once already (round 3:
+timestamp physical layout flipped) and may again. This tier replays
+the oracle comparison against schema-compatible PERTURBED corpora
+(tools/perturb_corpus.py) so ops secretly coupled to row order,
+row-group layout, timestamp physical type, or null-freedom fail HERE
+instead of in a future driver round:
+
+  shuffled — rows md5-permuted, 3 row groups
+  nanos    — shuffled + events.ts stored as TIMESTAMP(NANOS)
+  nulled   — shuffled + ~2% NULLs in non-key value columns
+
+Run:  SPARK_GRAFT_REGEN_SMOKE=1 pytest tests/test_regen_resilience.py
+(each variant sweeps a representative op subset; the full-registry
+sweep is `python tools/verify_driver.py <variant_dir>`)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_REGEN_SMOKE") != "1",
+    reason="regen-resilience smoke is opt-in (SPARK_GRAFT_REGEN_SMOKE=1)",
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_REGEN_SF_DIR", "/root/testdata/sf0.001")
+
+# One representative per family, plus every op the nulled sweep
+# originally caught (the regression set this tier exists to hold).
+REPRESENTATIVE = [
+    "agg_hash", "join_multiway", "win_rank", "sort_multi", "union_all",
+    "stream_tumbling", "dedup_exact", "dedup_ngram_jaccard", "sim_knn_exact",
+    "text_tf_idf", "fn_date", "fn_hash", "agg_percentile", "join_asof",
+]
+NULL_REGRESSIONS = [
+    "agg_weighted", "customer_balance_deciles", "eval_langid_confusion",
+    "fn_array_hof", "fn_array_sort_distinct", "fn_binary_codec", "fn_format",
+    "fn_json", "fn_map", "fn_string", "fn_struct", "join_asof", "limit_k",
+    "quality_rule_audit", "sketch_approx_quantiles", "text_fingerprint",
+    "win_ntile_cume", "mm_arrow_checksum", "mm_feature_extract",
+    "mm_frame_sample", "mm_resize_stub", "ts_ema", "udaf_grouped",
+    "udf_scalar_iter",
+]
+
+
+def _sweep(spark, variant: str, names: list[str]) -> list[str]:
+    import duckdb
+
+    from lambda_hive_spark.registry import all_ops
+    from tools.perturb_corpus import TABLES, build
+
+    sf = build(SF_DIR, variant)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ops = all_ops()
+    bad = []
+    for name in names:
+        o = ops[name]
+        sdf = o.fn(spark, sf).toPandas()
+        ddf = con.execute(o.oracle).fetchdf()
+        cols = sorted(sdf.columns)
+        s = sorted(map(str, sdf[cols].itertuples(index=False, name=None)))
+        d = sorted(map(str, ddf[sorted(ddf.columns)].itertuples(index=False, name=None)))
+        if cols != sorted(ddf.columns) or s != d:
+            bad.append(name)
+    con.close()
+    return bad
+
+
+@pytest.mark.parametrize("variant", ["shuffled", "nanos"])
+def test_layout_variants(spark, variant):
+    assert _sweep(spark, variant, REPRESENTATIVE) == []
+
+
+def test_null_injected_variant(spark):
+    names = sorted(set(REPRESENTATIVE + NULL_REGRESSIONS))
+    assert _sweep(spark, "nulled", names) == []

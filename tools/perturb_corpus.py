@@ -1,0 +1,125 @@
+"""Corpus-regeneration resilience harness (driver-proofing).
+
+The driver regenerated the fixture corpus once already (round 3:
+timestamp physical layout changed µs↔ns) and may do so again. This
+tool derives schema-compatible PERTURBED variants of a fixture dir in
+scratch, so the full 305-op differential sweep (tools/verify_driver.py)
+can be replayed against each variant. Any op that is secretly coupled
+to row order, file/row-group layout, timestamp physical type, or
+null-freedom shows up as a Spark↔DuckDB mismatch HERE, before a real
+regeneration turns it into a driver CORRECTNESS failure.
+
+Variants (all deterministic, seeded by row keys — no RNG state):
+  shuffled  rows re-ordered by md5(row) and written as 3 row groups —
+            order/layout independence.
+  nanos     shuffled + events.ts stored as parquet TIMESTAMP(NANOS)
+            (the legacy layout the io.py loader normalizes).
+  nulled    shuffled + ~2%% NULLs injected into non-key value columns
+            (acctbal/totalprice/quantity/value/text/props/...) —
+            null-semantics parity (count(col), avg, null ordering).
+
+Usage: python tools/perturb_corpus.py <sf_dir> <variant> [out_root]
+Prints the variant dir; then:
+    python tools/verify_driver.py <variant_dir>
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Non-key columns eligible for null injection (keys/join columns stay
+# intact so FK semantics — and therefore both engines' join outputs —
+# remain comparable row-for-row).
+NULLABLE_VALUE_COLS = {
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_size", "p_retailprice", "p_type"],
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "events": ["value", "props"],
+    "documents": ["text", "lang"],
+    "embeddings": ["label"],
+}
+
+NULL_EVERY = 50  # ~2% of rows per column
+
+
+def _row_rank(tbl: pa.Table) -> pa.Array:
+    """Deterministic pseudo-random permutation rank: md5 of the first
+    (key) column's string repr, salted per column name — stable across
+    runs and machines, no RNG state (rows with equal keys keep a
+    stable relative order via the secondary index term)."""
+    key = tbl.column(0).to_pylist()
+    digests = [
+        hashlib.md5(f"perturb|{v}|{i}".encode()).hexdigest()
+        for i, v in enumerate(key)
+    ]
+    order = sorted(range(len(digests)), key=lambda i: digests[i])
+    return pa.array(order, type=pa.int64())
+
+
+def _shuffle(tbl: pa.Table) -> pa.Table:
+    return tbl.take(_row_rank(tbl))
+
+
+def _inject_nulls(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    n = tbl.num_rows
+    for col in cols:
+        if col not in tbl.column_names:
+            continue
+        idx = tbl.column_names.index(col)
+        # Deterministic mask: md5(col, row-ordinal) — independent of
+        # the value, so both engines see the same holes.
+        mask = pa.array(
+            [
+                int(hashlib.md5(f"null|{col}|{i}".encode()).hexdigest(), 16)
+                % NULL_EVERY == 0
+                for i in range(n)
+            ]
+        )
+        arr = tbl.column(idx).combine_chunks()
+        nulled = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
+        tbl = tbl.set_column(idx, tbl.field(idx), nulled)
+    return tbl
+
+
+def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
+    scratch = out_root or os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scratch")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(scratch, f"perturb_{variant}_{base}")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        tbl = pq.read_table(src)
+        tbl = _shuffle(tbl)
+        kwargs: dict = {}
+        if variant == "nanos" and name == "events":
+            idx = tbl.column_names.index("ts")
+            tbl = tbl.set_column(
+                idx, pa.field("ts", pa.timestamp("ns")),
+                tbl.column(idx).cast(pa.timestamp("ns")),
+            )
+            # version 2.6 + no coercion → physical TIMESTAMP(NANOS)
+            kwargs = {"coerce_timestamps": None, "version": "2.6"}
+        if variant == "nulled":
+            tbl = _inject_nulls(tbl, NULLABLE_VALUE_COLS.get(name, []))
+        rg = max(1, tbl.num_rows // 3)  # 3 row groups → parallel scan shape
+        pq.write_table(tbl, dst, row_group_size=rg, **kwargs)
+    return out_dir
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    variant = sys.argv[2] if len(sys.argv) > 2 else "shuffled"
+    print(build(sf_dir, variant, sys.argv[3] if len(sys.argv) > 3 else None))

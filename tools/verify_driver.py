@@ -44,5 +44,15 @@ for name, fn in sorted(qs.items()):  # t2
     d = sorted(map(str, ddf[sorted(ddf.columns)].itertuples(index=False, name=None)))
     if cols != sorted(ddf.columns) or s != d:
         bad.append(name)
+        # post-mortem dump: first differing rows from each side
+        import itertools
+        with open(f"/tmp/verify_mismatch_{name}.txt", "w") as fh:
+            fh.write(f"spark cols {cols}\nduck cols {sorted(ddf.columns)}\n")
+            fh.write(f"spark rows {len(s)} duck rows {len(d)}\n")
+            ds, dd = set(d), set(s)
+            for r in itertools.islice((r for r in s if r not in ds), 20):
+                fh.write(f"S {r}\n")
+            for r in itertools.islice((r for r in d if r not in dd), 20):
+                fh.write(f"D {r}\n")
 print("MISMATCH:", bad) if bad else print("ALL MATCH", len(qs))
 spark.stop()
