@@ -645,32 +645,36 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_like_family",
     oracle="""
 SELECT doc_id,
-       text LIKE '%join%' AS has_join_like,
-       lower(text) LIKE lower('%JOIN%') AS has_join_ilike,
-       contains(text, 'window') AS has_window,
-       starts_with(text, 'scan') AS starts_scan,
-       suffix(text, 'hash') AS ends_hash,
-       lang LIKE 'e_' AS lang_two_e,
-       source NOT LIKE '%9' AS not_nine
+       CAST(text LIKE '%join%' AS BIGINT) AS has_join_like,
+       CAST(lower(text) LIKE lower('%JOIN%') AS BIGINT) AS has_join_ilike,
+       CAST(contains(text, 'window') AS BIGINT) AS has_window,
+       CAST(starts_with(text, 'scan') AS BIGINT) AS starts_scan,
+       CAST(suffix(text, 'hash') AS BIGINT) AS ends_hash,
+       CAST(lang LIKE 'e_' AS BIGINT) AS lang_two_e,
+       CAST(source NOT LIKE '%9' AS BIGINT) AS not_nine
 FROM documents WHERE doc_id % 9 = 0
 """,
 )
 def fn_like_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The string-matching predicate family as values (not filters):
     LIKE, case-insensitive ILIKE, contains / startswith / endswith,
-    single-char wildcard, negated LIKE — each returned as a boolean
-    column so parity pins the MATCH SEMANTICS themselves (filter_like
-    only proves the rows that survive). All map-only codegen'd
-    predicates; DuckDB mirrors ilike via lower()-LIKE and endswith
-    via suffix()."""
+    single-char wildcard, negated LIKE — each returned as a column so
+    parity pins the MATCH SEMANTICS themselves (filter_like only
+    proves the rows that survive). All map-only codegen'd predicates;
+    DuckDB mirrors ilike via lower()-LIKE and endswith via suffix().
+
+    Outputs are nullable 0/1 BIGINT, not boolean: SQL matching is
+    three-valued (LIKE over NULL text is NULL — preserved here), and
+    the int encoding renders identically from both engines' pandas
+    bridges, where nullable booleans do not (None vs NaN)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
     return d.select(
         "doc_id",
-        F.col("text").like("%join%").alias("has_join_like"),
-        F.col("text").ilike("%JOIN%").alias("has_join_ilike"),
-        F.contains("text", F.lit("window")).alias("has_window"),
-        F.startswith("text", F.lit("scan")).alias("starts_scan"),
-        F.endswith("text", F.lit("hash")).alias("ends_hash"),
-        F.col("lang").like("e_").alias("lang_two_e"),
-        (~F.col("source").like("%9")).alias("not_nine"),
+        F.col("text").like("%join%").cast("bigint").alias("has_join_like"),
+        F.col("text").ilike("%JOIN%").cast("bigint").alias("has_join_ilike"),
+        F.contains("text", F.lit("window")).cast("bigint").alias("has_window"),
+        F.startswith("text", F.lit("scan")).cast("bigint").alias("starts_scan"),
+        F.endswith("text", F.lit("hash")).cast("bigint").alias("ends_hash"),
+        F.col("lang").like("e_").cast("bigint").alias("lang_two_e"),
+        (~F.col("source").like("%9")).cast("bigint").alias("not_nine"),
     )

@@ -115,18 +115,28 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @op(
     "mm_feature_extract",
     oracle="""
-SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-       CAST(ascii(right(text, 1)) AS BIGINT) AS last_byte
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+         AS n_space_bytes,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE ('0x' || substring(hex(encode(text)), 1, 2))::BIGINT
+       END AS first_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE ('0x' || substring(hex(encode(text)),
+                                    octet_length(encode(text)) * 2 - 1, 2))::BIGINT
+       END AS last_byte
 FROM documents
 """,
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item feature extraction over raw payload bytes via
     Arrow-batched mapInPandas (the shape a real pixel/sample featurizer
-    takes). Oracle mirrors the byte math on the source text — exact
-    because the corpus is ASCII (1 byte = 1 char)."""
+    takes). Oracle mirrors the byte math exactly on ANY corpus —
+    multibyte included — by addressing bytes through hex(encode(text))
+    (2 hex chars per byte; DuckDB 1.0 cannot slice BLOBs directly).
+    Space counting stays char-based because 0x20 never occurs inside a
+    UTF-8 multibyte sequence."""
     return payload_df(spark, sf_dir).mapInPandas(
         _feature_batches,
         "doc_id long, n_bytes long, n_space_bytes long, first_byte long, last_byte long",
@@ -156,23 +166,29 @@ def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @op(
     "mm_resize_stub",
     oracle=f"""
-SELECT doc_id,
-       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS BIGINT) AS width,
-       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS BIGINT) AS height,
-       CAST(greatest(1, (ascii(substr(text, 1, 1)) % 64 + 1) * {THUMB}
-            // greatest(ascii(substr(text, 1, 1)) % 64 + 1,
-                        ascii(substr(text, 2, 1)) % 64 + 1)) AS BIGINT) AS thumb_w,
-       CAST(greatest(1, (ascii(substr(text, 2, 1)) % 64 + 1) * {THUMB}
-            // greatest(ascii(substr(text, 1, 1)) % 64 + 1,
-                        ascii(substr(text, 2, 1)) % 64 + 1)) AS BIGINT) AS thumb_h
-FROM documents WHERE text IS NOT NULL
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents WHERE text IS NOT NULL
+),
+dims AS (
+  SELECT doc_id,
+         COALESCE(TRY_CAST('0x' || substring(h, 1, 2) AS BIGINT), 0) % 64 + 1 AS w,
+         COALESCE(TRY_CAST('0x' || substring(h, 3, 2) AS BIGINT), 0) % 64 + 1 AS hh
+  FROM hx
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(hh AS BIGINT) AS height,
+       CAST(greatest(1, w * {THUMB} // greatest(w, hh)) AS BIGINT) AS thumb_w,
+       CAST(greatest(1, hh * {THUMB} // greatest(w, hh)) AS BIGINT) AS thumb_h
+FROM dims
 """,
 )
 def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→resize with the codec stubbed by a deterministic header
     parse (`fake_dims`): aspect-preserving integer thumbnail math in
     mapInPandas. The real decoder slots into `decode_media` without
-    touching the Spark plumbing."""
+    touching the Spark plumbing. The oracle reads header BYTES through
+    hex(encode(text)) so it stays exact on multibyte corpora; a short
+    payload's missing byte 2 reads as 0 on both sides (TRY_CAST of the
+    empty hex slice ↔ fake_dims' zero padding)."""
     return payload_df(spark, sf_dir).mapInPandas(
         _resize_batches, "doc_id long, width long, height long, thumb_w long, thumb_h long"
     )
@@ -196,26 +212,42 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["doc_id"].append(doc_id)
                 out["frame_idx"].append(i)
                 out["frame_n_bytes"].append(len(frame))
-                out["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+                # fingerprint the HEX rendering (not the raw bytes):
+                # equal bytes ↔ equal hash still holds, and DuckDB 1.0
+                # can reproduce it for frames that split a multibyte
+                # char (sha256 there only accepts VARCHAR, and such a
+                # frame is not valid UTF-8)
+                out["frame_sha"].append(
+                    hashlib.sha256(frame.hex().upper().encode()).hexdigest()
+                )
         yield pd.DataFrame(out)
 
 
 @op(
     "mm_frame_sample",
     oracle=f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
 SELECT doc_id, i AS frame_idx,
-       least({FRAME_BYTES}, length(text) - i * {FRAME_BYTES}) AS frame_n_bytes,
-       sha256(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_sha
-FROM documents,
-     UNNEST(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT),
+       least({FRAME_BYTES}, nb - i * {FRAME_BYTES}) AS frame_n_bytes,
+       sha256(substring(h, i * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2))
+         AS frame_sha
+FROM b,
+     UNNEST(range(0, CAST(ceil(nb / {FRAME_BYTES}.0) AS BIGINT),
                   {FRAME_STRIDE})) AS t(i)
 """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: slice the payload into fixed
     256-byte frames, keep every 4th, fingerprint each — a 1→N
-    mapInPandas expansion whose per-frame hashes the oracle
-    reproduces byte-for-byte."""
+    mapInPandas expansion whose per-frame hashes the oracle reproduces
+    byte-for-byte. Frame boundaries are BYTE offsets (addressed as
+    2-hex-char pairs oracle-side) and the fingerprint is sha256 of the
+    frame's hex rendering, so the manifest is exact even when a frame
+    boundary splits a multibyte character."""
     return payload_df(spark, sf_dir).mapInPandas(
         _frame_batches, "doc_id long, frame_idx long, frame_n_bytes long, frame_sha string"
     )
@@ -285,18 +317,22 @@ def mm_arrow_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "mm_chunk_manifest",
     oracle="""
-WITH chunks AS (
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 4 = 0
+),
+chunks AS (
   SELECT doc_id, i AS chunk_idx,
-         substring(text, 1 + CAST(i * 64 AS INT), 64) AS chunk
-  FROM documents, LATERAL (
+         substring(h, 1 + CAST(i * 128 AS INT), 128) AS chunkhex
+  FROM b, LATERAL (
     SELECT unnest(generate_series(0,
-           CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS i
+           CAST(ceil(nb / 64.0) AS BIGINT) - 1)) AS i
   ) g
-  WHERE doc_id % 4 = 0
 )
 SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(length(chunk) AS BIGINT) AS chunk_bytes,
-       sha256(chunk) AS chunk_hash
+       CAST(length(chunkhex) // 2 AS BIGINT) AS chunk_bytes,
+       sha256(chunkhex) AS chunk_hash
 FROM chunks
 """,
 )
@@ -313,9 +349,12 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (exchange-free, like doc_chunk_sliding); payload bytes
     never shuffle — only (doc_id, idx, 64-byte block) rows exist
     post-projection, and the manifest output is hashes + lengths.
-    Oracle note: DuckDB's substring has no BLOB overload, so the
-    oracle slices the source VARCHAR — exact because the corpus is
-    ASCII (1 byte = 1 char; same convention as mm_frame_sample)."""
+    Oracle note: DuckDB's substring has no BLOB overload, so byte
+    offsets are addressed through hex(encode(text)) (2 hex chars per
+    byte) and the content address is sha256 of the hex rendering —
+    equal bytes ↔ equal hash is preserved, and it stays exact when a
+    block boundary splits a multibyte character (same convention as
+    mm_frame_sample)."""
     p = payload_df(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
     n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
     chunk_structs = F.transform(
@@ -330,25 +369,30 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.length("c.chunk").cast("long").alias("chunk_bytes"),
-        F.lower(F.sha2(F.col("c.chunk"), 256)).alias("chunk_hash"),
+        F.lower(F.sha2(F.hex(F.col("c.chunk")), 256)).alias("chunk_hash"),
     )
 
 
 @op(
     "mm_block_dedup_savings",
     oracle="""
-WITH chunks AS (
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+chunks AS (
   SELECT doc_id, i AS chunk_idx,
-         substring(text, 1 + CAST(i * 64 AS INT), 64) AS chunk
-  FROM documents, LATERAL (
+         substring(hx, 1 + CAST(i * 128 AS INT), 128) AS chunkhex
+  FROM src, LATERAL (
     SELECT unnest(generate_series(0,
-           CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS i
+           CAST(ceil(nb / 64.0) AS BIGINT) - 1)) AS i
   ) g
 ),
 blocks AS (
-  SELECT sha256(chunk) AS h, CAST(length(chunk) AS BIGINT) AS b,
+  SELECT sha256(chunkhex) AS h, CAST(length(chunkhex) // 2 AS BIGINT) AS b,
          CAST(COUNT(*) AS BIGINT) AS refs
-  FROM chunks GROUP BY sha256(chunk), length(chunk)
+  FROM chunks GROUP BY sha256(chunkhex), length(chunkhex)
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_unique_blocks,
        CAST(SUM(refs) AS BIGINT) AS n_total_refs,
@@ -375,7 +419,8 @@ def mm_block_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = p.select(F.explode(chunk_structs).alias("chunk"))
     blocks = ex.groupBy(
-        F.lower(F.sha2("chunk", 256)).alias("h"),
+        # hex-rendered content address — see mm_chunk_manifest
+        F.lower(F.sha2(F.hex("chunk"), 256)).alias("h"),
         F.length("chunk").cast("long").alias("b"),
     ).agg(F.count(F.lit(1)).alias("refs"))
     saved = F.sum((F.col("refs") - 1) * F.col("b"))

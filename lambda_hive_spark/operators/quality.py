@@ -282,13 +282,15 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH dirty AS (
   SELECT doc_id,
-         upper(substr(text, 1, 10)) || '   ' || text || ' !!! ' || chr(9) AS t
+         upper(regexp_replace(substr(text, 1, 10), '[^ -~]', '', 'g'))
+           || '   ' || text || ' !!! ' || chr(9) AS t
   FROM documents
 ),
 cleaned AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
-                             ' +', ' ', 'g')) AS c
+         trim(regexp_replace(
+              lower(regexp_replace(t, '[^A-Za-z0-9 ]', ' ', 'g')),
+              ' +', ' ', 'g')) AS c
   FROM dirty
 )
 SELECT doc_id, md5(c) AS clean_md5,
@@ -307,20 +309,27 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain, and the output carries md5/length/token-count of the
     result rather than the text itself (hash-stable, shuffle-light).
 
-    Regex parity: the patterns use only literal classes ([^a-z0-9 ],
-    ' +') where Java regex and RE2 semantics coincide.
+    Regex parity: the patterns use only literal classes ([^A-Za-z0-9 ],
+    '[^ -~]', ' +') where Java regex and RE2 semantics coincide — both
+    treat a multibyte char as ONE unit of the negated class.
+    Case-mapping parity: upper/lower run only on printable-ASCII text
+    (the prefix is ASCII-stripped before upper; the ASCII strip runs
+    BEFORE lower), because the engines' Unicode case maps differ —
+    Java applies full mappings (upper('ß') = 'SS') while DuckDB's
+    utf8proc is 1:1 — so casing any multibyte char would diverge.
 
     Scale: per-row string kernels inside codegen, no shuffle, and the
     md5 projection means downstream exchanges move 16 bytes per doc,
     not documents."""
     d = table(spark, sf_dir, "documents")
     dirty = F.concat(
-        F.upper(F.substring("text", 1, 10)), F.lit("   "), F.col("text"),
+        F.upper(F.regexp_replace(F.substring("text", 1, 10), "[^ -~]", "")),
+        F.lit("   "), F.col("text"),
         F.lit(" !!! "), F.lit("\t"),
     )
     c = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(dirty), "[^a-z0-9 ]", " "), " +", " "
+            F.lower(F.regexp_replace(dirty, "[^A-Za-z0-9 ]", " ")), " +", " "
         )
     )
     return d.select(

@@ -99,7 +99,8 @@ _BAND = 20  # length-band width; |len diff| > band ⇒ distance > 0.3·len anywa
 @op(
     "dedup_edit_distance",
     oracle=f"""
-WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+           WHERE octet_length(encode(text)) = length(text))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
 FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.L - b.L) <= {_BAND}
@@ -111,11 +112,20 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     only be within 30% edit distance if lengths differ by ≤ that, so
     each doc joins only its own and adjacent length bands (the b side
     is replicated to 3 bands → every candidate pair meets exactly
-    once). Levenshtein is an exact integer — parity is trivial. At
-    100 TB the band is the shuffle key and the quadratic work stays
-    inside bands."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").alias("L")
+    once). At 100 TB the band is the shuffle key and the quadratic
+    work stays inside bands.
+
+    Scope (pinned on both sides): single-byte-per-char documents only
+    (octet_length = length). The engines' Levenshtein UNITS genuinely
+    differ on multibyte text — Spark counts codepoint edits, DuckDB
+    1.0 counts BYTE edits (measured: levenshtein('café','cafe') = 1
+    vs 2) — so cross-engine parity is only well-defined where the two
+    units coincide. A multilingual deployment keeps Spark's codepoint
+    distance and drops the oracle instead of this filter."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select("doc_id", "text", F.length("text").alias("L"))
     )
     a = d.withColumn("band", F.floor(F.col("L") / _BAND))
     b = d.select(

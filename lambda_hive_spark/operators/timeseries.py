@@ -88,21 +88,27 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, tag) with purchases tagged before errors at equal ts so the
     lookup is inclusive. One shuffle on user_id, O(1) window state.
     The oracle uses a correlated min-subquery (DuckDB's ASOF JOIN is
-    backward-only in 1.0)."""
+    backward-only in 1.0).
+
+    Like join_asof, the carried payload is a STRUCT wrapping the error
+    row: as-of picks the next error ROW (whose value may be NULL), so
+    first(ignorenulls) must not skip past a null-valued error to a
+    later non-null one."""
     ev = table(spark, sf_dir, "events")
     errors = (
         ev.filter(F.col("event_type") == "error")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("err_value"))
         .select(
-            "user_id", "ts", F.lit(1).alias("tag"), "err_value",
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.struct(F.col("err_value")).alias("err_row"),
             F.lit(None).cast("long").alias("event_id"),
             F.lit(None).cast("double").alias("purchase_value"),
         )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lit(0).alias("tag"),
-        F.lit(None).cast("double").alias("err_value"),
+        F.lit(None).cast("struct<err_value:double>").alias("err_row"),
         "event_id", F.col("value").alias("purchase_value"),
     )
     w = (
@@ -111,7 +117,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = purchases.unionByName(errors).withColumn(
-        "next_error_value", F.first("err_value", ignorenulls=True).over(w)
+        "next_error_value",
+        F.first("err_row", ignorenulls=True).over(w).getField("err_value"),
     )
     return merged.filter(F.col("tag") == 0).select(
         "event_id", "user_id", "purchase_value", "next_error_value"

@@ -377,6 +377,10 @@ def udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class _FanOut:
         def eval(self, event_id: int, k: int):
+            if k is None:
+                # no fan-out config → no slots, mirroring the oracle's
+                # lateral unnest(generate_series(0, NULL)) → zero rows
+                return
             for i in range((k % 4) + 1):
                 yield (event_id, i, event_id * 10 + i)
 

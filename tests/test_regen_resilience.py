@@ -7,9 +7,11 @@ the oracle comparison against schema-compatible PERTURBED corpora
 row-group layout, timestamp physical type, or null-freedom fail HERE
 instead of in a future driver round:
 
-  shuffled — rows md5-permuted, 3 row groups
-  nanos    — shuffled + events.ts stored as TIMESTAMP(NANOS)
-  nulled   — shuffled + ~2% NULLs in non-key value columns
+  shuffled     — rows md5-permuted, 3 row groups
+  nanos        — shuffled + events.ts stored as TIMESTAMP(NANOS)
+  nulled       — shuffled + ~2% NULLs in non-key value columns
+  nulled_heavy — shuffled + 25% NULLs (all-NULL groups/windows)
+  unicode      — shuffled + multibyte chars in documents.text
 
 Run:  SPARK_GRAFT_REGEN_SMOKE=1 pytest tests/test_regen_resilience.py
 (each variant sweeps a representative op subset; the full-registry
@@ -47,6 +49,16 @@ NULL_REGRESSIONS = [
     "win_ntile_cume", "mm_arrow_checksum", "mm_feature_extract",
     "mm_frame_sample", "mm_resize_stub", "ts_ema", "udaf_grouped",
     "udf_scalar_iter",
+]
+# caught only at 25% null density (all-NULL windows / NULL fan-out keys)
+HEAVY_NULL_REGRESSIONS = ["fn_like_family", "join_asof_forward", "udtf_arrow"]
+# caught by the multibyte variant (byte-vs-char addressing, case maps,
+# engine levenshtein units)
+UNICODE_REGRESSIONS = [
+    "dedup_edit_distance", "mm_block_dedup_savings", "mm_chunk_manifest",
+    "mm_feature_extract", "mm_frame_sample", "mm_resize_stub",
+    "text_clean_normalize", "mm_arrow_checksum", "mm_ingest",
+    "text_tokenize", "text_tf_idf",
 ]
 
 
@@ -86,3 +98,13 @@ def test_layout_variants(spark, variant):
 def test_null_injected_variant(spark):
     names = sorted(set(REPRESENTATIVE + NULL_REGRESSIONS))
     assert _sweep(spark, "nulled", names) == []
+
+
+def test_heavy_null_variant(spark):
+    names = sorted(set(NULL_REGRESSIONS + HEAVY_NULL_REGRESSIONS))
+    assert _sweep(spark, "nulled_heavy", names) == []
+
+
+def test_unicode_variant(spark):
+    names = sorted(set(REPRESENTATIVE + UNICODE_REGRESSIONS))
+    assert _sweep(spark, "unicode", names) == []

@@ -17,6 +17,13 @@ Variants (all deterministic, seeded by row keys — no RNG state):
   nulled    shuffled + ~2%% NULLs injected into non-key value columns
             (acctbal/totalprice/quantity/value/text/props/...) —
             null-semantics parity (count(col), avg, null ordering).
+  nulled_heavy
+            shuffled + 25%% NULLs — dense enough to produce all-NULL
+            groups/windows (SUM-of-empty, zero-weight EMA frames,
+            first/last over fully-null partitions).
+  unicode   shuffled + multibyte chars injected into documents.text —
+            char-count vs byte-count parity (length() counts chars,
+            payload len() counts bytes; Java vs utf8proc case maps).
 
 Usage: python tools/perturb_corpus.py <sf_dir> <variant> [out_root]
 Prints the variant dir; then:
@@ -52,6 +59,13 @@ NULLABLE_VALUE_COLS = {
 }
 
 NULL_EVERY = 50  # ~2% of rows per column
+NULL_EVERY_HEAVY = 4  # 25% — produces all-NULL groups and windows
+
+# Injected into documents.text for the `unicode` variant: 2-byte
+# (é, ß), 3-byte (中, €) and 4-byte (𝄞) UTF-8 sequences plus a
+# combining mark — every byte-length class a real multilingual corpus
+# carries.
+UNICODE_TOKENS = ["café", "straße", "中文", "€42", "𝄞clef", "étude"]
 
 
 def _row_rank(tbl: pa.Table) -> pa.Array:
@@ -72,7 +86,7 @@ def _shuffle(tbl: pa.Table) -> pa.Table:
     return tbl.take(_row_rank(tbl))
 
 
-def _inject_nulls(tbl: pa.Table, cols: list[str]) -> pa.Table:
+def _inject_nulls(tbl: pa.Table, cols: list[str], every: int = NULL_EVERY) -> pa.Table:
     n = tbl.num_rows
     for col in cols:
         if col not in tbl.column_names:
@@ -83,7 +97,7 @@ def _inject_nulls(tbl: pa.Table, cols: list[str]) -> pa.Table:
         mask = pa.array(
             [
                 int(hashlib.md5(f"null|{col}|{i}".encode()).hexdigest(), 16)
-                % NULL_EVERY == 0
+                % every == 0
                 for i in range(n)
             ]
         )
@@ -91,6 +105,23 @@ def _inject_nulls(tbl: pa.Table, cols: list[str]) -> pa.Table:
         nulled = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
         tbl = tbl.set_column(idx, tbl.field(idx), nulled)
     return tbl
+
+
+def _inject_unicode(tbl: pa.Table) -> pa.Table:
+    """Swap every 3rd document's text for a copy whose first tokens are
+    replaced by multibyte strings (deterministic by row ordinal)."""
+    idx = tbl.column_names.index("text")
+    texts = tbl.column(idx).to_pylist()
+    out = []
+    for i, t in enumerate(texts):
+        if t is None or i % 3:
+            out.append(t)
+            continue
+        toks = t.split(" ")
+        for j in range(min(3, len(toks))):
+            toks[j] = UNICODE_TOKENS[(i + j) % len(UNICODE_TOKENS)]
+        out.append(" ".join(toks))
+    return tbl.set_column(idx, tbl.field(idx), pa.array(out, type=pa.string()))
 
 
 def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
@@ -114,6 +145,12 @@ def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
             kwargs = {"coerce_timestamps": None, "version": "2.6"}
         if variant == "nulled":
             tbl = _inject_nulls(tbl, NULLABLE_VALUE_COLS.get(name, []))
+        if variant == "nulled_heavy":
+            tbl = _inject_nulls(
+                tbl, NULLABLE_VALUE_COLS.get(name, []), NULL_EVERY_HEAVY
+            )
+        if variant == "unicode" and name == "documents":
+            tbl = _inject_unicode(tbl)
         rg = max(1, tbl.num_rows // 3)  # 3 row groups → parallel scan shape
         pq.write_table(tbl, dst, row_group_size=rg, **kwargs)
     return out_dir
