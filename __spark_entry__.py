@@ -52,34 +52,44 @@ def _graded_names() -> set[str]:
     }
 
 
-# Round-4 priority queue for the driver's bounded grading window
-# (VERDICT r3 items 2/5/6): first the 17 formerly-rows-only ops that
-# now carry deterministic/contract oracles (every prior round burned
-# window slots on their `no_oracle` errors), then the ops whose source
-# was edited this round (scratch-cache invalidation, cartesian guard)
-# and must re-earn their green rows, then the never-graded LSH/sketch
-# siblings those rewrites lean on. Registry order alone cannot express
-# this priority, so it is pinned explicitly; everything else ungraded
-# follows in registry order.
+# Round-5 priority queue for the driver's bounded grading window
+# (VERDICT r4 item 2): 131 registry ops still have no driver
+# CORRECTNESS row, and the window grades ~50/round, so order the
+# backlog by user impact — the canonical TPC-H benchmark suite first,
+# then warehouse/CDC, timeseries, profiling, the three ops whose
+# implementation fingerprint changed since grading (must re-earn), the
+# two formerly-vacuous analytics ops retuned this round to produce
+# non-empty output, then the training-curation pipeline. Everything
+# else ungraded follows in registry order.
 _BACKLOG_FIRST = (
-    # oracle-ized this round — MUST earn a green row (were no_oracle)
-    "limit_k", "sample_frac", "fn_ids", "agg_approx_distinct",
-    "sample_stratified", "maintenance_compact", "maintenance_analyze_stats",
-    "stream_watermark", "stream_progress_metrics", "sketch_hll_rollup",
-    "sketch_approx_quantiles", "dedup_near_minhash", "dedup_simhash",
-    "sim_knn_approx", "sim_pairs_threshold", "sim_knn_ivf", "sim_recall_eval",
-    # edited this round (stale-cache fix / cartesian guard / advice fixes)
-    "dedup_embedding", "maintenance_zorder", "maintenance_cluster_by",
-    "join_dpp", "scan_ignore_corrupt_files", "scan_corrupt_records",
-    "scan_file_metadata", "sql_unpivot_clause", "fn_variant",
-    # headline ops whose plans were rewritten for the round-4 perf work
-    # (hier_exact_agg / struct-carried jaccard counts) — must re-earn
-    # their green rows THIS round, not lapse until the next window
-    "agg_hash", "agg_partial_final", "join_multiway",
-    "dedup_ngram_jaccard", "text_tf_idf",
-    # never-graded siblings the rewrites cite as their pattern
-    "sim_pairs_rp_lsh", "dedup_minhash_md5", "sketch_countmin",
-    "sketch_bloom_membership",
+    # TPC-H Q2-Q22 (tpch_full.py) — the canonical benchmark surface
+    "tpch_q4_priority_check", "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q12_priority_lines",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock", "tpch_q20_excess_stock",
+    # warehouse / CDC (warehouse.py)
+    "cdc_latest_snapshot", "scd2_dimension", "unpivot_long",
+    "mv_agg_merge", "cdc_changes_diff", "join_scd2_lookup",
+    # timeseries (timeseries.py)
+    "ts_gap_fill", "ts_resample_ohlc", "ts_ema",
+    "ts_interpolate_linear", "ts_seasonality_dow", "anomaly_mad",
+    "join_asof_forward", "win_moving_median",
+    # profiling / data-quality (profiling.py)
+    "profile_columns", "profile_heavy_hitters", "profile_histogram",
+    "profile_key_skew", "profile_drift_psi", "quality_rules_audit",
+    # fingerprint changed since their green row — must re-earn
+    "mm_frame_sample", "scan_stream", "join_bucket_colocated",
+    # vacuous greens retuned this round (VERDICT r4 item 4)
+    "events_burst_detect", "orders_duplicate_suspects",
+    # training-curation pipeline (training.py)
+    "pipeline_train_test_split", "pipeline_contamination",
+    "pipeline_sessionize", "pipeline_domain_mix", "pipeline_pii_scrub",
+    "pipeline_pack_sequences", "pipeline_encode_token_ids",
 )
 
 

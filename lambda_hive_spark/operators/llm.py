@@ -806,9 +806,15 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word bigram extraction + per-doc counts."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    # Guard single-token / empty docs: sequence(1, 0) infers step -1 and
+    # yields [1, 0], and slice(toks, 0, 2) then throws (SQL arrays are
+    # 1-based) — while the oracle's range(1, 1) is simply empty. Same
+    # sequence(start > stop) bug class as the mm_chunk guards (ADVICE r4).
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
     )
     return (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
@@ -1735,7 +1741,7 @@ def text_lang_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     langs = oth.select("lang").distinct()
     en_only = (
-        en.crossJoin(langs)
+        en.crossJoin(F.broadcast(langs))
         .join(oth.select("lang", "term"), ["lang", "term"], "left_anti")
         .select("lang", F.col("p_en").alias("d"))
     )
@@ -1825,9 +1831,12 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # null-safe eq: an unlabeled doc (NULL true_lang) grades
-            # as a definite miss, not a NULL cell — and both engines'
-            # null-safe operators agree exactly.
+            # null-safe eq: the diagonal flag is never a NULL cell.
+            # An unlabeled doc (NULL true_lang) vs a non-NULL
+            # prediction grades as a miss; NULL vs NULL grades as
+            # correct (IS NOT DISTINCT FROM semantics — deliberate:
+            # "no label, no prediction" is agreement, not error).
+            # Both engines' null-safe operators agree exactly.
             F.col("pred_lang").eqNullSafe(F.col("true_lang")).alias("correct"),
         )
     )

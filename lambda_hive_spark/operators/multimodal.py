@@ -357,12 +357,17 @@ def mm_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_frame_sample)."""
     p = payload_df(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
     n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda i: F.struct(
-            i.alias("chunk_idx"),
-            F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64).alias("chunk"),
-        ),
+    # Guard n_chunks = 0 (empty payload): sequence(0, -1) infers step -1
+    # and yields [0, -1] — two bogus chunks — while the oracle's
+    # generate_series(0, -1) is empty (ADVICE r4).
+    chunk_structs = F.when(n_chunks <= 0, F.array().cast("array<struct<chunk_idx:bigint,chunk:binary>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64).alias("chunk"),
+            ),
+        )
     )
     ex = p.select("doc_id", F.explode(chunk_structs).alias("c"))
     return ex.select(
@@ -413,9 +418,12 @@ def mm_block_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the in-scan expansion; output is one row of exact integers."""
     p = payload_df(spark, sf_dir)
     n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("long")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda i: F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64),
+    # Same empty-payload sequence(0,-1) guard as mm_chunk_manifest.
+    chunk_structs = F.when(n_chunks <= 0, F.array().cast("array<binary>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.substring(F.col("payload"), (i * 64 + 1).cast("int"), 64),
+        )
     )
     ex = p.select(F.explode(chunk_structs).alias("chunk"))
     blocks = ex.groupBy(

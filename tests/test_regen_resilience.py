@@ -12,6 +12,7 @@ instead of in a future driver round:
   nulled       — shuffled + ~2% NULLs in non-key value columns
   nulled_heavy — shuffled + 25% NULLs (all-NULL groups/windows)
   unicode      — shuffled + multibyte chars in documents.text
+  empty_text   — shuffled + every 7th doc text '' / every 11th one-token
 
 Run:  SPARK_GRAFT_REGEN_SMOKE=1 pytest tests/test_regen_resilience.py
 (each variant sweeps a representative op subset; the full-registry
@@ -59,6 +60,18 @@ UNICODE_REGRESSIONS = [
     "mm_feature_extract", "mm_frame_sample", "mm_resize_stub",
     "text_clean_normalize", "mm_arrow_checksum", "mm_ingest",
     "text_tokenize", "text_tf_idf",
+]
+# targeted by the empty_text variant (ADVICE r4): empty / one-token
+# docs drive chunk- and n-gram expansions into the sequence(start>stop)
+# zero-length branch, where Spark's step inference diverges from
+# generate_series unless the op guards it.
+EMPTY_TEXT_TARGETS = [
+    "mm_block_dedup_savings", "mm_chunk_manifest", "mm_ingest",
+    "mm_feature_extract", "mm_arrow_checksum", "text_ngram",
+    "text_tokenize", "text_tf_idf", "text_fingerprint", "doc_chunk_sliding",
+    "dedup_chunk_exact", "dedup_ngram_jaccard", "dedup_exact",
+    "text_clean_normalize", "doc_repetition", "text_bpe_merge_step",
+    "pipeline_pack_sequences", "pipeline_encode_token_ids",
 ]
 
 
@@ -108,3 +121,7 @@ def test_heavy_null_variant(spark):
 def test_unicode_variant(spark):
     names = sorted(set(REPRESENTATIVE + UNICODE_REGRESSIONS))
     assert _sweep(spark, "unicode", names) == []
+
+
+def test_empty_text_variant(spark):
+    assert _sweep(spark, "empty_text", sorted(set(EMPTY_TEXT_TARGETS))) == []

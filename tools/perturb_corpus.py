@@ -70,9 +70,11 @@ UNICODE_TOKENS = ["café", "straße", "中文", "€42", "𝄞clef", "étude"]
 
 def _row_rank(tbl: pa.Table) -> pa.Array:
     """Deterministic pseudo-random permutation rank: md5 of the first
-    (key) column's string repr, salted per column name — stable across
-    runs and machines, no RNG state (rows with equal keys keep a
-    stable relative order via the secondary index term)."""
+    (key) column's string repr, salted by the row ordinal — stable
+    across runs and machines, no RNG state (rows with equal keys keep
+    a stable relative order via the ordinal term in the digest). The
+    same key column therefore permutes identically in every table that
+    carries it; that sameness is fine for a row-order shuffle."""
     key = tbl.column(0).to_pylist()
     digests = [
         hashlib.md5(f"perturb|{v}|{i}".encode()).hexdigest()
@@ -124,6 +126,28 @@ def _inject_unicode(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(idx, tbl.field(idx), pa.array(out, type=pa.string()))
 
 
+def _inject_empty_text(tbl: pa.Table) -> pa.Table:
+    """Replace every 7th document's text with '' and every 11th with a
+    single token (deterministic by row ordinal). Targets the
+    sequence(start > stop) bug class (ADVICE r4): empty / one-token
+    texts drive chunk- and n-gram expansions to their zero-length
+    branch, where Spark's step inference diverges from
+    generate_series unless the op guards it."""
+    idx = tbl.column_names.index("text")
+    texts = tbl.column(idx).to_pylist()
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            out.append(t)
+        elif i % 7 == 0:
+            out.append("")
+        elif i % 11 == 0:
+            out.append(t.split(" ")[0])
+        else:
+            out.append(t)
+    return tbl.set_column(idx, tbl.field(idx), pa.array(out, type=pa.string()))
+
+
 def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
     scratch = out_root or os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scratch")
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -151,6 +175,8 @@ def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
             )
         if variant == "unicode" and name == "documents":
             tbl = _inject_unicode(tbl)
+        if variant == "empty_text" and name == "documents":
+            tbl = _inject_empty_text(tbl)
         rg = max(1, tbl.num_rows // 3)  # 3 row groups → parallel scan shape
         pq.write_table(tbl, dst, row_group_size=rg, **kwargs)
     return out_dir

@@ -7,14 +7,21 @@ driver grading — correct for behavior changes, wasteful for edits
 whose sf0.01 output is bit-identical (e.g. null-robustness guards that
 are no-ops on the null-free corpus). This tool updates the recorded
 hash to the CURRENT op_source_hash, but only when the caller supplies
-a pre-edit/post-edit fingerprint pair (tools/output_hash.py) proving
-Spark AND oracle outputs unchanged.
+pre-edit fingerprint runs plus a post-edit run (tools/output_hash.py)
+proving Spark AND oracle outputs unchanged.
+
+A SINGLE pre-edit run is not accepted (ADVICE r4): for an op that was
+nondeterministic before the edit (e.g. a tie-flaky LIMIT), one
+matching sample does not prove the graded output equals the new
+output. At least two independent pre-edit runs must agree with each
+other AND with the post-edit run.
 
 Usage:
-    python tools/restamp_hashes.py <pre.json> <post.json>
+    python tools/restamp_hashes.py <pre1.json> <pre2.json> [...] <post.json>
 
-Only ops present in BOTH fingerprint files, with identical spark+duck
-hashes, AND already recorded in GRADED.json hashes are re-stamped.
+Only ops present in ALL fingerprint files, with identical spark+duck
+hashes across every run, AND already recorded in GRADED.json hashes
+are re-stamped.
 """
 from __future__ import annotations
 
@@ -30,9 +37,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GRADED = os.path.join(REPO, "GRADED.json")
 
 
-def main(pre_path: str, post_path: str) -> None:
-    with open(pre_path) as f:
-        pre = json.load(f)
+def main(pre_paths: list[str], post_path: str) -> None:
+    if len(pre_paths) < 2:
+        sys.exit(
+            "restamp_hashes: need >=2 independent pre-edit fingerprint runs "
+            "(a single pre-run cannot rule out pre-edit nondeterminism; "
+            "re-run tools/output_hash.py on the pre-edit source and retry)"
+        )
+    pres = []
+    for p in pre_paths:
+        with open(p) as f:
+            pres.append(json.load(f))
     with open(post_path) as f:
         post = json.load(f)
     with open(GRADED) as f:
@@ -40,12 +55,20 @@ def main(pre_path: str, post_path: str) -> None:
     hashes = manifest.setdefault("hashes", {})
     ops = all_ops()
 
+    common = set(post)
+    for pre in pres:
+        common &= set(pre)
+
     restamped, skipped = [], []
-    for name in sorted(set(pre) & set(post)):
+    for name in sorted(common):
         if name not in hashes:
             skipped.append((name, "never graded — will be graded fresh"))
             continue
-        if pre[name] != post[name] or "ERROR" in str(pre[name]):
+        runs = [pre[name] for pre in pres]
+        if any(r != runs[0] for r in runs[1:]):
+            skipped.append((name, "pre-edit runs disagree — op was flaky; must be re-graded"))
+            continue
+        if runs[0] != post[name] or "ERROR" in str(runs[0]):
             skipped.append((name, "output changed — must be re-graded"))
             continue
         current = op_source_hash(ops[name])
@@ -64,4 +87,4 @@ def main(pre_path: str, post_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1:-1], sys.argv[-1])
