@@ -99,8 +99,8 @@ def sql_dot(a: str, b: str) -> str:
 def hier_exact_agg(
     df,
     keys: list[str],
-    sums: list[tuple[str, "Column | str"]] = (),
-    avgs: list[tuple[str, "Column | str"]] = (),
+    sums: list[tuple[str, str]] = (),
+    avgs: list[tuple[str, str]] = (),
     count_star: str | None = None,
     scale: int = 6,
 ):
@@ -125,34 +125,53 @@ def hier_exact_agg(
 
     `avgs` divide by the non-null count of the same column
     (COUNT(expr) semantics — mirrors sql_davg exactly).
+
+    Per-row micros are ARITHMETIC, not a decimal cast: Spark's
+    double→decimal cast routes through Double.toString + BigDecimal
+    per row (~150 ns), which made the cast itself the scan bottleneck
+    (the sf0.1 single-file flagship scan is one task). For the data
+    class this helper is documented for — nearest-doubles of values
+    with ≤`scale` decimal digits, |x| < 1e12 — `x·10^scale` lands
+    within ≪0.5 of the exact integer (error k·2^-52 < 0.5 for
+    k < 2^51), so round-half-away(x·10^scale) in pure double ops
+    yields the IDENTICAL long the decimal cast produced, ~30× cheaper.
+    NaN/±Inf/overflow collapse to NULL via the |m| < 1e18 guard —
+    exactly where the old decimal(18,s) cast nulled. Full-precision
+    doubles (7+ significant decimals at the target scale) are OUTSIDE
+    this helper's contract (both engines' decimal casts already
+    diverge there — see the stats.py module doc); use dsum for those.
+
+    `sums`/`avgs` take SQL STRING expressions (not Columns): each
+    partial/final is then a single F.expr py4j call, vs ~10 Column-API
+    round-trips each — measured 220 ms → ~40 ms of driver-side plan
+    construction on the flagship (7 aggregates). On a sub-second query
+    that build time was a third of the wall clock.
     """
     factor = 10**scale
 
-    def micros(col):
-        return F.sum((_c(col).cast(f"decimal({_PREC},{scale})") * factor).cast("long"))
+    def micros_sql(expr: str) -> str:
+        m = f"(CAST(({expr}) AS DOUBLE) * {factor}.0D)"
+        half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
+        return f"SUM(CASE WHEN ABS({m}) < 1e18 THEN {half_away} END)"
+
+    div = f"CAST({factor} AS DECIMAL(7,0))"
+
+    def final_sql(name: str) -> str:
+        return f"CAST(SUM(CAST(_m_{name} AS DECIMAL(38,0))) / {div} AS DOUBLE)"
 
     partials, finals = [], []
-    for name, col in sums:
-        partials.append(micros(col).alias(f"_m_{name}"))
-        exact = F.sum(F.col(f"_m_{name}").cast("decimal(38,0)"))
-        finals.append(
-            (exact / F.lit(factor).cast("decimal(7,0)")).cast("double").alias(name)
-        )
-    for name, col in avgs:
-        partials.append(micros(col).alias(f"_m_{name}"))
-        partials.append(F.count(_c(col)).alias(f"_c_{name}"))
-        exact = F.sum(F.col(f"_m_{name}").cast("decimal(38,0)"))
-        finals.append(
-            (
-                (exact / F.lit(factor).cast("decimal(7,0)")).cast("double")
-                / F.sum(f"_c_{name}")
-            ).alias(name)
-        )
+    for name, expr in sums:
+        partials.append(F.expr(f"{micros_sql(expr)} AS _m_{name}"))
+        finals.append(F.expr(f"{final_sql(name)} AS {name}"))
+    for name, expr in avgs:
+        partials.append(F.expr(f"{micros_sql(expr)} AS _m_{name}"))
+        partials.append(F.expr(f"COUNT({expr}) AS _c_{name}"))
+        finals.append(F.expr(f"{final_sql(name)} / SUM(_c_{name}) AS {name}"))
     if count_star is not None:
-        partials.append(F.count(F.lit(1)).alias("_n"))
-        finals.append(F.sum("_n").alias(count_star))
+        partials.append(F.expr("COUNT(*) AS _n"))
+        finals.append(F.expr(f"SUM(_n) AS {count_star}"))
     return (
-        df.groupBy(*keys, F.spark_partition_id().alias("_pid"))
+        df.groupBy(*keys, F.expr("spark_partition_id() AS _pid"))
         .agg(*partials)
         .groupBy(*keys)
         .agg(*finals)

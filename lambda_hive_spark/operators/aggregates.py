@@ -50,10 +50,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal accumulator leaves the per-row hot loop.
     """
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return hier_exact_agg(
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"),
         ["l_returnflag", "l_linestatus"],
         sums=[
             ("sum_qty", "l_quantity"),
