@@ -23,33 +23,78 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _graded_names() -> set[str]:
-    """Op names already driver-graded in a prior round (GRADED.json is a
-    manifest {round: [op, ...], "hashes": {op: fp}} maintained by
-    tools/update_graded.py from each CORRECTNESS_r{N}).  An op whose
-    implementation changed since grading (fingerprint mismatch) is
-    treated as ungraded so the driver re-verifies it."""
+    """Op names already driver-graded in a prior round.
+
+    Two evidence sources, union'd:
+
+    1. GRADED.json — the manifest {round: [op, ...], "hashes": {op: fp}}
+       maintained by tools/update_graded.py from each CORRECTNESS_r{N}.
+       An op whose implementation changed since grading (fingerprint
+       mismatch) is treated as ungraded so the driver re-verifies it.
+    2. Any CORRECTNESS_r{N}.json in the repo root with N NEWER than the
+       manifest's last merged round — rounds 3 AND 4 both hit the same
+       failure mode where the driver wrote its CORRECTNESS file after
+       the session's final commit, so the manifest merge lagged a round
+       and the next window re-graded 50 already-green ops. Reading the
+       driver's own artifact closes that gap with no manual merge step.
+       Only NEWER-than-merge files count: an old round's green row must
+       not resurrect an op edited since (the manifest's hash guard owns
+       that call), while a newer round's green row post-dates any edit
+       the manifest knows about and is the freshest evidence available.
+       (Residual gap: an op edited after the newest CORRECTNESS landed
+       but before the next update_graded.py merge is still trusted for
+       one window — these rows carry no fingerprint to check.)
+    """
+    ops = all_ops()
+    names: set[str] = set()
+
     try:
         with open(os.path.join(_REPO, "GRADED.json")) as f:
             manifest = json.load(f)
     except (OSError, ValueError):
-        return set()
+        manifest = {}
     hashes = manifest.get("hashes", {})
-    names = {
-        name
-        for key, entries in manifest.items()
-        if key != "hashes" and isinstance(entries, list)
-        for name in entries
-    }
-    if not hashes:
-        return names
-    ops = all_ops()
-    return {
-        name
-        for name in names
-        if name not in ops
-        or hashes.get(name) is None  # pre-hash manifest entry: trust it
-        or hashes[name] == op_source_hash(ops[name])
-    }
+    merged_rounds = [
+        int(key[1:])
+        for key in manifest
+        if key != "hashes" and key.startswith("r") and key[1:].isdigit()
+    ]
+    last_merged = max(merged_rounds, default=0)
+    for key, entries in manifest.items():
+        if key == "hashes" or not isinstance(entries, list):
+            continue
+        for name in entries:
+            if (
+                name not in ops
+                or hashes.get(name) is None  # pre-hash manifest entry: trust it
+                or hashes[name] == op_source_hash(ops[name])
+            ):
+                names.add(name)
+
+    import glob
+    import re
+
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if m is None or int(m.group(1)) <= last_merged:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") in (None, "no_oracle")
+                and row.get("rows_match") is not False
+                and row.get("hash_match") is not False
+            ):
+                names.add(name)
+    return names
 
 
 # Round-5 priority queue for the driver's bounded grading window
@@ -93,12 +138,34 @@ _BACKLOG_FIRST = (
 )
 
 
+# User-impact ranking of operator FAMILIES (by defining module) for the
+# ungraded backlog — the self-updating generalization of the explicit
+# pin: once a round's grades are absorbed, the next ~50-slot window
+# automatically fills with the highest-traffic ungraded family without
+# anyone editing a hardcoded tuple (the r3/r4 stale-pin trap).
+_FAMILY_RANK = {
+    "tpch_full": 0,   # canonical benchmark surface
+    "warehouse": 1,   # CDC / SCD2 / unpivot
+    "timeseries": 2,
+    "profiling": 3,
+    "training": 4,    # LLM-curation pipeline
+    "quality": 5,
+    "graph": 6,
+    "functions2": 7,  # extended fn_* surface
+}
+_FAMILY_DEFAULT = len(_FAMILY_RANK)
+
+
+def _family_rank(o) -> int:
+    return _FAMILY_RANK.get(o.fn.__module__.rsplit(".", 1)[-1], _FAMILY_DEFAULT)
+
+
 def _ordered_ops():
     """Registry ops reordered so the driver's bounded correctness window
     (first ~50 queries) grades ops that do not yet have a driver
-    CORRECTNESS row: the pinned oldest backlog first, then other
-    never-graded (or edited-since-grading) ops in registry order, then
-    the graded remainder."""
+    CORRECTNESS row: the pinned backlog first, then other never-graded
+    (or edited-since-grading) ops by family impact rank then registry
+    order, then the graded remainder."""
     ops = all_ops()
     graded = _graded_names()
     backlog_rank = {n: i for i, n in enumerate(_BACKLOG_FIRST)}
@@ -108,6 +175,7 @@ def _ordered_ops():
         key=lambda item: (
             item[1][0] in graded,                              # ungraded first
             backlog_rank.get(item[1][0], len(backlog_rank)),   # pinned backlog
+            _family_rank(item[1][1]),                          # family impact
             item[0],                                           # registry order
         ),
     )

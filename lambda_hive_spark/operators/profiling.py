@@ -196,7 +196,13 @@ def quality_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: all rules share a single pass (conditional counts combine
     map-side; the PK check is one count_distinct); adding a rule adds
     an accumulator, not a scan. At 100 TB this is the difference
-    between one 100 TB read and one per rule."""
+    between one 100 TB read and one per rule.
+
+    Sibling: `quality_rule_audit` (operators/quality.py) runs the same
+    audit shape over ORDERS with a pass/fail-count report and a
+    composite-free unique check — kept separate deliberately: together
+    they cover both report conventions (violations-only vs pass/fail)
+    and both PK shapes (composite vs single-column)."""
     li = table(spark, sf_dir, "lineitem")
     q, p, dsc = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
     agg = li.agg(

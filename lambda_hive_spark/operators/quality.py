@@ -384,7 +384,12 @@ def quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null policy (pinned on both sides): n_fail = total − n_pass, so a
     row whose rule predicate evaluates to NULL (e.g. a NULL price for
     price_in_range) counts as FAILING — the conservative audit
-    posture, and the only formulation both engines agree on."""
+    posture, and the only formulation both engines agree on.
+
+    Sibling: `quality_rules_audit` (operators/profiling.py) is the
+    same audit shape over LINEITEM with a violations-only report and a
+    composite-key uniqueness rule — kept separate deliberately to
+    cover both report conventions and both PK shapes."""
     o = table(spark, sf_dir, "orders")
     n = F.count(F.lit(1))
     def rule(name, pred):
