@@ -333,9 +333,9 @@ def rp_candidate_pairs(sig: DataFrame, bands: int) -> DataFrame:
     return cand.distinct()
 
 
-@op(
-    "sim_pairs_rp_lsh",
-    oracle=f"""
+# Module-level so graph_link_prediction (operators/graph.py) can embed
+# the identical pair pipeline as a derived table in its own oracle.
+RP_PAIRS_ORACLE = f"""
 WITH sig AS (
   SELECT vec_id, embedding,
          {", ".join(f"{_rp_bucket_sql(b, 'embedding')} AS bucket_{b}" for b in range(_RP_BANDS))}
@@ -351,7 +351,12 @@ FROM cand c
 JOIN embeddings x ON x.vec_id = c.vec_a
 JOIN embeddings y ON y.vec_id = c.vec_b
 WHERE {sql_dot('x.embedding', 'y.embedding')} >= {_RP_TAU}
-""",
+"""
+
+
+@op(
+    "sim_pairs_rp_lsh",
+    oracle=RP_PAIRS_ORACLE,
 )
 def sim_pairs_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-pair search, end-to-end

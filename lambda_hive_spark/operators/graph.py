@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lambda_hive_spark.operators.extras import RP_PAIRS_ORACLE
 from lambda_hive_spark.operators.llm import _SQL_SHINGLES, dedup_ngram_jaccard
 from lambda_hive_spark.registry import op
 
@@ -178,47 +179,58 @@ graph_pagerank.__doc__ = graph_pagerank.__doc__.format(iters=_PR_ITERS)
 
 @op(
     "graph_link_prediction",
-    oracle=f"""
-WITH {_SQL_SIM_EDGES},
+    oracle="""
+WITH sim AS (
+  SELECT vec_a AS node_a, vec_b AS node_b FROM ({rp_pairs}) rp
+),
 und AS (
-  SELECT doc_a AS u, doc_b AS v FROM sim
+  SELECT node_a AS u, node_b AS v FROM sim
   UNION ALL
-  SELECT doc_b, doc_a FROM sim
+  SELECT node_b, node_a FROM sim
 ),
 cn AS (
-  SELECT a.u AS doc_a, b.u AS doc_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  SELECT a.u AS node_a, b.u AS node_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
   FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b, c.common_neighbors
+SELECT c.node_a, c.node_b, c.common_neighbors
 FROM cn c
-LEFT JOIN sim s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-WHERE s.doc_a IS NULL AND c.common_neighbors >= 2
-""",
+LEFT JOIN sim s ON c.node_a = s.node_a AND c.node_b = s.node_b
+WHERE s.node_a IS NULL AND c.common_neighbors >= 1
+""".format(rp_pairs=RP_PAIRS_ORACLE),
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common-neighbors link prediction over the near-dup graph:
-    non-adjacent doc pairs sharing ≥2 neighbors — the pairs the J≥0.6
-    threshold *just* missed inside a duplicate cluster, i.e. the
-    candidates a human review queue (or a lower-threshold re-check)
-    should see first. Wedge counting is the same neighbor-equi-join
-    shape as graph_triangles — quadratic only inside a hub's
-    neighborhood, never across the corpus — and the known-edge
-    exclusion is one anti join on the (small) edge list."""
-    edges = _sim_pairs(spark, sf_dir)
-    und = edges.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
-        edges.selectExpr("doc_b AS u", "doc_a AS v")
+    """Common-neighbors link prediction over the EMBEDDING cosine
+    graph (sim_pairs_rp_lsh edges): non-adjacent vector pairs sharing
+    a neighbor — the pairs the cosine τ (or LSH recall) *just* missed,
+    i.e. the candidates a human review queue or a lower-threshold
+    re-check should see first. The doc near-dup graph is deliberately
+    NOT used here: its clusters are exact-clone cliques with zero open
+    wedges at every fixture scale, which made this op pass vacuously
+    on 0 rows = 0 rows (the round-5 vacuity audit); the embedding
+    graph has real open-triangle structure at all three scales.
+    Wedge counting is the same neighbor-equi-join shape as
+    graph_triangles — quadratic only inside a hub's neighborhood,
+    never across the corpus — and the known-edge exclusion is one
+    anti join on the (small) edge list."""
+    from lambda_hive_spark.operators.extras import sim_pairs_rp_lsh
+
+    edges = sim_pairs_rp_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("node_a"), F.col("vec_b").alias("node_b")
+    ).localCheckpoint(eager=True)
+    und = edges.selectExpr("node_a AS u", "node_b AS v").unionAll(
+        edges.selectExpr("node_b AS u", "node_a AS v")
     )
-    a = und.withColumnsRenamed({"u": "doc_a"})
-    b = und.withColumnsRenamed({"u": "doc_b"})
+    a = und.withColumnsRenamed({"u": "node_a"})
+    b = und.withColumnsRenamed({"u": "node_b"})
     cn = (
         a.join(b, "v")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
     )
-    return cn.join(edges, ["doc_a", "doc_b"], "left_anti").filter(
-        F.col("common_neighbors") >= 2
+    return cn.join(edges, ["node_a", "node_b"], "left_anti").filter(
+        F.col("common_neighbors") >= 1
     )
 
 

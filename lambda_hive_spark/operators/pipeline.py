@@ -176,20 +176,19 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH raw AS (
   SELECT doc_id,
     CASE doc_id % 4
-      WHEN 0 THEN 'https://' || upper(source) || '.Example.org:443/' || lang
-              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
-              || '/?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=' || lang
-      WHEN 1 THEN 'https://' || source || '.example.org/' || lang
-              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
-              || '?lang=' || lang || '&id=' || CAST(doc_id // 4 AS VARCHAR)
-      WHEN 2 THEN 'https://' || source || '.EXAMPLE.org/' || lang
-              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
-              || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=x&lang=' || lang
-      ELSE 'https://' || source || '.example.org/' || lang
-              || '/doc/' || CAST(doc_id // 4 AS VARCHAR)
-              || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=' || lang
-    END AS url,
-    source, lang
+      WHEN 0 THEN 'https://Site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.Example.org:443'
+              || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+              || '/?utm_source=feed&id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=en'
+      WHEN 1 THEN 'https://site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.org'
+              || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+              || '?lang=en&id=' || CAST(doc_id // 4 AS VARCHAR)
+      WHEN 2 THEN 'https://site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.EXAMPLE.org'
+              || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+              || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_campaign=x&lang=en'
+      ELSE 'https://site' || CAST((doc_id // 4) % 20 AS VARCHAR) || '.example.org'
+              || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+              || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&lang=en'
+    END AS url
   FROM documents
 ),
 canon AS (
@@ -218,7 +217,10 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic mess variants are synthesized per logical URL (the
     fixture has no url column), and every group of 4 docs sharing
     doc_id//4 must land in one canonical group — a known-answer
-    self-test of the canonicalizer.
+    self-test of the canonicalizer. The synthesized host/path derive
+    from the GROUP id only (the first version mixed in the per-doc
+    source/lang columns, so no two variants could ever collide and
+    the op graded green on 0 rows = 0 rows — round-5 vacuity audit).
 
     Scale: canonicalization is pure per-row string work fused into the
     scan; the only shuffle is the groupBy on the canonical key — the
@@ -227,23 +229,22 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bodies)."""
     d = table(spark, sf_dir, "documents")
     gid = (F.col("doc_id") / 4).cast("long").cast("string")
+    site = ((F.col("doc_id") / 4).cast("long") % 20).cast("string")
     mess = (
         F.when(F.col("doc_id") % 4 == 0,
-               F.concat(F.lit("https://"), F.upper("source"), F.lit(".Example.org:443/"),
-                        F.col("lang"), F.lit("/doc/"), gid, F.lit("/?utm_source=feed&id="),
-                        gid, F.lit("&lang="), F.col("lang")))
+               F.concat(F.lit("https://Site"), site, F.lit(".Example.org:443"),
+                        F.lit("/docs/"), gid, F.lit("/?utm_source=feed&id="),
+                        gid, F.lit("&lang=en")))
         .when(F.col("doc_id") % 4 == 1,
-              F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-                       F.col("lang"), F.lit("/doc/"), gid, F.lit("?lang="), F.col("lang"),
-                       F.lit("&id="), gid))
+              F.concat(F.lit("https://site"), site, F.lit(".example.org"),
+                       F.lit("/docs/"), gid, F.lit("?lang=en&id="), gid))
         .when(F.col("doc_id") % 4 == 2,
-              F.concat(F.lit("https://"), F.col("source"), F.lit(".EXAMPLE.org/"),
-                       F.col("lang"), F.lit("/doc/"), gid, F.lit("/?id="), gid,
-                       F.lit("&utm_campaign=x&lang="), F.col("lang")))
+              F.concat(F.lit("https://site"), site, F.lit(".EXAMPLE.org"),
+                       F.lit("/docs/"), gid, F.lit("/?id="), gid,
+                       F.lit("&utm_campaign=x&lang=en")))
         .otherwise(
-            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-                     F.col("lang"), F.lit("/doc/"), gid, F.lit("?id="), gid,
-                     F.lit("&lang="), F.col("lang")))
+            F.concat(F.lit("https://site"), site, F.lit(".example.org"),
+                     F.lit("/docs/"), gid, F.lit("?id="), gid, F.lit("&lang=en")))
     )
     u = d.select("doc_id", mess.alias("url"))
     host = F.replace(F.lower(F.parse_url("url", F.lit("HOST"))), F.lit(":443"), F.lit(""))

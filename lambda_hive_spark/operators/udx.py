@@ -289,8 +289,13 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _purchase_error_profile(key, purchases: pd.DataFrame, errors: pd.DataFrame) -> pd.DataFrame:
-    first_p = purchases["ts"].min() if len(purchases) else pd.NaT
-    first_e = errors["ts"].min() if len(errors) else pd.NaT
+    # Guard on column PRESENCE, not just emptiness: under an action
+    # that needs none of the output values (df.count(), a pruned
+    # projection), Catalyst prunes the cogroup inputs down to the key,
+    # and the frames arrive without "ts" — indexing it raised KeyError
+    # from the Python worker (found by the round-5 vacuity audit).
+    first_p = purchases["ts"].min() if "ts" in purchases.columns and len(purchases) else pd.NaT
+    first_e = errors["ts"].min() if "ts" in errors.columns and len(errors) else pd.NaT
     return pd.DataFrame(
         {
             "user_id": [key[0]],
