@@ -1,0 +1,114 @@
+"""Contract tests for hier_exact_agg's arithmetic micros path.
+
+Round 5 replaced the per-row double→decimal cast (Double.toString +
+BigDecimal, ~150 ns/row) with arithmetic round-half-away in pure
+double ops. These tests pin the equivalence contract that change
+relies on (helpers.py docstring):
+
+- for nearest-doubles of values with ≤scale decimal digits and
+  |x| < 1e12, the long micros equal the old decimal-cast result
+  exactly (verified against Python's Decimal quantize HALF_UP — the
+  same semantic the Spark cast implemented);
+- negatives round half AWAY from zero (sign-aware), matching HALF_UP
+  decimal semantics;
+- NaN / ±Inf / |x| ≥ 1e12 collapse to NULL (SUM skips them), exactly
+  where cast(... as decimal(18,6)) nulled;
+- the aggregated double equals dsum's output bit-for-bit on the same
+  data (hier_exact_agg advertises "same values as dsum/davg").
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_hive_spark.helpers import dsum, hier_exact_agg
+
+
+def _py_micros(x: float, scale: int = 6) -> int | None:
+    """Reference semantics: the old Spark cast — shortest-repr decimal
+    of the double, HALF_UP at `scale` — times 10^scale."""
+    if x is None or math.isnan(x) or math.isinf(x) or abs(x) >= 1e12:
+        return None
+    q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+    return int(q.scaleb(scale))
+
+
+# Money-class values (≤4 decimal digits), signs, magnitudes, and the
+# documented NULL-collapse inputs.
+CLEAN = [
+    0.0, 0.01, -0.01, 1.0, -1.0, 123.45, -123.45, 0.0001, -0.0001,
+    99999.99, -99999.99, 12345678.9012, -12345678.9012,
+    999999999999.0 - 1,  # just inside the |x| < 1e12 domain
+    0.1 + 0.2,           # 0.30000000000000004 — repr carries 17 digits but quantizes cleanly
+]
+NULLING = [float("nan"), float("inf"), float("-inf"), 1e12, -1e12, 2.5e15]
+
+
+def test_micros_match_decimal_cast_semantics(spark):
+    rows = [(i, v) for i, v in enumerate(CLEAN)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    for (i, v), r in zip(rows, out):
+        expect = _py_micros(v)
+        got = None if r["s"] is None else round(r["s"] * 10**6)
+        assert got == expect, f"x={v!r}: micros {got} != decimal-cast {expect}"
+
+
+def test_nulling_inputs_collapse_like_decimal_cast(spark):
+    rows = [(i, v) for i, v in enumerate(NULLING)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    for (_, v), r in zip(rows, out):
+        assert r["s"] is None, f"x={v!r} must collapse to NULL (old cast nulled it)"
+
+
+def test_negative_half_rounds_away_from_zero(spark):
+    # ±0.1234565 is NOT exactly representable, so no true tie exists —
+    # but its nearest double's shortest repr ends in ...65 at scale 7;
+    # at scale 6 both the decimal cast and the arithmetic path must
+    # agree on every sign. Use values whose repr terminates at scale 6
+    # for the exact assertion.
+    vals = [2.000001, -2.000001, 5.5, -5.5, 7.000004, -7.000004]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    for (_, v), r in zip(rows, out):
+        assert round(r["s"] * 10**6) == _py_micros(v)
+        assert (r["s"] < 0) == (v < 0)
+
+
+def test_agg_equals_dsum_bitwise(spark):
+    # 4-decimal products at sf-like magnitudes, mixed signs, many rows
+    # per group — the aggregated double must equal dsum's bit-for-bit.
+    rows = [
+        (i % 7, round((i * 37 % 1000) + (i * 13 % 100) / 100.0, 4) * (1 if i % 3 else -1))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k long, x double").repartition(8)
+    fast = {
+        r["k"]: r["s"]
+        for r in hier_exact_agg(df, ["k"], sums=[("s", "x")]).collect()
+    }
+    ref = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(dsum("x").alias("s")).collect()
+    }
+    assert fast == ref
+
+
+def test_avg_and_count_star_contract(spark):
+    rows = [(1, 2.5), (1, None), (1, 3.5), (2, None)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    out = {
+        r["k"]: (r["a"], r["n"])
+        for r in hier_exact_agg(
+            df, ["k"], avgs=[("a", "x")], count_star="n"
+        ).collect()
+    }
+    # avg divides by COUNT(x) (non-null), count_star counts all rows.
+    assert out[1] == (3.0, 3)
+    assert out[2] == (None, 1)
