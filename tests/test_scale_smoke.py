@@ -382,3 +382,56 @@ def test_collocation_lift_invariant_under_replication(spark):
     assert [(r["w_a"], r["w_b"], r["n_ab"], r["lift"]) for r in rep] == [
         (r["w_a"], r["w_b"], 3 * r["n_ab"], r["lift"]) for r in base
     ]
+
+
+def test_burst_detect_triples_under_replication(spark):
+    """3× the events (event_id shifted, user/ts/type identical): every
+    error's trailing-hour count exactly triples, so 3n ≥ 2 holds for
+    EVERY error (n counts itself, n ≥ 1) — the replicated output must
+    be every error event ×3 with n_1h = 3·(base trailing-hour count),
+    a sharper invariant than row-count scaling. Guards the round-5
+    retune (≥2 errors/hour) against threshold drift."""
+    from pyspark.sql import Window
+
+    from lambda_hive_spark.registry import all_ops
+
+    rep = all_ops()["events_burst_detect"].fn(spark, _replica_dir(spark))
+    got = {
+        (r["user_id"], r["ms"]): (r["cnt"], r["n"])
+        for r in rep.groupBy("user_id", "ms")
+        .agg(F.count("*").alias("cnt"), F.max("n_1h").alias("n"))
+        .collect()
+    }
+    ev = (
+        table(spark, SF_BASE, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.unix_millis("ts").alias("ms"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-3600000, 0)
+    base = {
+        (r["user_id"], r["ms"]): (r["k"], r["n"])
+        for r in ev.withColumn("n", F.count(F.lit(1)).over(w))
+        .groupBy("user_id", "ms")
+        .agg(F.count("*").alias("k"), F.max("n").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(base)
+    for key, (k, n) in base.items():
+        assert got[key] == (3 * k, 3 * n)
+
+
+def test_duplicate_suspects_pair_arithmetic_under_replication(spark):
+    """3× the orders (o_orderkey shifted, cust/price/date identical):
+    every base suspect pair yields 9 clone pairs, and every single
+    order now collides with its own 2 clones (same customer, same
+    price band, day gap 0) adding C(3,2)=3 pairs — so the replicated
+    row count is EXACTLY 9·base_pairs + 3·n_orders. Verifies the
+    banded self-join arithmetic (no pair lost or double-counted under
+    volume growth)."""
+    from lambda_hive_spark.registry import all_ops
+
+    op_ = all_ops()["orders_duplicate_suspects"]
+    base_pairs = op_.fn(spark, SF_BASE).count()
+    n_orders = table(spark, SF_BASE, "orders").count()
+    rep_pairs = op_.fn(spark, _replica_dir(spark)).count()
+    assert rep_pairs == 9 * base_pairs + 3 * n_orders
