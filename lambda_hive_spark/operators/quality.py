@@ -145,23 +145,32 @@ def winsorize_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "k_anonymity_audit",
     oracle="""
-SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size
+SELECT lang, source, CAST(n_chars // 500 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS group_size
 FROM documents
-GROUP BY lang, source
+GROUP BY lang, source, n_chars // 500
 HAVING COUNT(*) < 5
 """,
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the (lang, source) quasi-identifier
-    pair: emit every equivalence class smaller than k=5 — the groups
-    whose members a release would re-identify. Complements the
-    redaction side (pipeline_pii_scrub) and the deletion side
-    (purge_users). One groupBy with map-side combine; output is
-    O(#violating classes), so at 100 TB the result stays tiny even
-    though the input doesn't."""
+    """k-anonymity audit over the (lang, source, length-bucket)
+    quasi-identifier triple: emit every equivalence class smaller than
+    k=5 — the groups whose members a release would re-identify.
+    Complements the redaction side (pipeline_pii_scrub) and the
+    deletion side (purge_users). The length bucket (500-char bands) is
+    part of the QI because document length IS identifying in released
+    corpora; it also keeps the audit discriminating at every fixture
+    scale — the original (lang, source) pair had no group under k at
+    sf0.1 and graded vacuously-empty there (round-5 vacuity audit),
+    while exact n_chars made every group a violation. One groupBy with
+    map-side combine; output is O(#violating classes), so at 100 TB
+    the result stays tiny even though the input doesn't."""
     d = table(spark, sf_dir, "documents")
     return (
-        d.groupBy("lang", "source")
+        d.groupBy(
+            "lang", "source",
+            F.floor(F.col("n_chars") / 500).cast("long").alias("len_bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < 5)
     )
