@@ -73,7 +73,12 @@ SCALE_HEADLINE = (
     "dedup_ngram_jaccard", # 15k docs, 9× pair work (real duplicates)
     "sim_knn_exact",       # 10 queries × 5k corpus vectors
 )
-SCALE_RUNS = 1  # single timed run after warm-up — queries are 10-100× bigger
+# Median-of-3 after warm-up: the r4 verdict noted DuckDB's jaccard
+# time swings 7-12 s run-to-run on this corpus, which moved the
+# recorded scale ratio between 0.44× and 0.87× while Spark's own
+# times stayed stable — a single sample was the noisiest number in
+# the whole evidence chain. ~45 s extra wall per bench run.
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
 
 
 def _scale_corpus(spark, sf_dir: str) -> str:

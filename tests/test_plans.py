@@ -429,3 +429,21 @@ def test_generate_has_no_inferred_prefilter(spark):
     assert "Generate explode" in plan
     scan_lines = [l for l in plan.splitlines() if "DataFilters" in l]
     assert not any("size(" in l for l in scan_lines), scan_lines
+
+
+def test_headline_plans_stay_jvm_pure(spark):
+    """No Python evaluation node may appear in any headline query's
+    physical plan: the hot path must stay inside whole-stage codegen
+    (BatchEvalPython = row-at-a-time pickle, ArrowEvalPython /
+    FlatMapGroupsInPandas = Arrow batching — neither belongs in the
+    relational/text/vector headline set; the deliberate Python ops
+    live in udx/multimodal and are excluded by design)."""
+    HEADLINE = [
+        "agg_hash", "agg_partial_final", "join_multiway", "join_asof",
+        "win_topk_per_group", "agg_pivot", "distinct_rows",
+        "dedup_ngram_jaccard", "sim_knn_exact", "text_tf_idf",
+    ]
+    for name in HEADLINE:
+        plan = _plan(spark, name)
+        for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert node not in plan, f"{name}: {node} in the hot path"
