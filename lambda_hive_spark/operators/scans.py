@@ -111,8 +111,17 @@ _NATION_SCHEMA = T.StructType(
 def source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON ingestion with explicit schema (never inferSchema):
     round-trip nation through both formats and read them back. The
-    lossless int/string round-trip makes this sql-checkable."""
-    n = table(spark, sf_dir, "nation")
+    lossless int/string round-trip makes this sql-checkable.
+
+    The CSV write pins the schema's column ORDER explicitly: CSV is a
+    positional format, and Spark's explicit-schema read maps columns
+    by position (enforceSchema ignores the header names) — a source
+    table whose physical column order differs from the read schema
+    would silently transpose fields (caught by the round-5 colshuffle
+    perturbation variant). JSON is by-name and immune."""
+    n = table(spark, sf_dir, "nation").select(
+        *[f.name for f in _NATION_SCHEMA.fields]
+    )
     csv_dir, json_dir = _scratch("nation_csv"), _scratch("nation_json")
     n.write.mode("overwrite").option("header", True).csv(csv_dir)
     n.write.mode("overwrite").json(json_dir)

@@ -13,6 +13,7 @@ instead of in a future driver round:
   nulled_heavy — shuffled + 25% NULLs (all-NULL groups/windows)
   unicode      — shuffled + multibyte chars in documents.text
   empty_text   — shuffled + every 7th doc text '' / every 11th one-token
+  colshuffle   — shuffled + physical column order reversed
 
 Run:  SPARK_GRAFT_REGEN_SMOKE=1 pytest tests/test_regen_resilience.py
 (each variant sweeps a representative op subset; the full-registry
@@ -106,6 +107,21 @@ def _sweep(spark, variant: str, names: list[str]) -> list[str]:
 @pytest.mark.parametrize("variant", ["shuffled", "nanos"])
 def test_layout_variants(spark, variant):
     assert _sweep(spark, variant, REPRESENTATIVE) == []
+
+
+def test_column_order_variant(spark):
+    """Physical column order reversed (schema-compatible): every op
+    selects by name, so this must be a no-op. Caught source_csv_json
+    transposing fields — CSV is positional and Spark's explicit-schema
+    read ignores the header names (round 5)."""
+    from lambda_hive_spark.registry import all_ops
+
+    ops = all_ops()
+    names = [
+        n for n in sorted(set(REPRESENTATIVE) | {"source_csv_json", "sink_csv_json_roundtrip"})
+        if n in ops
+    ]
+    assert _sweep(spark, "colshuffle", names) == []
 
 
 def test_null_injected_variant(spark):

@@ -177,6 +177,12 @@ def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
             tbl = _inject_unicode(tbl)
         if variant == "empty_text" and name == "documents":
             tbl = _inject_empty_text(tbl)
+        if variant == "colshuffle":
+            # Reverse the physical column order (schema-compatible: same
+            # names/types). Ops select by NAME on both engines, so a
+            # regenerated corpus with different column order must be a
+            # no-op; positional access anywhere would fail here.
+            tbl = tbl.select(list(reversed(tbl.column_names)))
         rg = max(1, tbl.num_rows // 3)  # 3 row groups → parallel scan shape
         pq.write_table(tbl, dst, row_group_size=rg, **kwargs)
     return out_dir
