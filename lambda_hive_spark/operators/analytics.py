@@ -424,9 +424,9 @@ WITH base AS (
 ),
 scored AS (
   SELECT o_custkey, frequency, monetary,
-         ntile(5) OVER (ORDER BY last_order ASC, o_custkey) AS r_score,
-         ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
-         ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m_score
+         ntile(5) OVER (ORDER BY last_order ASC NULLS FIRST, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency ASC NULLS FIRST, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary ASC NULLS FIRST, o_custkey) AS m_score
   FROM base
 )
 SELECT CAST(r_score AS BIGINT) AS r_score,
@@ -459,11 +459,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice").alias("monetary"),
     )
+    # ASC NULLS FIRST pinned on BOTH sides: Spark's ASC default is
+    # nulls-first, DuckDB's is nulls-last — with an all-NULL monetary
+    # group (25%-null corpus) the unpinned ntiles shifted every
+    # quintile boundary (caught by the sf0.01 nulled_heavy sweep).
     scored = base.select(
         "o_custkey", "frequency", "monetary",
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("last_order"), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("monetary"), "o_custkey")).alias("m_score"),
     )
     return (
         scored.groupBy(

@@ -374,7 +374,8 @@ dups AS (
   FROM (SELECT COUNT(*) AS cnt FROM tok GROUP BY h)
 ),
 top_lang AS (
-  SELECT lang FROM tok GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+  SELECT lang FROM tok GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang ASC NULLS FIRST LIMIT 1
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_docs,
        (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM tok) AS n_langs,
@@ -410,9 +411,14 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
         .agg(F.sum(F.col("cnt") - 1).cast("long").alias("n_exact_dup_docs"))
     )
+    # lang tiebreak pinned ASC NULLS FIRST on both sides: an unlabeled
+    # (NULL-lang) group tying for the top count would otherwise pick a
+    # different winner per engine (Spark ASC is nulls-first, DuckDB's
+    # is nulls-last).
     top_lang = (
         tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "lang").limit(1).select(F.col("lang").alias("top_lang"))
+        .orderBy(F.col("n").desc(), F.asc_nulls_first("lang"))
+        .limit(1).select(F.col("lang").alias("top_lang"))
     )
     return core.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(top_lang))
 

@@ -53,7 +53,12 @@ NULL_REGRESSIONS = [
     "udf_scalar_iter",
 ]
 # caught only at 25% null density (all-NULL windows / NULL fan-out keys)
-HEAVY_NULL_REGRESSIONS = ["fn_like_family", "join_asof_forward", "udtf_arrow"]
+# customer_rfm_segments: sf0.01 only — the sf0.001 corpus has too few
+# all-NULL monetary groups to shift an ntile boundary (round 5).
+HEAVY_NULL_REGRESSIONS = [
+    "fn_like_family", "join_asof_forward", "udtf_arrow",
+    "customer_rfm_segments", "pipeline_dataset_card",
+]
 # caught by the multibyte variant (byte-vs-char addressing, case maps,
 # engine levenshtein units)
 UNICODE_REGRESSIONS = [
