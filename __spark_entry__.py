@@ -41,9 +41,16 @@ def _graded_names() -> set[str]:
        not resurrect an op edited since (the manifest's hash guard owns
        that call), while a newer round's green row post-dates any edit
        the manifest knows about and is the freshest evidence available.
-       (Residual gap: an op edited after the newest CORRECTNESS landed
-       but before the next update_graded.py merge is still trusted for
-       one window — these rows carry no fingerprint to check.)
+       Glob-discovered rows carry no fingerprint of their own, so they
+       are checked against OPHASHES.json — the per-op fingerprint
+       snapshot tools/snapshot_hashes.py writes at each round's final
+       commit (i.e. the exact source the driver graded): a row is
+       trusted only while the op's current fingerprint still matches
+       the snapshot, so an op edited after the newest CORRECTNESS
+       landed is re-queued instead of trusted blind (r5 advisor gap).
+       A row with err == "no_oracle" additionally counts only while
+       the op STILL has no oracle in the current registry — an op that
+       gained an oracle since must re-earn a real value-hash green.
     """
     ops = all_ops()
     names: set[str] = set()
@@ -74,6 +81,17 @@ def _graded_names() -> set[str]:
     import glob
     import re
 
+    try:
+        with open(os.path.join(_REPO, "OPHASHES.json")) as f:
+            snapshot = json.load(f)
+    except (OSError, ValueError):
+        snapshot = None  # pre-sidecar repo state: fall back to trusting
+
+    def _fingerprint_ok(name: str) -> bool:
+        if snapshot is None:
+            return True  # documented fallback, closed once the sidecar exists
+        return snapshot.get(name) == op_source_hash(ops[name])
+
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
         if m is None or int(m.group(1)) <= last_merged:
@@ -86,12 +104,18 @@ def _graded_names() -> set[str]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
+            if not isinstance(row, dict) or name not in ops:
                 continue
+            if (
+                row.get("err") == "no_oracle"
+                and ops[name].oracle is not None
+            ):
+                continue  # op gained an oracle since — re-earn a value green
             if (
                 row.get("err") in (None, "no_oracle")
                 and row.get("rows_match") is not False
                 and row.get("hash_match") is not False
+                and _fingerprint_ok(name)
             ):
                 names.add(name)
     return names

@@ -123,23 +123,32 @@ def hier_exact_agg(
     merge input is one row per (group, partition) — shuffle payload is
     unchanged vs the partial-aggregation Catalyst already plans.
 
-    `avgs` divide by the non-null count of the same column
-    (COUNT(expr) semantics — mirrors sql_davg exactly).
+    `avgs` divide by the count of rows the micros guard admitted —
+    for in-contract data that IS the non-null count (COUNT(expr),
+    mirroring sql_davg exactly); guard-nulled rows (NaN/Inf/out-of-
+    domain) are excluded from numerator and denominator alike.
 
     Per-row micros are ARITHMETIC, not a decimal cast: Spark's
     double→decimal cast routes through Double.toString + BigDecimal
     per row (~150 ns), which made the cast itself the scan bottleneck
     (the sf0.1 single-file flagship scan is one task). For the data
     class this helper is documented for — nearest-doubles of values
-    with ≤`scale` decimal digits, |x| < 1e12 — `x·10^scale` lands
-    within ≪0.5 of the exact integer (error k·2^-52 < 0.5 for
+    with ≤`scale` decimal digits AND |x·10^scale| < 2^51 (~2.25e9 in
+    value units at scale 6) — `x·10^scale` lands within ≪0.5 of the
+    exact integer (error k·2^-52 < 0.5 only while the integer part
     k < 2^51), so round-half-away(x·10^scale) in pure double ops
     yields the IDENTICAL long the decimal cast produced, ~30× cheaper.
-    NaN/±Inf/overflow collapse to NULL via the |m| < 1e18 guard —
-    exactly where the old decimal(18,s) cast nulled. Full-precision
-    doubles (7+ significant decimals at the target scale) are OUTSIDE
-    this helper's contract (both engines' decimal casts already
-    diverge there — see the stats.py module doc); use dsum for those.
+    Above 2^51 micros the double product (and FLOOR past 2^53) can be
+    ULP-off the exact decimal, so the CASE guard NULLS those rows
+    outright — out-of-domain values collapse to NULL rather than
+    silently diverging (same observable behavior as NaN/±Inf, and as
+    the old decimal(18,s) cast's overflow-null, just at the honest
+    boundary). Avgs exclude guard-nulled rows from BOTH the sum and
+    the count, mirroring how AVG(decimal) skips cast-nulled values.
+    Full-precision doubles (7+ significant decimals at the target
+    scale) are OUTSIDE this helper's contract (both engines' decimal
+    casts already diverge there — see the stats.py module doc); use
+    dsum for those, and for |x| beyond the 2^51-micros domain.
 
     `sums`/`avgs` take SQL STRING expressions (not Columns): each
     partial/final is then a single F.expr py4j call, vs ~10 Column-API
@@ -148,11 +157,22 @@ def hier_exact_agg(
     that build time was a third of the wall clock.
     """
     factor = 10**scale
+    # 2^51: the largest micros magnitude where the double product is
+    # provably within 0.5 of the exact integer (see docstring).
+    guard = "2251799813685248.0D"
+
+    def _m(expr: str) -> str:
+        return f"(CAST(({expr}) AS DOUBLE) * {factor}.0D)"
 
     def micros_sql(expr: str) -> str:
-        m = f"(CAST(({expr}) AS DOUBLE) * {factor}.0D)"
+        m = _m(expr)
         half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
-        return f"SUM(CASE WHEN ABS({m}) < 1e18 THEN {half_away} END)"
+        return f"SUM(CASE WHEN ABS({m}) < {guard} THEN {half_away} END)"
+
+    def count_in_domain_sql(expr: str) -> str:
+        # Denominator twin of micros_sql: count exactly the rows the
+        # sum admitted, so guard-nulled rows don't skew the avg low.
+        return f"COUNT(CASE WHEN ABS({_m(expr)}) < {guard} THEN 1 END)"
 
     div = f"CAST({factor} AS DECIMAL(7,0))"
 
@@ -165,7 +185,7 @@ def hier_exact_agg(
         finals.append(F.expr(f"{final_sql(name)} AS {name}"))
     for name, expr in avgs:
         partials.append(F.expr(f"{micros_sql(expr)} AS _m_{name}"))
-        partials.append(F.expr(f"COUNT({expr}) AS _c_{name}"))
+        partials.append(F.expr(f"{count_in_domain_sql(expr)} AS _c_{name}"))
         finals.append(F.expr(f"{final_sql(name)} / SUM(_c_{name}) AS {name}"))
     if count_star is not None:
         partials.append(F.expr("COUNT(*) AS _n"))

@@ -1832,11 +1832,13 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             # null-safe eq: the diagonal flag is never a NULL cell.
-            # An unlabeled doc (NULL true_lang) vs a non-NULL
-            # prediction grades as a miss; NULL vs NULL grades as
-            # correct (IS NOT DISTINCT FROM semantics — deliberate:
-            # "no label, no prediction" is agreement, not error).
-            # Both engines' null-safe operators agree exactly.
+            # pred_lang is never NULL (text_langid's CASE falls back
+            # to 'unknown'), so the only null-involving cell is an
+            # unlabeled doc (NULL true_lang) vs a non-NULL prediction,
+            # which grades as a miss (false, not NULL). A NULL↔NULL
+            # cell is unreachable with this predictor; IS NOT DISTINCT
+            # FROM would grade it correct if a future predictor could
+            # emit NULL. Both engines' null-safe operators agree.
             F.col("pred_lang").eqNullSafe(F.col("true_lang")).alias("correct"),
         )
     )

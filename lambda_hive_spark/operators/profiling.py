@@ -198,7 +198,7 @@ def quality_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     an accumulator, not a scan. At 100 TB this is the difference
     between one 100 TB read and one per rule.
 
-    Sibling: `quality_rule_audit` (operators/quality.py) runs the same
+    Sibling: `quality_rule_audit_orders` (operators/quality.py) runs the same
     audit shape over ORDERS with a pass/fail-count report and a
     composite-free unique check — kept separate deliberately: together
     they cover both report conventions (violations-only vs pass/fail)

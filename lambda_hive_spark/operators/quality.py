@@ -352,7 +352,7 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
-    "quality_rule_audit",
+    "quality_rule_audit_orders",
     oracle="""
 SELECT 'custkey_not_null' AS rule,
        CAST(COUNT(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS BIGINT) AS n_pass,
@@ -380,7 +380,7 @@ SELECT 'orderkey_unique',
 FROM orders
 """,
 )
-def quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_rule_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality rule audit (the dbt-test / Deequ
     shape): not-null, range, set-membership, temporal and uniqueness
     rules evaluated in ONE scan — each rule is a conditional count

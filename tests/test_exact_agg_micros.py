@@ -6,13 +6,19 @@ double ops. These tests pin the equivalence contract that change
 relies on (helpers.py docstring):
 
 - for nearest-doubles of values with ≤scale decimal digits and
-  |x| < 1e12, the long micros equal the old decimal-cast result
-  exactly (verified against Python's Decimal quantize HALF_UP — the
-  same semantic the Spark cast implemented);
+  |x·10^scale| < 2^51 (~2.25e9 value units at scale 6), the long
+  micros equal the old decimal-cast result exactly (verified against
+  Python's Decimal quantize HALF_UP — the same semantic the Spark
+  cast implemented);
 - negatives round half AWAY from zero (sign-aware), matching HALF_UP
   decimal semantics;
-- NaN / ±Inf / |x| ≥ 1e12 collapse to NULL (SUM skips them), exactly
-  where cast(... as decimal(18,6)) nulled;
+- NaN / ±Inf / |x·10^scale| ≥ 2^51 collapse to NULL (SUM skips them)
+  — the honest exact-arithmetic boundary (round 6 tightened the guard
+  from 1e18 micros after the r5 advisor showed doubles between 2^51
+  and 1e18 micros can be ULP-off the exact decimal: values there now
+  null instead of silently diverging);
+- avgs exclude guard-nulled rows from the DENOMINATOR too (round 6:
+  previously a nulled value still inflated COUNT, skewing avg low);
 - the aggregated double equals dsum's output bit-for-bit on the same
   data (hier_exact_agg advertises "same values as dsum/davg").
 """
@@ -28,10 +34,19 @@ from pyspark.sql import functions as F
 from lambda_hive_spark.helpers import dsum, hier_exact_agg
 
 
+_GUARD = 2**51  # micros-domain boundary (helpers.py hier_exact_agg)
+
+
 def _py_micros(x: float, scale: int = 6) -> int | None:
     """Reference semantics: the old Spark cast — shortest-repr decimal
-    of the double, HALF_UP at `scale` — times 10^scale."""
-    if x is None or math.isnan(x) or math.isinf(x) or abs(x) >= 1e12:
+    of the double, HALF_UP at `scale` — times 10^scale; NULL outside
+    the 2^51-micros exact-arithmetic domain."""
+    if (
+        x is None
+        or math.isnan(x)
+        or math.isinf(x)
+        or abs(x) * 10**scale >= _GUARD
+    ):
         return None
     q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
     return int(q.scaleb(scale))
@@ -42,10 +57,19 @@ def _py_micros(x: float, scale: int = 6) -> int | None:
 CLEAN = [
     0.0, 0.01, -0.01, 1.0, -1.0, 123.45, -123.45, 0.0001, -0.0001,
     99999.99, -99999.99, 12345678.9012, -12345678.9012,
-    999999999999.0 - 1,  # just inside the |x| < 1e12 domain
+    2251799813.0,        # just inside the 2^51-micros domain (2251799813685248 micros is the bound)
     0.1 + 0.2,           # 0.30000000000000004 — repr carries 17 digits but quantizes cleanly
 ]
-NULLING = [float("nan"), float("inf"), float("-inf"), 1e12, -1e12, 2.5e15]
+NULLING = [
+    float("nan"), float("inf"), float("-inf"),
+    1e12, -1e12, 2.5e15,
+    # The r5 advisor's poisoned range: between 2^51 and 1e18 micros the
+    # double product can be ULP-off the exact decimal (this value's
+    # ×1e6 product is NOT exactly representable), so the guard must
+    # null it rather than emit a silently-divergent long.
+    999999999997.0003, -999999999997.0003,
+    2251799813.685249,  # just past the boundary
+]
 
 
 def test_micros_match_decimal_cast_semantics(spark):
@@ -112,3 +136,12 @@ def test_avg_and_count_star_contract(spark):
     # avg divides by COUNT(x) (non-null), count_star counts all rows.
     assert out[1] == (3.0, 3)
     assert out[2] == (None, 1)
+
+
+def test_avg_excludes_guard_nulled_from_denominator(spark):
+    # r5 advisor: a value nulled by the micros guard (NaN/Inf/out-of-
+    # domain) must not inflate the avg denominator. (2+4)/2, not /4.
+    rows = [(1, 2.0), (1, 4.0), (1, float("inf")), (1, 1e13)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    out = hier_exact_agg(df, ["k"], avgs=[("a", "x")]).collect()
+    assert out[0]["a"] == 3.0

@@ -47,7 +47,7 @@ NULL_REGRESSIONS = [
     "agg_weighted", "customer_balance_deciles", "eval_langid_confusion",
     "fn_array_hof", "fn_array_sort_distinct", "fn_binary_codec", "fn_format",
     "fn_json", "fn_map", "fn_string", "fn_struct", "join_asof", "limit_k",
-    "quality_rule_audit", "sketch_approx_quantiles", "text_fingerprint",
+    "quality_rule_audit_orders", "sketch_approx_quantiles", "text_fingerprint",
     "win_ntile_cume", "mm_arrow_checksum", "mm_feature_extract",
     "mm_frame_sample", "mm_resize_stub", "ts_ema", "udaf_grouped",
     "udf_scalar_iter",

@@ -72,9 +72,13 @@ def _row_rank(tbl: pa.Table) -> pa.Array:
     """Deterministic pseudo-random permutation rank: md5 of the first
     (key) column's string repr, salted by the row ordinal — stable
     across runs and machines, no RNG state (rows with equal keys keep
-    a stable relative order via the ordinal term in the digest). The
-    same key column therefore permutes identically in every table that
-    carries it; that sameness is fine for a row-order shuffle."""
+    a stable relative order via the ordinal term in the digest).
+    Because the ordinal participates in the digest, the permutation is
+    a function of (key values, original row order) — two tables
+    permute identically only when they carry the same key column in
+    the same original order (the case here: re-shuffling the same
+    parquet), NOT merely the same set of keys. Fine for a row-order
+    shuffle, whose only contract is determinism."""
     key = tbl.column(0).to_pylist()
     digests = [
         hashlib.md5(f"perturb|{v}|{i}".encode()).hexdigest()

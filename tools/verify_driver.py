@@ -1,4 +1,4 @@
-"""Simulate the external driver gate (.claude/skills/verify) in-process:
+"""Simulate the external driver's correctness gate in-process:
 t1 smoke on entry(spark), then every queries()[name] vs oracle_sql()[name]
 via DuckDB at the given sf dir.
 Usage: python tools/verify_driver.py [sf_dir] [op_name ...]
