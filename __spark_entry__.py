@@ -121,44 +121,42 @@ def _graded_names() -> set[str]:
     return names
 
 
-# Round-5 priority queue for the driver's bounded grading window
-# (VERDICT r4 item 2): 131 registry ops still have no driver
-# CORRECTNESS row, and the window grades ~50/round, so order the
-# backlog by user impact — the canonical TPC-H benchmark suite first,
-# then warehouse/CDC, timeseries, profiling, the three ops whose
-# implementation fingerprint changed since grading (must re-earn), the
-# two formerly-vacuous analytics ops retuned this round to produce
-# non-empty output, then the training-curation pipeline. Everything
-# else ungraded follows in registry order.
+# Round-6 priority queue for the driver's bounded grading window
+# (VERDICT r5 item 1): after merging r05 into GRADED.json, 83 registry
+# ops still have no driver CORRECTNESS row and the window grades
+# ~50/round, so the first ~50 here are the highest-traffic ungraded
+# families (extended scalar functions, the LLM-curation tail, quality
+# gates, analytics rollups, graph, vector stats); the remainder queue
+# behind them via the family rank and drain in round 7. Two edited
+# ops re-earn: tpch_q11_important_stock (docstring now marks it
+# Q11-SHAPED, not spec Q11) and quality_rule_audit_orders (renamed
+# from quality_rule_audit — never graded under either name).
 _BACKLOG_FIRST = (
-    # TPC-H Q2-Q22 (tpch_full.py) — the canonical benchmark surface
-    "tpch_q4_priority_check", "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q12_priority_lines",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity", "tpch_q18_large_volume",
-    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock", "tpch_q20_excess_stock",
-    # warehouse / CDC (warehouse.py)
-    "cdc_latest_snapshot", "scd2_dimension", "unpivot_long",
-    "mv_agg_merge", "cdc_changes_diff", "join_scd2_lookup",
-    # timeseries (timeseries.py)
-    "ts_gap_fill", "ts_resample_ohlc", "ts_ema",
-    "ts_interpolate_linear", "ts_seasonality_dow", "anomaly_mad",
-    "join_asof_forward", "win_moving_median",
-    # profiling / data-quality (profiling.py)
-    "profile_columns", "profile_heavy_hitters", "profile_histogram",
-    "profile_key_skew", "profile_drift_psi", "quality_rules_audit",
-    # fingerprint changed since their green row — must re-earn
-    "mm_frame_sample", "scan_stream", "join_bucket_colocated",
-    # vacuous greens retuned this round (VERDICT r4 item 4)
-    "events_burst_detect", "orders_duplicate_suspects",
-    # training-curation pipeline (training.py)
-    "pipeline_train_test_split", "pipeline_contamination",
-    "pipeline_sessionize", "pipeline_domain_mix", "pipeline_pii_scrub",
-    "pipeline_pack_sequences", "pipeline_encode_token_ids",
+    # extended function surface (functions2.py) — 13
+    "fn_safe_arith", "fn_url", "fn_struct", "fn_regex", "fn_try_cast",
+    "fn_format", "fn_timezone", "fn_rounding_modes", "fn_binary_codec",
+    "fn_array_hof", "fn_interval", "fn_conditional", "fn_like_family",
+    # LLM-curation tail (llm.py) — 10
+    "dedup_apply_representative", "text_vocab_coverage",
+    "cluster_kmeans_step", "text_collocation_lift",
+    "dedup_threshold_sweep", "text_keywords_topk", "text_novelty_score",
+    "text_lang_divergence_tv", "text_hapax_ratio", "eval_langid_confusion",
+    # quality gates (quality.py) — 9
+    "doc_repetition", "sample_weighted", "winsorize_cap",
+    "k_anonymity_audit", "text_unigram_logprob", "pipeline_mix_temperature",
+    "text_clean_normalize", "quality_rule_audit_orders", "quality_key_gaps",
+    # analytics rollups (analytics.py) — 6
+    "session_depth_distribution", "events_heatmap_hour_dow",
+    "lineitem_band_crosstab", "customer_balance_deciles",
+    "retention_day_n", "part_price_premium",
+    # graph (graph.py) — 5
+    "graph_degree", "graph_triangles", "graph_pagerank",
+    "graph_link_prediction", "graph_component_density",
+    # vector stats (stats.py) — 5
+    "vec_pca_power_iter", "sim_label_centroids", "vec_pq_encode",
+    "stats_chi2_independence", "vec_norm_audit",
+    # re-earners (edited this round)
+    "tpch_q11_important_stock",
 )
 
 
@@ -176,6 +174,19 @@ _FAMILY_RANK = {
     "quality": 5,
     "graph": 6,
     "functions2": 7,  # extended fn_* surface
+    "llm": 8,
+    "analytics": 9,
+    "stats": 10,
+    "misc_agg": 11,
+    "pipeline": 12,
+    "joins": 13,
+    "udx": 14,
+    "spark4": 15,
+    "multimodal": 16,
+    "extras": 17,
+    "streams": 18,
+    "maintenance": 19,
+    "intervals": 20,
 }
 _FAMILY_DEFAULT = len(_FAMILY_RANK)
 

@@ -80,45 +80,125 @@ SCALE_HEADLINE = (
 # the whole evidence chain. ~45 s extra wall per bench run.
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
 
+# 100× tier (VERDICT r5 item 3): the 10× corpus proved the per-query
+# gap AMORTIZES but not that it CROSSES — 9 headline queries stayed
+# individually >2× DuckDB at sf0.1 because Spark's fixed ~0.2-0.4 s
+# scheduling+py4j floor dominates sub-second work. This tier grows
+# the fact tables ~100× sf0.1 (lineitem 60M rows, orders 15M, events
+# 10M, embeddings 200k, documents ×10 — ~sf10-equivalent, a few GB of
+# parquet) and records per-query Spark/DuckDB ratios for exactly the
+# nine letter-weak queries, so the crossover itself is on the record.
+# dedup_ngram_jaccard is excluded: its pair work grows quadratically
+# in the duplicate factor (documents ×10 → 100× pairs) and it already
+# beats DuckDB 0.2-0.3× at both smaller tiers.
+SCALE100_TABLES = {
+    "lineitem": ("l_orderkey", 100),
+    "orders": ("o_orderkey", 100),
+    "events": ("event_id", 100),
+    "embeddings": ("vec_id", 100),
+    "documents": ("doc_id", 10),
+}
+SCALE100_SHIFT_GROUPS = ({"lineitem", "orders"},)
+SCALE100_HEADLINE = (
+    "agg_hash",
+    "agg_partial_final",
+    "join_multiway",
+    "join_asof",
+    "win_topk_per_group",
+    "agg_pivot",
+    "distinct_rows",
+    "sim_knn_exact",
+    "text_tf_idf",
+)
+SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 
-def _scale_corpus(spark, sf_dir: str) -> str:
+# 1000× tier: lineitem 600M rows / orders 150M (~sf100-equivalent,
+# ~4.3 GB parquet, ~30 s one-time map-side build). Only the
+# aggregation/window-shaped queries run here — measured r6: agg_hash
+# crosses to 1.56×, agg_partial_final 1.76×, win_topk_per_group 0.83×
+# (Spark WINS), distinct_rows stays ~6× (per-row hash-probe constant
+# on mixed string/timestamp keys; the scan alone is 1.8 s vs DuckDB's
+# whole-query 1.0 s — plan already optimal partial+final distinct).
+# join_multiway is EXCLUDED by design: at 600M×150M the mandatory
+# shuffle meets DuckDB's shared-memory hash join (measured once:
+# Spark 37-50 s on a 16 GB heap vs DuckDB 5-6 s) and the default 8 GB
+# driver heap cannot hold the build side — the one-off numbers and the
+# floor analysis live in BASELINE.md §7.
+SCALE1000_TABLES = {
+    "lineitem": ("l_orderkey", 1000),
+    "orders": ("o_orderkey", 1000),
+}
+SCALE1000_SHIFT_GROUPS = ({"lineitem", "orders"},)
+SCALE1000_HEADLINE = (
+    "agg_hash",
+    "agg_partial_final",
+    "distinct_rows",
+    "win_topk_per_group",
+)
+SCALE1000_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE1000_RUNS", "2"))
+
+
+def _scale_corpus(
+    spark,
+    sf_dir: str,
+    tier: str = "scale",
+    tables: dict | None = None,
+    shift_groups: tuple = None,
+) -> str:
     """Materialize (once, cached in scratch) an sf-dir-shaped corpus
-    with the SCALE_TABLES replicated into 32-file parquet directories;
-    all other tables symlink to the fixtures."""
+    with the given tables replicated into 32-file parquet directories;
+    all other tables symlink to the fixtures. Replication is one
+    explode over a clone-ordinal sequence (a 100-way union would build
+    a 100-branch plan), with the key column shifted per clone so keys
+    stay unique; tables in the same shift group share the offset so
+    fact-fact join keys still line up across clones."""
     from pyspark.sql import functions as F
 
     from lambda_hive_spark.io import TABLES
     from lambda_hive_spark.operators.scans import mark_scratch_fresh, scratch_stale
 
+    tables = SCALE_TABLES if tables is None else tables
+    shift_groups = SCALE_SHIFT_GROUPS if shift_groups is None else shift_groups
     repo = os.path.dirname(os.path.abspath(__file__))
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo, ".tmp"))
-    out_dir = os.path.join(scratch, f"bench_scale_{os.path.basename(sf_dir.rstrip('/'))}")
+    out_dir = os.path.join(
+        scratch, f"bench_{tier}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if t in SCALE_TABLES:
+        if t in tables:
             src = os.path.join(sf_dir, f"{t}.parquet")
             # (size, mtime)-stamped cache: the driver regenerates the
             # fixtures between rounds (ADVICE r3), so a _SUCCESS-only
             # check would serve a stale replica.
             if not scratch_stale(dst, src):
                 continue
-            key, copies = SCALE_TABLES[t]
+            key, copies = tables[t]
             base = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-            group = next((g for g in SCALE_SHIFT_GROUPS if t in g), {t})
+            group = next((g for g in shift_groups if t in g), {t})
             shift = (
                 max(
                     spark.read.parquet(os.path.join(sf_dir, f"{m}.parquet"))
-                    .agg(F.max(SCALE_TABLES[m][0]))
+                    .agg(F.max(tables[m][0]))
                     .collect()[0][0]
                     for m in group
                 )
                 + 1
             )
-            big = base
-            for i in range(1, copies):
-                big = big.unionByName(base.withColumn(key, F.col(key) + F.lit(i * shift)))
-            big.repartition(32).write.mode("overwrite").parquet(dst)
+            # Repartition the BASE (cheap: fixture-sized) before the
+            # explode so the clone fan-out runs map-side in 32 parallel
+            # tasks and the written data never shuffles — repartition
+            # AFTER explode would shuffle copies× the fixture.
+            big = (
+                base.repartition(32)
+                .withColumn(
+                    "_clone", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+                )
+                .withColumn(key, F.col(key) + F.col("_clone") * F.lit(shift))
+                .drop("_clone")
+            )
+            big.write.mode("overwrite").parquet(dst)
             mark_scratch_fresh(dst, src)
         elif not os.path.lexists(dst):
             os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
@@ -191,6 +271,68 @@ def main() -> None:
             "runs": SCALE_RUNS,
         }
 
+    # 100× crossover section (VERDICT r5 item 3): per-query ratios for
+    # the nine queries that run >2× DuckDB at sub-second sf0.1 sizes.
+    # Skippable via SPARK_GRAFT_BENCH_SCALE100=0.
+    scale100: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE100", "1") != "0":
+        s100_dir = _scale_corpus(
+            spark, sf_dir, "scale100", SCALE100_TABLES, SCALE100_SHIFT_GROUPS
+        )
+        s100_con = duck_connection(s100_dir)
+        x_queries: dict[str, float] = {}
+        x_duck: dict[str, float] = {}
+        x_ratio: dict[str, float] = {}
+        for name in SCALE100_HEADLINE:
+            op_ = ops[name]
+            x_queries[name] = round(
+                _time_spark(op_.fn, spark, s100_dir, SCALE100_RUNS), 4
+            )
+            if op_.oracle:
+                x_duck[name] = round(_time_duck(s100_con, op_.oracle, SCALE100_RUNS), 4)
+                x_ratio[name] = round(x_queries[name] / x_duck[name], 3)
+        s100_con.close()
+        scale100 = {
+            "metric": "scale100_crossover_total_wall_sec",
+            "value": round(sum(x_queries.values()), 4),
+            "queries": x_queries,
+            "duckdb_sec": x_duck,
+            "duckdb_total_sec": round(sum(x_duck.values()), 4),
+            "ratio_vs_duckdb": x_ratio,
+            "copies": {t: c for t, (_, c) in SCALE100_TABLES.items()},
+            "runs": SCALE100_RUNS,
+        }
+
+    # 1000× crossover section. Skippable via SPARK_GRAFT_BENCH_SCALE1000=0.
+    scale1000: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE1000", "1") != "0":
+        s1k_dir = _scale_corpus(
+            spark, sf_dir, "scale1000", SCALE1000_TABLES, SCALE1000_SHIFT_GROUPS
+        )
+        s1k_con = duck_connection(s1k_dir)
+        k_queries: dict[str, float] = {}
+        k_duck: dict[str, float] = {}
+        k_ratio: dict[str, float] = {}
+        for name in SCALE1000_HEADLINE:
+            op_ = ops[name]
+            k_queries[name] = round(
+                _time_spark(op_.fn, spark, s1k_dir, SCALE1000_RUNS), 4
+            )
+            if op_.oracle:
+                k_duck[name] = round(_time_duck(s1k_con, op_.oracle, SCALE1000_RUNS), 4)
+                k_ratio[name] = round(k_queries[name] / k_duck[name], 3)
+        s1k_con.close()
+        scale1000 = {
+            "metric": "scale1000_crossover_total_wall_sec",
+            "value": round(sum(k_queries.values()), 4),
+            "queries": k_queries,
+            "duckdb_sec": k_duck,
+            "duckdb_total_sec": round(sum(k_duck.values()), 4),
+            "ratio_vs_duckdb": k_ratio,
+            "copies": {t: c for t, (_, c) in SCALE1000_TABLES.items()},
+            "runs": SCALE1000_RUNS,
+        }
+
     total = round(sum(queries.values()), 4)
     print(
         json.dumps(
@@ -203,6 +345,8 @@ def main() -> None:
                 "duckdb_sec": duck,
                 "duckdb_total_sec": round(sum(duck.values()), 4),
                 "scale": scale,
+                "scale100": scale100,
+                "scale1000": scale1000,
                 "config": {
                     "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                     "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),

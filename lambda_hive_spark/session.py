@@ -40,6 +40,17 @@ _EXCLUDED_OPT_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromG
 # hint("merge") or a scoped conf, so nothing flips plans by accident.
 _BROADCAST_THRESHOLD = str(64 * 1024 * 1024)
 
+# AQE SMJ→SHJ conversion: when a join's per-partition build side is
+# under this threshold at runtime, plan a shuffled hash join instead of
+# sort-merge — same shuffle, but neither side gets sorted (the sorts
+# were ~2/3 of join_multiway's wall at the 100× bench corpus: 4.2 s →
+# measured with SHJ below). This is the partition-LOCAL sizing knob, so
+# it is exactly as safe at 100 TB as it is here: a 256 MB per-partition
+# build fits any sanely-sized executor, and a genuinely huge build side
+# (over threshold after AQE sees real sizes) still gets SMJ. Joins that
+# must demonstrate SMJ pin it with hint("merge").
+_SHJ_LOCAL_MAP_THRESHOLD = str(256 * 1024 * 1024)
+
 
 def get_spark(app_name: str = "lambda_hive_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -55,6 +66,7 @@ def get_spark(app_name: str = "lambda_hive_spark", shuffle_partitions: int | Non
         .config("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
         .config("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+        .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", _SHJ_LOCAL_MAP_THRESHOLD)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -69,4 +81,7 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPT_RULES)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _BROADCAST_THRESHOLD)
+    spark.conf.set(
+        "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", _SHJ_LOCAL_MAP_THRESHOLD
+    )
     return spark

@@ -168,11 +168,20 @@ def stateful_batch(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(_stateful_pdf, STATEFUL_SCHEMA)
 
 
-def stateful_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+def stateful_stream(events: DataFrame, timeout_conf: str = "NoTimeout") -> DataFrame:
     """True streaming stateful operator via `applyInPandasWithState`:
     the per-user (n_events, purchases_since_error) tuple lives in the
     state store across micro-batches. State size = O(|users|), not
-    O(events) — the 100 TB-safe shape."""
+    O(events) — the 100 TB-safe shape.
+
+    `timeout_conf`: "NoTimeout" (default) admits every row, however
+    late; "EventTimeTimeout" (requires a watermark on the input)
+    additionally makes Spark DROP rows behind the watermark before the
+    state function — verified empirically on this Spark 4.1 build: an
+    input watermark alone (NoTimeout) does NOT late-filter this
+    operator, the timeoutConf is what arms the filter. The update
+    function registers no timeouts, so no timed-out invocations occur
+    either way."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
@@ -200,7 +209,29 @@ def stateful_stream(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputStructType=STATEFUL_SCHEMA,
         stateStructType="n_events long, purchases_since_error long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=getattr(GroupStateTimeout, timeout_conf),
+    )
+
+
+def stateful_stream_watermarked(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """`stateful_stream` behind an event-time watermark + event-time
+    timeout: rows arriving behind the watermark are DROPPED before the
+    state function ever sees them — the knob that bounds how long the
+    state store must keep a group hot for stragglers at 100 TB.
+    Without it (plain `stateful_stream`) every late row is admitted
+    and state can never be safely evicted.
+
+    Two build-verified semantics the tests pin (tests/test_streaming.py):
+    (1) the late filter is armed by EventTimeTimeout, NOT by the
+    watermark alone — withWatermark + NoTimeout admits everything;
+    (2) the watermark visible to micro-batch N is computed from data
+    through batch N-2 (one batch more lag than the naive reading):
+    batch 2 still runs unfiltered at the initial epoch watermark, and
+    batch 3 is the first one filtered, at max(ts through batch 2) −
+    delay. The admitted/dropped split is therefore deterministic given
+    the file arrival order."""
+    return stateful_stream(
+        events.withWatermark("ts", delay), timeout_conf="EventTimeTimeout"
     )
 
 

@@ -84,12 +84,39 @@ def test_red_row_never_counts(repo):
     assert "join_left" not in entry._graded_names()
 
 
-def test_no_oracle_err_counts_as_graded(repo):
-    # rows-only ops: err == "no_oracle" is the strongest possible check
-    # for them; the slot should not be re-spent.
+def test_no_oracle_row_requeues_once_op_gains_oracle(repo):
+    # r5 advisor: a rows-only green (err == "no_oracle") is only the
+    # strongest-possible check WHILE the op has no oracle. Every
+    # registry op currently carries an oracle, so a glob-discovered
+    # no_oracle row (written before the op was oracle-ized) must NOT
+    # keep the slot — the op re-earns a real value-hash green.
     _write(repo / "GRADED.json", {"r01": [], "hashes": {}})
     _write(repo / "CORRECTNESS_r02.json",
            {"join_left": {**GREEN, "err": "no_oracle", "hash_match": None}})
+    assert "join_left" not in entry._graded_names()
+
+
+def test_glob_row_trusted_only_while_fingerprint_matches_snapshot(repo):
+    # r5 advisor: glob-discovered rows carry no fingerprint, so they
+    # are checked against OPHASHES.json (the snapshot taken at the
+    # final commit the driver graded). Matching snapshot → trusted;
+    # stale snapshot (op edited since) → re-queued.
+    ops = all_ops()
+    _write(repo / "GRADED.json", {"r01": [], "hashes": {}})
+    _write(repo / "CORRECTNESS_r02.json", {"join_left": GREEN})
+    _write(repo / "OPHASHES.json",
+           {"join_left": op_source_hash(ops["join_left"])})
+    assert "join_left" in entry._graded_names()
+    _write(repo / "OPHASHES.json", {"join_left": "0000000000000000"})
+    assert "join_left" not in entry._graded_names()
+
+
+def test_glob_row_trusted_when_snapshot_missing(repo):
+    # Pre-sidecar fallback: with no OPHASHES.json the old trusting
+    # behavior applies (documented residual, closed once the sidecar
+    # is committed alongside the code).
+    _write(repo / "GRADED.json", {"r01": [], "hashes": {}})
+    _write(repo / "CORRECTNESS_r02.json", {"join_left": GREEN})
     assert "join_left" in entry._graded_names()
 
 

@@ -202,6 +202,140 @@ def test_transform_with_state_matches_batch_twin(spark, events_batch, arrival_di
     assert _rows(final) == _rows(plans.stateful_batch(events_batch))
 
 
+@pytest.fixture()
+def reversed_arrival_dirs(spark, events_batch, tmp_path):
+    """The same 3 time-ordered thirds as `arrival_dirs`, but arriving
+    NEWEST-FIRST — the adversarial order that races the watermark past
+    the stragglers: batch 1 (newest third) drags the watermark near
+    the global max event time, so the middle and oldest thirds arrive
+    late relative to it."""
+    from pyspark.sql import Window
+
+    land = str(tmp_path / "ooo_landing")
+    # (ts, event_id) ordering makes the ntile bucketing deterministic,
+    # so the test's oracle can recompute the exact same thirds.
+    ev = events_batch.withColumn(
+        "bucket", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    os.makedirs(land)
+    for arrival, b in enumerate((3, 2, 1), start=1):
+        part = str(tmp_path / f"ooo_part{b}")
+        (
+            ev.filter(F.col("bucket") == b)
+            .drop("bucket")
+            .withColumn("ts", F.unix_micros("ts") * 1000)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(part)
+        )
+        src = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(land, f"arrival-{arrival}-bucket{b}.parquet")
+        shutil.copy(os.path.join(part, src), dst)
+        _stamp_arrival(dst, arrival)
+    return land
+
+
+def test_stateful_late_data_dropped_at_watermark_frontier(
+    spark, events_batch, reversed_arrival_dirs
+):
+    """Late/out-of-order injection for the watermarked stateful path
+    (VERDICT r5 item 7): with the newest third arriving FIRST, the
+    stragglers in the last batch arrive behind the watermark; rows
+    behind the frontier must be dropped BEFORE the state function, and
+    rows at-or-ahead of it admitted. The oracle is the batch twin on
+    exactly the admitted subset, computed from first principles
+    (per-batch watermark progression), so the test fails both if Spark
+    drops too much (admitted row lost) and if a late row leaks into
+    state.
+
+    Build-verified watermark progression (pinned here; see
+    plans.stateful_stream_watermarked): the watermark visible to batch
+    N derives from data through batch N-2, so batches 1 AND 2 run
+    unfiltered at the epoch watermark, and batch 3 is filtered at
+    frontier = max(ts through batch 2) − delay = global_max − delay
+    (batch 1 holds the global max). The delay is sized to land that
+    frontier strictly inside batch 3's time range, so the last batch
+    genuinely SPLITS into dropped-late vs admitted-on-time."""
+    from datetime import timedelta
+
+    from pyspark.sql import Window
+
+    ev = events_batch.withColumn(
+        "bucket", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    hi = events_batch.agg(F.max("ts")).collect()[0][0]
+    b3_lo, b3_hi = (
+        ev.filter(F.col("bucket") == 1).agg(F.min("ts"), F.max("ts")).collect()[0]
+    )
+    # Frontier at batch-3's time midpoint → part dropped, part admitted.
+    delay_s = int((hi - (b3_lo + (b3_hi - b3_lo) / 2)).total_seconds())
+    frontier = hi - timedelta(seconds=delay_s)
+    # Keep the frontier strictly between event timestamps so the
+    # admitted set is insensitive to the >= vs > boundary convention.
+    while events_batch.filter(F.col("ts") == F.lit(frontier)).count() > 0:
+        delay_s += 1
+        frontier = hi - timedelta(seconds=delay_s)
+
+    stream = core.events_stream(spark, reversed_arrival_dirs, max_files_per_trigger=1)
+    updates = core.run_available_now(
+        plans.stateful_stream_watermarked(stream, f"{delay_s} seconds"), mode="update"
+    )
+    final = (
+        updates.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events"))),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    # Admitted = batches 1-2 (newest+middle thirds, both pre-watermark)
+    # ∪ batch-3 rows at or ahead of the frontier.
+    admitted = ev.filter(
+        (F.col("bucket") != 1) | (F.col("ts") >= F.lit(frontier))
+    ).drop("bucket")
+    n_admitted, n_total = admitted.count(), events_batch.count()
+    assert 0 < n_admitted < n_total  # the injection really drops rows
+    # …and really splits batch 3: the oldest third must have rows on
+    # BOTH sides of the frontier, or the test degenerates to
+    # "the last batch vanished wholesale".
+    b3 = ev.filter(F.col("bucket") == 1)
+    assert b3.filter(F.col("ts") >= F.lit(frontier)).count() > 0
+    assert b3.filter(F.col("ts") < F.lit(frontier)).count() > 0
+
+    # Frontier oracle, folded in ARRIVAL order: the per-user state
+    # machine is order-sensitive (purchases reset on error), and with
+    # reversed arrival the stream folds newest-third first — so the
+    # oracle replays the admitted rows in (arrival batch, ts) order,
+    # exactly the order the state store consumed them. (stateful_batch
+    # would sort globally by ts — the right twin for in-order arrival,
+    # covered by test_stateful_stream_matches_batch_twin.)
+    import pandas as pd
+
+    adm_pd = (
+        ev.filter((F.col("bucket") != 1) | (F.col("ts") >= F.lit(frontier)))
+        # arrival order: bucket 3 (newest) first, then 2, then 1
+        .withColumn("arrival", 4 - F.col("bucket"))
+        .select("user_id", "arrival", "ts", "event_type")
+        .toPandas()
+    )
+    want = []
+    for uid, g in adm_pd.groupby("user_id"):
+        g = g.sort_values(["arrival", "ts"])
+        p = 0
+        for et in g["event_type"]:
+            if et == "error":
+                p = 0
+            elif et == "purchase":
+                p += 1
+        want.append((uid, len(g), p))
+    got = sorted(tuple(r) for r in final.collect())
+    assert got == sorted(want)
+    # dropped-late vs admitted-on-time counts: state saw exactly the
+    # admitted rows, nothing from behind the frontier leaked in.
+    assert final.agg(F.sum("n_events")).collect()[0][0] == n_admitted
+
+
 def test_checkpoint_recovery_exactly_once(spark, events_batch, arrival_dirs, tmp_path):
     """Restart semantics: a parquet-sink query stopped after draining
     two files and RESTARTED with the same checkpoint processes ONLY
