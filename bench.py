@@ -112,13 +112,18 @@ SCALE100_HEADLINE = (
 )
 SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 
-# 1000× tier: lineitem 600M rows / orders 150M (~sf100-equivalent,
-# ~4.3 GB parquet, ~30 s one-time map-side build). Only the
-# aggregation/window-shaped queries run here — measured r6: agg_hash
-# crosses to 1.56×, agg_partial_final 1.76×, win_topk_per_group 0.83×
-# (Spark WINS), distinct_rows stays ~6× (per-row hash-probe constant
-# on mixed string/timestamp keys; the scan alone is 1.8 s vs DuckDB's
-# whole-query 1.0 s — plan already optimal partial+final distinct).
+# 1000× tier: lineitem 600M rows / orders 150M / events 100M /
+# embeddings 2M (~sf100-equivalent, ~4.9 GB parquet, ~40 s one-time
+# map-side build). Measured r6: agg_hash crosses to 1.28×,
+# agg_partial_final 1.48×, win_topk_per_group 0.86× (Spark WINS),
+# join_asof 0.089× (Spark 11× faster — DuckDB's native ASOF collapses
+# at 100M events), sim_knn_exact 2.2× (trajectory 8×→3.8×→2.2× across
+# the three decades; an unrolled-64-term dot was measured 6× SLOWER
+# than the interpreted HOF fold — codegen fallback — and rejected).
+# distinct_rows stays ~6-7× (per-row hash-probe constant on mixed
+# string/timestamp keys; the scan alone is 1.8 s vs DuckDB's 1.0 s
+# whole query — the partial+final distinct plan is already optimal)
+# and agg_pivot ~7× (same constant on conditional aggregation).
 # join_multiway is EXCLUDED by design: at 600M×150M the mandatory
 # shuffle meets DuckDB's shared-memory hash join (measured once:
 # Spark 37-50 s on a 16 GB heap vs DuckDB 5-6 s) and the default 8 GB
@@ -127,6 +132,8 @@ SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 SCALE1000_TABLES = {
     "lineitem": ("l_orderkey", 1000),
     "orders": ("o_orderkey", 1000),
+    "events": ("event_id", 1000),
+    "embeddings": ("vec_id", 1000),
 }
 SCALE1000_SHIFT_GROUPS = ({"lineitem", "orders"},)
 SCALE1000_HEADLINE = (
@@ -134,6 +141,9 @@ SCALE1000_HEADLINE = (
     "agg_partial_final",
     "distinct_rows",
     "win_topk_per_group",
+    "agg_pivot",
+    "join_asof",
+    "sim_knn_exact",
 )
 SCALE1000_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE1000_RUNS", "2"))
 
