@@ -96,6 +96,40 @@ def sql_dot(a: str, b: str) -> str:
     return f"list_reduce({prods}, (acc, x) -> acc + x)"
 
 
+# 2^51: the largest micros magnitude where the double product is
+# provably within 0.5 of the exact integer (see hier_exact_agg's
+# docstring for the derivation and the out-of-domain NULL contract).
+MICROS_GUARD = "2251799813685248.0D"
+
+
+def _micros_product(expr: str, scale: int) -> str:
+    return f"(CAST(({expr}) AS DOUBLE) * {10**scale}.0D)"
+
+
+def sql_micros_sum(expr: str, scale: int = 6) -> str:
+    """Partial-level long-micros sum of a money expression (Spark SQL):
+    round-half-away(x·10^scale) accumulated as BIGINT, NULL outside
+    the 2^51 exact-arithmetic domain. Pair with `sql_micros_final` on
+    the partial column for the decimal-exact merge."""
+    m = _micros_product(expr, scale)
+    half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
+    return f"SUM(CASE WHEN ABS({m}) < {MICROS_GUARD} THEN {half_away} END)"
+
+
+def sql_micros_count(expr: str, scale: int = 6) -> str:
+    """Denominator twin of `sql_micros_sum`: count exactly the rows
+    the sum admitted, so guard-nulled rows don't skew an avg low."""
+    return f"COUNT(CASE WHEN ABS({_micros_product(expr, scale)}) < {MICROS_GUARD} THEN 1 END)"
+
+
+def sql_micros_final(partial_col: str, scale: int = 6) -> str:
+    """Final-level merge of long-micros partials: exact decimal sum,
+    one decimal division back to value units, nearest-double emit —
+    bit-identical to dsum on the same data."""
+    div = f"CAST({10**scale} AS DECIMAL(7,0))"
+    return f"CAST(SUM(CAST({partial_col} AS DECIMAL(38,0))) / {div} AS DOUBLE)"
+
+
 def hier_exact_agg(
     df,
     keys: list[str],
@@ -156,37 +190,16 @@ def hier_exact_agg(
     construction on the flagship (7 aggregates). On a sub-second query
     that build time was a third of the wall clock.
     """
-    factor = 10**scale
-    # 2^51: the largest micros magnitude where the double product is
-    # provably within 0.5 of the exact integer (see docstring).
-    guard = "2251799813685248.0D"
-
-    def _m(expr: str) -> str:
-        return f"(CAST(({expr}) AS DOUBLE) * {factor}.0D)"
-
-    def micros_sql(expr: str) -> str:
-        m = _m(expr)
-        half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
-        return f"SUM(CASE WHEN ABS({m}) < {guard} THEN {half_away} END)"
-
-    def count_in_domain_sql(expr: str) -> str:
-        # Denominator twin of micros_sql: count exactly the rows the
-        # sum admitted, so guard-nulled rows don't skew the avg low.
-        return f"COUNT(CASE WHEN ABS({_m(expr)}) < {guard} THEN 1 END)"
-
-    div = f"CAST({factor} AS DECIMAL(7,0))"
-
-    def final_sql(name: str) -> str:
-        return f"CAST(SUM(CAST(_m_{name} AS DECIMAL(38,0))) / {div} AS DOUBLE)"
-
     partials, finals = [], []
     for name, expr in sums:
-        partials.append(F.expr(f"{micros_sql(expr)} AS _m_{name}"))
-        finals.append(F.expr(f"{final_sql(name)} AS {name}"))
+        partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS _m_{name}"))
+        finals.append(F.expr(f"{sql_micros_final(f'_m_{name}', scale)} AS {name}"))
     for name, expr in avgs:
-        partials.append(F.expr(f"{micros_sql(expr)} AS _m_{name}"))
-        partials.append(F.expr(f"{count_in_domain_sql(expr)} AS _c_{name}"))
-        finals.append(F.expr(f"{final_sql(name)} / SUM(_c_{name}) AS {name}"))
+        partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS _m_{name}"))
+        partials.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c_{name}"))
+        finals.append(
+            F.expr(f"{sql_micros_final(f'_m_{name}', scale)} / SUM(_c_{name}) AS {name}")
+        )
     if count_star is not None:
         partials.append(F.expr("COUNT(*) AS _n"))
         finals.append(F.expr(f"SUM(_n) AS {count_star}"))
