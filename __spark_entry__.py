@@ -152,9 +152,12 @@ _BACKLOG_FIRST = (
     # graph (graph.py) — 5
     "graph_degree", "graph_triangles", "graph_pagerank",
     "graph_link_prediction", "graph_component_density",
-    # vector stats (stats.py) — 5
-    "vec_pca_power_iter", "sim_label_centroids", "vec_pq_encode",
-    "stats_chi2_independence", "vec_norm_audit",
+    # vector stats (stats.py) — first 2; the remaining 3 queue via the
+    # family rank right behind this pin and drain in round 7
+    "vec_pca_power_iter", "sim_label_centroids",
+    # lakehouse table layer (lake.py, NEW round 6) — the ACID gap the
+    # r5 verdict ranked top residual; grade the capability this round
+    "lake_merge_upsert", "lake_time_travel", "lake_compact_audit",
     # re-earners (edited this round)
     "tpch_q11_important_stock",
 )
@@ -187,6 +190,7 @@ _FAMILY_RANK = {
     "streams": 18,
     "maintenance": 19,
     "intervals": 20,
+    "lake": 21,
 }
 _FAMILY_DEFAULT = len(_FAMILY_RANK)
 

@@ -40,4 +40,5 @@ from lambda_hive_spark.operators import (  # noqa: F401
     intervals,
     graph,
     spark4,
+    lake,
 )

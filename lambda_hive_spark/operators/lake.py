@@ -1,0 +1,157 @@
+"""Lakehouse table-layer operators (lambda_hive_spark/lakehouse.py).
+
+Drive the commit-log/snapshot/MERGE protocol end-to-end through the
+driver's DuckDB hash gate: each op builds a real lake table in scratch
+from the round's fixtures, performs versioned commits against it, and
+returns a DataFrame whose values the oracle reproduces relationally —
+so the ACID plumbing (atomic manifest publish, stats-pruned
+copy-on-write MERGE, snapshot-pinned reads) is value-verified, not
+just unit-tested (tests/test_lakehouse.py covers the concurrency and
+retention properties no batch oracle can express).
+
+Ops rebuild their table from scratch on every call: cheap at fixture
+scale, and it makes reruns deterministic with zero staleness logic.
+Scratch paths are keyed by the sf dir so cross-scale sweeps don't
+collide (the driver and verify sweeps run ops serially).
+
+Reference file:line: N/A — empty reference dir (SURVEY.md §0); the
+protocol follows the publicly documented Delta/Iceberg commit-log
+design (see lakehouse.py module doc).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lambda_hive_spark import lakehouse as lh
+from lambda_hive_spark.io import table
+from lambda_hive_spark.operators.scans import _scratch
+from lambda_hive_spark.registry import op
+
+
+def _fresh_table_dir(name: str, sf_dir: str) -> str:
+    path = _scratch(f"lake_{name}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@op(
+    "lake_merge_upsert",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("side_effect",),
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the lake table layer: orders lands as a keyed
+    lake table, then one upsert batch both UPDATES (every 10th key:
+    price doubled) and INSERTS (every 97th key re-keyed past the max).
+    The read-back of the new snapshot must equal the purely relational
+    oracle — proving the copy-on-write rewrite dropped exactly the
+    matched rows, carried every untouched file by reference, and the
+    inserted keys landed once. File-level stats pruning is asserted
+    structurally in tests/test_lakehouse.py; here the VALUES gate it.
+
+    Scale: the updates batch is broadcast into the anti-join (a MERGE
+    batch is bounded; the table is not), and only key-range-
+    intersecting files are rewritten — at 100 TB this is "rewrite the
+    touched partition", never "rewrite the table"."""
+    path = _fresh_table_dir("merge", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)
+            )
+        )
+    )
+    lh.merge_upsert(spark, path, updates)
+    return lh.read(spark, path)
+
+
+@op(
+    "lake_time_travel",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+""",
+    tags=("side_effect",),
+)
+def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: version 1 lands the even
+    orderkeys, version 2 appends the odd ones, and the op reads
+    VERSION 1 — after the newer commit exists. Matching the oracle
+    (even keys only) proves the v1 manifest still resolves to exactly
+    its original immutable files and the append created a new version
+    instead of mutating the old one. The head read is additionally
+    checked in-op (row count = full table) so a broken append cannot
+    pass by accident."""
+    path = _fresh_table_dir("tt", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.filter(F.col("o_orderkey") % 2 == 0), key="o_orderkey")
+    lh.append(spark, path, base.filter(F.col("o_orderkey") % 2 == 1))
+    assert lh.read(spark, path).count() == base.count()  # head sees both
+    return lh.read(spark, path, version=1)
+
+
+@op(
+    "lake_compact_audit",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS rows_preserved,
+       TRUE AS files_reduced,
+       TRUE AS time_travel_intact,
+       CAST(3 AS BIGINT) AS n_versions
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as a versioned commit: orders lands in 8 files, an
+    update touches one key (v2), then compaction rewrites the head
+    into one file (v3). The audit row publishes the invariants the
+    protocol must keep — row count preserved bit-for-bit through the
+    rewrite, file count actually reduced, and the PRE-compaction
+    version still readable (time travel across the compaction
+    boundary). File identities are engine-internal, so the oracle
+    checks the invariants, not the paths (sketches.py pattern)."""
+    path = _fresh_table_dir("compact", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_base = base.count()
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    lh.merge_upsert(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") == 1).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+    )
+    files_before = len(lh.read_manifest(path)["files"])
+    v = lh.compact(spark, path, num_files=1)
+    files_after = len(lh.read_manifest(path, v)["files"])
+    return spark.createDataFrame(
+        [
+            (
+                lh.read(spark, path).count(),
+                lh.read(spark, path).count() == n_base,
+                files_after < files_before,
+                lh.read(spark, path, version=2).count() == n_base,
+                lh.current_version(path),
+            )
+        ],
+        "n_rows long, rows_preserved boolean, files_reduced boolean, "
+        "time_travel_intact boolean, n_versions long",
+    )
