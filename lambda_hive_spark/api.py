@@ -10,6 +10,9 @@ switches to:
     eng.ops()                            # the full operator inventory
     eng.stream_events(landing_dir)       # unbounded events source
     eng.dag()                            # workflow-DAG builder
+    eng.lake(path)                       # ACID lake table handle
+    #   .create(df, key) .append(df) .merge_upsert(updates)
+    #   .read(version=N) .compact() .vacuum() .history()
 
 Everything is a thin delegation to the modules that own the logic —
 the facade adds discoverability, not behavior.
@@ -95,3 +98,62 @@ class Engine:
 
     def dag(self) -> Dag:
         return Dag()
+
+    # -- lakehouse table layer ----------------------------------------
+    def lake(self, path: str) -> "LakeTable":
+        """Handle to an ACID lake table at `path` (lakehouse.py):
+        versioned commits, snapshot reads / time travel, stats-pruned
+        MERGE, compaction, vacuum."""
+        return LakeTable(self.spark, path)
+
+
+class LakeTable:
+    """Bound (session, path) facade over lambda_hive_spark.lakehouse —
+    same thin-delegation contract as Engine itself."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        from lambda_hive_spark import lakehouse
+
+        self._lh = lakehouse
+        self.spark = spark
+        self.path = path
+
+    def create(self, df: DataFrame, key: str) -> int:
+        return self._lh.create(self.spark, self.path, df, key)
+
+    def append(self, df: DataFrame) -> int:
+        return self._lh.append(self.spark, self.path, df)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._lh.read(self.spark, self.path, version)
+
+    def merge_upsert(self, updates: DataFrame) -> int:
+        return self._lh.merge_upsert(self.spark, self.path, updates)
+
+    def compact(self, num_files: int = 1) -> int:
+        return self._lh.compact(self.spark, self.path, num_files)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        return self._lh.vacuum(self.path, keep_last)
+
+    def version(self) -> int:
+        return self._lh.current_version(self.path)
+
+    def history(self) -> list[dict]:
+        """Commit metadata for every retained version, oldest first."""
+        head = self._lh.current_version(self.path)
+        out = []
+        for v in range(1, head + 1):
+            try:
+                m = self._lh.read_manifest(self.path, v)
+            except FileNotFoundError:  # vacuumed beyond the horizon
+                continue
+            out.append(
+                {
+                    "version": m["version"],
+                    "action": m["action"],
+                    "n_files": len(m["files"]),
+                    "n_rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out

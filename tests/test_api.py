@@ -107,3 +107,29 @@ def test_table_catalog_cache_reuses_and_invalidates(spark, tmp_path):
     b = table(spark, str(tmp_path), "nation")
     assert b is not a
     assert b.count() == 5
+
+
+def test_engine_lake_facade_roundtrip(spark, tmp_path):
+    """Engine.lake(): the facade delegates to lakehouse.py with the
+    bound session/path — create → merge → compact → history covers
+    every verb once; protocol depth lives in test_lakehouse.py."""
+    from pyspark.sql import functions as F
+
+    from lambda_hive_spark.api import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.001", spark=spark)
+    t = eng.lake(str(tmp_path / "facade_tbl"))
+    t.create(
+        spark.range(20).select("id", (F.col("id") * 2).alias("v")), key="id"
+    )
+    t.append(spark.range(20, 25).select("id", (F.col("id") * 2).alias("v")))
+    t.merge_upsert(spark.createDataFrame([(3, -1)], "id long, v long"))
+    t.compact()
+    assert t.version() == 4
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got[3] == -1 and got[4] == 8 and len(got) == 25
+    hist = t.history()
+    assert [h["action"] for h in hist] == ["create", "append", "merge", "compact"]
+    assert hist[-1]["n_rows"] == 25
+    # time travel through the facade
+    assert t.read(version=1).count() == 20
