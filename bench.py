@@ -120,10 +120,19 @@ SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 # at 100M events), sim_knn_exact 2.2× (trajectory 8×→3.8×→2.2× across
 # the three decades; an unrolled-64-term dot was measured 6× SLOWER
 # than the interpreted HOF fold — codegen fallback — and rejected).
-# distinct_rows stays ~6-7× (per-row hash-probe constant on mixed
-# string/timestamp keys; the scan alone is 1.8 s vs DuckDB's 1.0 s
-# whole query — the partial+final distinct plan is already optimal)
-# and agg_pivot ~7× (same constant on conditional aggregation).
+# distinct_rows stays ~6-7×, and the floor is the SCAN, not the
+# distinct: decomposed at 60M rows (32-file parquet, local[32]),
+# max() over the same 3 columns costs 0.77 s vs 0.14 s for one long
+# column, while full distinct costs 0.74 s — i.e. materializing the
+# two dictionary-encoded string columns into per-row UTF8Strings is
+# ~100% of the query and the hash-distinct adds ~0. A packed-long
+# rewrite (unix_micros<<16 | ascii·2 with exact-fallback union) was
+# prototyped and measured NO faster (0.95 s vs 0.83 s — it pays a
+# second scan), confirming the partial+final distinct plan is already
+# optimal; DuckDB's edge is compressed execution (dictionary vectors
+# flow through its pipeline unmaterialized), a reader-level gap no
+# Spark plan change can close. agg_pivot's analogous string-key cost
+# WAS closable (level-1 INT type codes → fast hash map, advagg.py).
 # join_multiway is EXCLUDED by design: at 600M×150M the mandatory
 # shuffle meets DuckDB's shared-memory hash join (measured once:
 # Spark 37-50 s on a 16 GB heap vs DuckDB 5-6 s) and the default 8 GB

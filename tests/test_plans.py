@@ -384,13 +384,12 @@ def test_headline_shuffle_counts_do_not_regress(spark):
         "join_multiway": 6,
         "join_asof": 2,
         "win_topk_per_group": 1,
-        # agg_pivot r6: two-level micros (advagg.py) plans 3 Exchanges,
-        # but #2 and #3 carry only |user×type| / |user| cardinality
-        # rows (the 100M-row hot loop is exchange #1's map-side
-        # partial); alternatives measured slower at BOTH sf0.1 and the
-        # 1000× tier (old decimal cast 0.43/3.00 s, hier manual pivot
-        # 0.48/0.98 s vs two-level 0.37/0.94 s).
-        "agg_pivot": 3,
+        # agg_pivot r6: two-level micros with INT type codes (advagg.py)
+        # plans 2 Exchanges; #2 carries only |user×code×partition|
+        # cardinality rows (the 100M-row hot loop is exchange #1's
+        # map-side partial, now on all-primitive keys so the fast
+        # two-level hash map engages — 1.10 s → 0.71 s at 100M rows).
+        "agg_pivot": 2,
         "distinct_rows": 1,
         "dedup_ngram_jaccard": 7,
         "sim_knn_exact": 2,
