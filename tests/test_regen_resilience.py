@@ -81,6 +81,23 @@ EMPTY_TEXT_TARGETS = [
 ]
 
 
+# targeted by the novel_enum variant (round 6, motivated by the
+# agg_pivot INT-code rewrite): every op that matches enum-valued
+# categorical columns by literal (pivot values / CASE / IN) on either
+# engine side. A regenerated corpus may widen a category domain;
+# asymmetric hardcoding diverges here, symmetric hardcoding must stay
+# green by construction.
+NOVEL_ENUM_TARGETS = [
+    "agg_pivot", "agg_hash", "case_when", "filter_conj", "filter_in",
+    "attribution_last_touch", "brand_share_trend", "fn_interval",
+    "text_lang_divergence_tv", "quality_rule_audit_orders",
+    "tpch_q4_priority_check", "tpch_q12_priority_lines",
+    "tpch_q16_supplier_part_count", "tpch_q19_disjunctive_revenue",
+    "text_lang_stats", "pipeline_domain_mix", "eval_langid_confusion",
+    "profile_heavy_hitters", "events_burst_detect", "classify_centroid",
+]
+
+
 def _sweep(spark, variant: str, names: list[str]) -> list[str]:
     import duckdb
 
@@ -146,3 +163,7 @@ def test_unicode_variant(spark):
 
 def test_empty_text_variant(spark):
     assert _sweep(spark, "empty_text", sorted(set(EMPTY_TEXT_TARGETS))) == []
+
+
+def test_novel_enum_variant(spark):
+    assert _sweep(spark, "novel_enum", sorted(set(NOVEL_ENUM_TARGETS))) == []

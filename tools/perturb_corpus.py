@@ -24,6 +24,15 @@ Variants (all deterministic, seeded by row keys — no RNG state):
   unicode   shuffled + multibyte chars injected into documents.text —
             char-count vs byte-count parity (length() counts chars,
             payload len() counts bytes; Java vs utf8proc case maps).
+  novel_enum
+            shuffled + every 13th row of each enum-like categorical
+            column replaced with 'zz_novel' — a regenerated corpus may
+            widen a category domain, and any op that hardcodes an enum
+            list ASYMMETRICALLY (pivot values / CASE / IN present on
+            one engine side only) diverges here instead of in a driver
+            round.  Symmetric hardcoding (same list in op and oracle,
+            e.g. agg_pivot's explicit values) stays parity-green by
+            construction — that is the contract being checked.
 
 Usage: python tools/perturb_corpus.py <sf_dir> <variant> [out_root]
 Prints the variant dir; then:
@@ -60,6 +69,21 @@ NULLABLE_VALUE_COLS = {
 
 NULL_EVERY = 50  # ~2% of rows per column
 NULL_EVERY_HEAVY = 4  # 25% — produces all-NULL groups and windows
+
+# Enum-like categorical (non-key) columns for the novel_enum variant.
+# Keys/join columns stay intact; these only feed filters, CASEs,
+# pivots and group-bys, where a widened domain must behave identically
+# on both engines.
+ENUM_COLS = {
+    "events": ["event_type"],
+    "customer": ["c_mktsegment"],
+    "orders": ["o_orderpriority", "o_orderstatus"],
+    "part": ["p_brand", "p_type"],
+    "lineitem": ["l_shipmode", "l_returnflag"],
+    "documents": ["lang"],
+}
+NOVEL_EVERY = 13
+NOVEL_TOKEN = "zz_novel"
 
 # Injected into documents.text for the `unicode` variant: 2-byte
 # (é, ß), 3-byte (中, €) and 4-byte (𝄞) UTF-8 sequences plus a
@@ -110,6 +134,31 @@ def _inject_nulls(tbl: pa.Table, cols: list[str], every: int = NULL_EVERY) -> pa
         arr = tbl.column(idx).combine_chunks()
         nulled = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
         tbl = tbl.set_column(idx, tbl.field(idx), nulled)
+    return tbl
+
+
+def _inject_novel_enum(tbl: pa.Table, cols: list[str]) -> pa.Table:
+    """Replace every NOVEL_EVERY-th non-null value of each enum column
+    with NOVEL_TOKEN (deterministic mask, same scheme as _inject_nulls
+    so both engines see identical data)."""
+    n = tbl.num_rows
+    for col in cols:
+        if col not in tbl.column_names:
+            continue
+        idx = tbl.column_names.index(col)
+        mask = pa.array(
+            [
+                int(hashlib.md5(f"novel|{col}|{i}".encode()).hexdigest(), 16)
+                % NOVEL_EVERY == 0
+                for i in range(n)
+            ]
+        )
+        arr = tbl.column(idx).combine_chunks()
+        # keep NULLs as NULLs: only non-null masked slots get the token
+        novel = pc.if_else(
+            pc.and_(mask, pc.is_valid(arr)), pa.scalar(NOVEL_TOKEN, type=arr.type), arr
+        )
+        tbl = tbl.set_column(idx, tbl.field(idx), novel)
     return tbl
 
 
@@ -179,6 +228,8 @@ def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
             )
         if variant == "unicode" and name == "documents":
             tbl = _inject_unicode(tbl)
+        if variant == "novel_enum":
+            tbl = _inject_novel_enum(tbl, ENUM_COLS.get(name, []))
         if variant == "empty_text" and name == "documents":
             tbl = _inject_empty_text(tbl)
         if variant == "colshuffle":
