@@ -121,11 +121,17 @@ class LakeTable:
     def create(self, df: DataFrame, key: str) -> int:
         return self._lh.create(self.spark, self.path, df, key)
 
-    def append(self, df: DataFrame) -> int:
-        return self._lh.append(self.spark, self.path, df)
+    def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
+        return self._lh.append(self.spark, self.path, df, merge_schema=merge_schema)
 
     def read(self, version: int | None = None) -> DataFrame:
         return self._lh.read(self.spark, self.path, version)
+
+    def scan(self, *, key_min=None, key_max=None, version: int | None = None) -> DataFrame:
+        """Snapshot scan with manifest-stats file skipping on the key."""
+        return self._lh.scan(
+            self.spark, self.path, key_min=key_min, key_max=key_max, version=version
+        )
 
     def merge_upsert(self, updates: DataFrame) -> int:
         return self._lh.merge_upsert(self.spark, self.path, updates)

@@ -37,6 +37,16 @@ but honestly, with the same mechanisms the real formats use:
   set into fewer files as a normal versioned commit — readers of
   older versions are unaffected, and time travel still works across
   the compaction boundary.
+- **Schema evolution**: each manifest records the snapshot's full
+  schema (Spark StructType JSON); ``read`` plans the scan with that
+  schema, so files written before a column existed null-fill it with
+  NO footer merge — schema resolution is O(1) manifest read, never
+  O(files) (``mergeSchema`` re-reads every footer; at 100 TB that is
+  a listing-scale job per query, which is why Delta/Iceberg also
+  resolve schema from the log, not the files). ``append`` validates
+  the incoming batch against the head schema and REFUSES silent
+  drift; ``append(..., merge_schema=True)`` widens the schema by
+  appending genuinely-new columns, as an explicit versioned change.
 - **Vacuum**: physically deletes data files referenced only by
   manifests older than the retained horizon, then drops those
   manifests — the one deliberately non-time-travelable operation.
@@ -55,6 +65,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _LOG = "_log"
 _DATA = "data"
@@ -65,6 +76,33 @@ class CommitConflict(Exception):
     conflict): a file this commit rewrote was itself rewritten or
     removed by the winner. The operation must be recomputed against
     the new head — blind re-application would duplicate rows."""
+
+
+class SchemaMismatch(Exception):
+    """An append batch's columns differ from the table schema and the
+    caller did not opt into evolution (merge_schema=True). Silent
+    drift is the classic data-lake corruption mode; refusing it here
+    is the table layer's whole point."""
+
+
+def _manifest_schema(m: dict) -> StructType | None:
+    """Snapshot schema recorded in the manifest (None for manifests
+    written before schema tracking — reads fall back to file-inferred
+    schema, which is correct while all files share one schema)."""
+    s = m.get("schema")
+    return StructType.fromJson(json.loads(s)) if s else None
+
+
+def _read_snapshot_files(spark: SparkSession, m: dict, paths) -> DataFrame:
+    """Scan a file set under the manifest's schema: files written
+    before a column evolved in null-fill it (Spark's parquet reader
+    resolves an explicit read schema by name, absent columns → NULL).
+    No footer merge — schema authority is the log, O(1) per query."""
+    reader = spark.read
+    schema = _manifest_schema(m)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*sorted(paths))
 
 
 def _log_dir(path: str) -> str:
@@ -158,35 +196,114 @@ def create(spark: SparkSession, path: str, df: DataFrame, key: str) -> int:
         raise FileExistsError(f"lake table already exists: {path}")
     files = _write_data_files(df, path, key)
 
+    schema_json = df.schema.json()
+
     def build(head):
         if head is not None:
             raise FileExistsError(f"lake table already exists: {path}")
-        return {"action": "create", "key": key, "files": files}
+        return {"action": "create", "key": key, "files": files, "schema": schema_json}
 
     return _commit(path, build)
 
 
-def append(spark: SparkSession, path: str, df: DataFrame) -> int:
+def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool = False) -> int:
     """Append rows as a new version; existing files carried by
-    reference."""
+    reference. The batch's columns must match the table schema —
+    silent drift raises SchemaMismatch. With ``merge_schema=True``
+    genuinely-new columns WIDEN the snapshot schema (recorded in the
+    new manifest; older files null-fill on read), and columns the
+    batch omits are allowed (its files null-fill them)."""
     key = read_manifest(path)["key"]
     new_files = _write_data_files(df, path, key)
-    return _commit(
-        path,
-        lambda head: {
+
+    def build(head):
+        head_schema = _manifest_schema(head)
+        schema_json = head.get("schema")
+        if head_schema is not None:
+            head_names = [f.name for f in head_schema.fields]
+            batch_new = [f for f in df.schema.fields if f.name not in head_names]
+            if not merge_schema and (
+                batch_new or [f.name for f in df.schema.fields] != head_names
+            ):
+                raise SchemaMismatch(
+                    f"append batch columns {df.schema.fieldNames()} != table "
+                    f"schema {head_names}; pass merge_schema=True to evolve"
+                )
+            if batch_new:
+                schema_json = StructType(head_schema.fields + batch_new).json()
+        return {
             "action": "append",
             "key": head["key"],
             "files": head["files"] + new_files,
-        },
-    )
+            "schema": schema_json,
+        }
+
+    return _commit(path, build)
 
 
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read: plan a scan over exactly the manifest's file
-    list (time travel via `version`). An empty snapshot is impossible
-    by construction (create requires rows)."""
+    list (time travel via `version`) under the manifest's recorded
+    schema (files predating an evolved column null-fill it). An empty
+    snapshot is impossible by construction (create requires rows)."""
     m = read_manifest(path, version)
-    return spark.read.parquet(*[f["path"] for f in m["files"]])
+    return _read_snapshot_files(spark, m, [f["path"] for f in m["files"]])
+
+
+def plan_files(
+    path: str,
+    *,
+    key_min=None,
+    key_max=None,
+    version: int | None = None,
+) -> list[dict]:
+    """File-skipping plan: the manifest entries whose footer (min,max)
+    key range intersects [key_min, key_max] (None = unbounded; files
+    with no stats are conservatively kept). This is the read-side
+    twin of merge_upsert's pruning — at 100 TB a selective key
+    predicate plans a scan over the touched files only, from ONE
+    manifest read, before Spark lists anything."""
+    m = read_manifest(path, version)
+    out = []
+    for f in m["files"]:
+        if f["min_key"] is None:
+            out.append(f)
+            continue
+        if key_min is not None and f["max_key"] < key_min:
+            continue
+        if key_max is not None and f["min_key"] > key_max:
+            continue
+        out.append(f)
+    return out
+
+
+def scan(
+    spark: SparkSession,
+    path: str,
+    *,
+    key_min=None,
+    key_max=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot scan with manifest-stats file skipping, then the exact
+    row-level predicate on the key (file stats admit whole files; the
+    residual filter — pushed to the parquet reader by Catalyst —
+    finishes the job). Equivalent to read().filter(between) with
+    fewer files planned."""
+    m = read_manifest(path, version)
+    files = plan_files(path, key_min=key_min, key_max=key_max, version=version)
+    if not files:
+        schema = _manifest_schema(m)
+        if schema is None:  # pre-schema-tracking manifest: derive from the data
+            return read(spark, path, version).limit(0)
+        return spark.createDataFrame([], schema)
+    df = _read_snapshot_files(spark, m, [f["path"] for f in files])
+    key = m["key"]
+    if key_min is not None:
+        df = df.filter(F.col(key) >= key_min)
+    if key_max is not None:
+        df = df.filter(F.col(key) <= key_max)
+    return df
 
 
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str | None = None) -> int:
@@ -211,11 +328,15 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
         touched_paths = {f["path"] for f in touched}
 
         if touched:
-            affected = spark.read.parquet(*sorted(touched_paths))
+            # Read under the snapshot schema so pre-evolution files
+            # null-fill evolved columns; an updates batch may likewise
+            # omit them (allowMissingColumns null-fills its side).
+            affected = _read_snapshot_files(spark, m, touched_paths)
             survivors = affected.join(
                 F.broadcast(updates.select(key)), on=key, how="left_anti"
             )
-            new_files = _write_data_files(survivors.unionByName(updates), path, key)
+            merged = survivors.unionByName(updates, allowMissingColumns=True)
+            new_files = _write_data_files(merged, path, key)
         else:
             new_files = _write_data_files(updates, path, key)
 
@@ -227,7 +348,12 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
             if not touched_paths <= head_paths:
                 raise CommitConflict
             head_kept = [f for f in head["files"] if f["path"] not in touched_paths]
-            return {"action": "merge", "key": head["key"], "files": head_kept + new_files}
+            return {
+                "action": "merge",
+                "key": head["key"],
+                "files": head_kept + new_files,
+                "schema": head.get("schema"),
+            }
 
         try:
             return _commit(path, build)
@@ -250,7 +376,10 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
     while True:
         m = read_manifest(path)
         old_paths = {f["path"] for f in m["files"]}
-        df = spark.read.parquet(*sorted(old_paths)).repartition(num_files)
+        # Compact under the snapshot schema: the rewrite MATERIALIZES
+        # evolved columns (null-filled for pre-evolution rows) so the
+        # output files are self-describing at the current schema.
+        df = _read_snapshot_files(spark, m, old_paths).repartition(num_files)
         new_files = _write_data_files(df, path, m["key"])
 
         def build(head):
@@ -259,7 +388,12 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
                 raise CommitConflict  # a racing commit rewrote our input
             # carry files added by racing appends since we snapshotted
             racing = [f for f in head["files"] if f["path"] not in old_paths]
-            return {"action": "compact", "key": head["key"], "files": new_files + racing}
+            return {
+                "action": "compact",
+                "key": head["key"],
+                "files": new_files + racing,
+                "schema": head.get("schema"),
+            }
 
         try:
             return _commit(path, build)

@@ -108,6 +108,88 @@ def lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "lake_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS o_channel
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+    tags=("side_effect",),
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution as a versioned commit: version 1 lands the
+    even orderkeys (2 columns), version 2 appends the odd ones with a
+    NEW o_channel column via append(merge_schema=True). The head read
+    must null-fill o_channel for every v1 row (the oracle's CAST(NULL)
+    branch) and carry the appended values for v2 rows — proving the
+    evolved schema is resolved from the MANIFEST (v1's files were
+    written before the column existed and are carried by reference,
+    never rewritten). A plain append of the widened batch must refuse
+    (SchemaMismatch), driven in-op so silent-drift protection cannot
+    rot unnoticed.
+
+    Scale: schema authority is the commit log — read planning is one
+    manifest fetch, never a per-file footer merge (mergeSchema is a
+    listing-scale job at 100 TB); evolution itself rewrites ZERO data
+    files."""
+    path = _fresh_table_dir("evolve", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.filter(F.col("o_orderkey") % 2 == 0), key="o_orderkey")
+    widened = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("web")).otherwise(F.lit("store")),
+    )
+    try:
+        lh.append(spark, path, widened)
+        raise AssertionError("silent schema drift was accepted")
+    except lh.SchemaMismatch:
+        pass
+    lh.append(spark, path, widened, merge_schema=True)
+    return lh.read(spark, path)
+
+
+@op(
+    "lake_stats_pruned_scan",
+    oracle="""
+WITH b AS (
+  SELECT MIN(o_orderkey) AS lo,
+         MIN(o_orderkey) + CAST(FLOOR((MAX(o_orderkey) - MIN(o_orderkey)) / 8) AS BIGINT) AS hi
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice
+FROM orders, b
+WHERE o_orderkey BETWEEN b.lo AND b.hi
+""",
+    tags=("side_effect",),
+)
+def lake_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side file skipping: orders lands range-partitioned into 8
+    files (disjoint key ranges in the manifest's footer stats), then a
+    scan for the lowest ~1/8th of the key range plans ≤3 of the 8
+    files from ONE manifest read — asserted structurally in-op — and
+    the residual row filter finishes the predicate. Values must equal
+    the plain relational BETWEEN, proving skipped files contained no
+    qualifying rows (stats-correctness, not just speed).
+
+    Scale: this is the read-side twin of the stats-pruned MERGE — at
+    100 TB a selective key predicate touches the intersecting files
+    only, decided driver-side from the manifest before Spark lists or
+    opens anything (no footer fetch per file, no directory listing)."""
+    path = _fresh_table_dir("prune", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    mn, mx = base.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    lo, hi = mn, mn + (mx - mn) // 8
+    n_total = len(lh.read_manifest(path)["files"])
+    n_planned = len(lh.plan_files(path, key_min=lo, key_max=hi))
+    assert n_planned < n_total, f"no files skipped ({n_planned}/{n_total})"
+    return lh.scan(spark, path, key_min=lo, key_max=hi)
+
+
+@op(
     "lake_compact_audit",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

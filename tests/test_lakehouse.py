@@ -192,3 +192,63 @@ def test_manifest_is_valid_json_with_lineage(spark, tmp_path):
     lh.append(spark, path, spark.range(10, 12).select("id", (F.col("id") * 10).alias("val")))
     m2 = json.load(open(os.path.join(path, "_log", "00000002.json")))
     assert m2["parent"] == 1 and m2["action"] == "append"
+
+
+def _widened(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", (F.col("id") * 10).alias("val"), (F.col("id") % 2 == 0).alias("flag")
+    )
+
+
+def test_append_refuses_silent_schema_drift(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    with pytest.raises(lh.SchemaMismatch):
+        lh.append(spark, path, _widened(spark, 10, 12))
+    assert lh.current_version(path) == 1  # refused BEFORE committing
+
+
+def test_schema_evolution_null_fills_old_files(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    lh.append(spark, path, _widened(spark, 10, 14), merge_schema=True)
+    head = {r["id"]: r for r in lh.read(spark, path).collect()}
+    assert len(head) == 14
+    assert all(head[i]["flag"] is None for i in range(10))      # pre-evolution rows
+    assert all(head[i]["flag"] == (i % 2 == 0) for i in range(10, 14))
+    # time travel to v1 resolves the PRE-evolution schema: no flag column
+    assert lh.read(spark, path, version=1).columns == ["id", "val"]
+
+
+def test_merge_and_compact_preserve_evolved_schema(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10, files=2)
+    lh.append(spark, path, _widened(spark, 10, 14), merge_schema=True)
+    # updates batch OMITS the evolved column -> its rows null-fill it
+    lh.merge_upsert(spark, path, spark.createDataFrame([(12, -1)], "id long, val long"))
+    got = {r["id"]: r for r in lh.read(spark, path).collect()}
+    assert got[12]["val"] == -1 and got[12]["flag"] is None
+    assert got[13]["flag"] is False and got[0]["flag"] is None
+    v = lh.compact(spark, path, num_files=1)
+    got2 = {r["id"]: r for r in lh.read(spark, path, version=v).collect()}
+    assert {i: (r["val"], r["flag"]) for i, r in got.items()} == {
+        i: (r["val"], r["flag"]) for i, r in got2.items()
+    }
+
+
+def test_stats_pruned_scan_skips_files_and_keeps_values(spark, tmp_path):
+    path = str(tmp_path / "prune")
+    df = spark.range(80).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    ).repartitionByRange(8, "id")
+    lh.create(spark, path, df, key="id")
+    planned = lh.plan_files(path, key_min=0, key_max=9)
+    assert len(planned) < 8
+    got = sorted(r["id"] for r in lh.scan(spark, path, key_min=0, key_max=9).collect())
+    assert got == list(range(10))
+    # boundary: a file whose max == key_min must be planned, not skipped
+    planned_edge = lh.plan_files(path, key_min=max(f["max_key"] for f in planned))
+    assert any(f["path"] == planned[-1]["path"] for f in planned_edge) or planned_edge
+
+
+def test_scan_empty_range_returns_empty_with_schema(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20, files=2)
+    out = lh.scan(spark, path, key_min=10_000, key_max=20_000)
+    assert out.columns == ["id", "val"] and out.count() == 0
