@@ -124,6 +124,13 @@ class LakeTable:
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
         return self._lh.append(self.spark, self.path, df, merge_schema=merge_schema)
 
+    def append_idempotent(self, df: DataFrame, *, writer_id: str, batch_id: int) -> int:
+        """Exactly-once append keyed by (writer_id, batch_id) — the
+        foreachBatch sink primitive; redelivered batches are no-ops."""
+        return self._lh.append_idempotent(
+            self.spark, self.path, df, writer_id=writer_id, batch_id=batch_id
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         return self._lh.read(self.spark, self.path, version)
 

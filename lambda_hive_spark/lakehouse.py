@@ -47,6 +47,14 @@ but honestly, with the same mechanisms the real formats use:
   the incoming batch against the head schema and REFUSES silent
   drift; ``append(..., merge_schema=True)`` widens the schema by
   appending genuinely-new columns, as an explicit versioned change.
+- **Exactly-once streaming appends**: ``append_idempotent`` records
+  the highest (writer_id → batch_id) in the manifest's ``txns``
+  ledger, atomically with the files the batch added; a redelivered
+  micro-batch (checkpoint loss, restart, racing twin) is a no-op.
+  This is Delta's txn appId/version action — the dedup state lives in
+  the table's own log, so data and ledger can never disagree. Every
+  commit type carries the ledger forward (a compaction must not
+  reopen the door to replays).
 - **Vacuum**: physically deletes data files referenced only by
   manifests older than the retained horizon, then drops those
   manifests — the one deliberately non-time-travelable operation.
@@ -201,7 +209,7 @@ def create(spark: SparkSession, path: str, df: DataFrame, key: str) -> int:
     def build(head):
         if head is not None:
             raise FileExistsError(f"lake table already exists: {path}")
-        return {"action": "create", "key": key, "files": files, "schema": schema_json}
+        return {"action": "create", "key": key, "files": files, "schema": schema_json, "txns": {}}
 
     return _commit(path, build)
 
@@ -236,6 +244,7 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
             "key": head["key"],
             "files": head["files"] + new_files,
             "schema": schema_json,
+            "txns": head.get("txns", {}),
         }
 
     return _commit(path, build)
@@ -245,9 +254,60 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     """Snapshot read: plan a scan over exactly the manifest's file
     list (time travel via `version`) under the manifest's recorded
     schema (files predating an evolved column null-fill it). An empty
-    snapshot is impossible by construction (create requires rows)."""
+    snapshot (e.g. a table created empty to seed a streaming sink)
+    resolves to an empty DataFrame at the manifest schema."""
     m = read_manifest(path, version)
+    if not m["files"]:
+        schema = _manifest_schema(m)
+        if schema is None:
+            raise ValueError(f"empty snapshot with no recorded schema: {path}")
+        return spark.createDataFrame([], schema)
     return _read_snapshot_files(spark, m, [f["path"] for f in m["files"]])
+
+
+class DuplicateBatch(Exception):
+    """Internal signal: the (writer_id, batch_id) was already committed
+    by the time our commit attempted to publish (restart replay or a
+    racing twin writer). The staged files are orphans to discard."""
+
+
+def append_idempotent(
+    spark: SparkSession, path: str, df: DataFrame, *, writer_id: str, batch_id: int
+) -> int:
+    """Exactly-once append for streaming foreachBatch: the manifest
+    tracks the highest batch_id committed per writer_id, and an append
+    whose batch_id is not strictly newer is a NO-OP (returns the
+    current version, discards its staged files). This is the
+    transactional-writer dedup every lakehouse streaming sink relies
+    on (Delta's txn appId/version action): after a checkpoint loss or
+    restart, redelivered micro-batches cannot double-land because the
+    dedup ledger lives IN the table's own commit log, atomically with
+    the data it admitted. The check runs again inside the OCC build,
+    so two racing replays serialize correctly — exactly one wins."""
+    m = read_manifest(path)
+    if m.get("txns", {}).get(writer_id, -1) >= batch_id:
+        return current_version(path)
+    key = m["key"]
+    new_files = _write_data_files(df, path, key)
+
+    def build(head):
+        if head.get("txns", {}).get(writer_id, -1) >= batch_id:
+            raise DuplicateBatch
+        txns = dict(head.get("txns", {}))
+        txns[writer_id] = batch_id
+        return {
+            "action": "append",
+            "key": head["key"],
+            "files": head["files"] + new_files,
+            "schema": head.get("schema"),
+            "txns": txns,
+        }
+
+    try:
+        return _commit(path, build)
+    except DuplicateBatch:
+        _discard_orphans(new_files)
+        return current_version(path)
 
 
 def plan_files(
@@ -353,6 +413,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
                 "key": head["key"],
                 "files": head_kept + new_files,
                 "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
             }
 
         try:
@@ -393,6 +454,7 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
                 "key": head["key"],
                 "files": new_files + racing,
                 "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
             }
 
         try:

@@ -288,3 +288,64 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(total_in, n_batches >= 1, state_rows == n_types, n_types)],
         "total_input_rows long, batches_ok boolean, state_ok boolean, n_groups long",
     )
+
+
+@op(
+    "stream_sink_lake",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""",
+    tags=("side_effect",),
+)
+def stream_sink_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the ACID lake table layer:
+    events stream via foreachBatch into lakehouse.append_idempotent,
+    which records (writer_id → batch_id) in the manifest's txns ledger
+    atomically with the batch's files. The stream is then REPLAYED
+    from a FRESH checkpoint — the worst-case duplicate-delivery
+    scenario (total checkpoint loss): every micro-batch redelivers
+    with the same ids, and every one must no-op against the ledger.
+    The oracle is the plain events projection, so a single duplicated
+    or lost row hash-fails the gate. The in-op assertion pins that the
+    replay committed NO new version (not merely that values dedup).
+
+    Scale: the ledger adds O(writers) bytes to each manifest — nothing
+    per-row; batches land as ordinary appends (no read-modify-write),
+    so sink throughput is the parquet write itself. This is the
+    pattern that replaces stream_sink's file-sink checkpoint coupling:
+    dedup state lives in the TABLE, so any number of restarts, from
+    any checkpoint state, cannot double-land a batch."""
+    import shutil as _shutil
+
+    from lambda_hive_spark import lakehouse as lh
+
+    cols = ("event_id", "user_id", "event_type", "value")
+    tbl = core.scratch_dir("lakesink")
+    _shutil.rmtree(tbl, ignore_errors=True)
+    seed = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, value double"
+    ).repartition(1)
+    lh.create(spark, tbl, seed, key="event_id")
+
+    def run_pass() -> None:
+        stream = core.events_stream(spark, land).select(*cols)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, bid: lh.append_idempotent(
+                    batch.sparkSession, tbl, batch, writer_id="lakesink", batch_id=bid
+                )
+            )
+            .option("checkpointLocation", core.scratch_dir("lakesink-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_sink_lake did not drain in 300s")
+
+    land = core.landing_dir(sf_dir)
+    run_pass()
+    v_first = lh.current_version(tbl)
+    run_pass()  # fresh checkpoint: full redelivery — must all no-op
+    assert lh.current_version(tbl) == v_first, "replayed batch committed"
+    return lh.read(spark, tbl)

@@ -252,3 +252,38 @@ def test_scan_empty_range_returns_empty_with_schema(spark, tmp_path):
     path = _mk(spark, tmp_path, n=20, files=2)
     out = lh.scan(spark, path, key_min=10_000, key_max=20_000)
     assert out.columns == ["id", "val"] and out.count() == 0
+
+
+def test_append_idempotent_dedups_replayed_batches(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    b = spark.range(10, 15).select("id", (F.col("id") * 10).alias("val"))
+    v1 = lh.append_idempotent(spark, path, b, writer_id="w", batch_id=0)
+    v2 = lh.append_idempotent(spark, path, b, writer_id="w", batch_id=0)  # replay
+    assert v2 == v1  # no-op: no new version
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(15)]
+    # a DIFFERENT writer with the same batch id is independent
+    c = spark.range(15, 16).select("id", (F.col("id") * 10).alias("val"))
+    v3 = lh.append_idempotent(spark, path, c, writer_id="w2", batch_id=0)
+    assert v3 == v1 + 1 and lh.read(spark, path).count() == 16
+    # stale (lower) batch id is also a no-op
+    assert lh.append_idempotent(spark, path, c, writer_id="w2", batch_id=0) == v3
+
+
+def test_txn_ledger_survives_compaction_and_merge(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10, files=2)
+    b = spark.range(10, 12).select("id", (F.col("id") * 10).alias("val"))
+    lh.append_idempotent(spark, path, b, writer_id="w", batch_id=7)
+    lh.merge_upsert(spark, path, spark.createDataFrame([(0, -1)], "id long, val long"))
+    lh.compact(spark, path, num_files=1)
+    # the ledger must still refuse the replay after unrelated commits
+    v = lh.current_version(path)
+    assert lh.append_idempotent(spark, path, b, writer_id="w", batch_id=7) == v
+    assert lh.read(spark, path).count() == 12
+
+
+def test_create_empty_seed_then_read(spark, tmp_path):
+    path = str(tmp_path / "seeded")
+    seed = spark.createDataFrame([], "id long, val long").repartition(1)
+    lh.create(spark, path, seed, key="id")
+    out = lh.read(spark, path)
+    assert out.columns == ["id", "val"] and out.count() == 0
