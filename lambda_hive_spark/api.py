@@ -140,6 +140,10 @@ class LakeTable:
             self.spark, self.path, key_min=key_min, key_max=key_max, version=version
         )
 
+    def read_incremental(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows in files added after `since_version` (up to `to_version`/head)."""
+        return self._lh.read_incremental(self.spark, self.path, since_version, to_version)
+
     def merge_upsert(self, updates: DataFrame) -> int:
         return self._lh.merge_upsert(self.spark, self.path, updates)
 

@@ -310,6 +310,31 @@ def append_idempotent(
         return current_version(path)
 
 
+def read_incremental(
+    spark: SparkSession, path: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows in data files ADDED between two snapshots — the
+    incremental-consumption primitive (Delta CDF / Iceberg incremental
+    scan shape for append-mostly tables): a downstream job remembers
+    the last version it processed and reads only what landed since,
+    never rescanning the table. Resolved as a manifest file-set diff
+    (two log reads, zero data I/O to plan). Files REWRITTEN by a merge
+    or compaction also appear (their rows re-deliver) — at-least-once
+    per row across rewrites, exactly-once between plain appends; true
+    row-level CDF requires per-commit change files, the documented
+    next refinement. Reads run under the newer manifest's schema so
+    pre-evolution batches null-fill evolved columns."""
+    m_new = read_manifest(path, to_version)
+    old_paths = {f["path"] for f in read_manifest(path, since_version)["files"]}
+    added = [f["path"] for f in m_new["files"] if f["path"] not in old_paths]
+    if not added:
+        schema = _manifest_schema(m_new)
+        if schema is None:
+            raise ValueError(f"empty increment with no recorded schema: {path}")
+        return spark.createDataFrame([], schema)
+    return _read_snapshot_files(spark, m_new, added)
+
+
 def plan_files(
     path: str,
     *,

@@ -190,6 +190,40 @@ def lake_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "lake_incremental_read",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+""",
+    tags=("side_effect",),
+)
+def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption from the commit log: three appends land
+    orders in thirds (keys ≡0, ≡1, ≡2 mod 3 → versions 1..3), and the
+    op reads the increment (v1 → v2] — exactly the middle batch, no
+    rescan of either neighbor. Planned as a manifest file-set diff:
+    two log reads, zero data I/O before the scan of only the added
+    files. In-op assertions pin the empty increment (v2 → v2] and the
+    full-history increment (v1 → head ≡ everything after the first
+    batch) so off-by-one version fencing cannot drift.
+
+    Scale: the downstream checkpoint is ONE integer (last version
+    consumed); each poll costs two manifest reads + a scan of only the
+    new files — the pattern that feeds a 100 TB training pipeline
+    without ever re-listing the table."""
+    path = _fresh_table_dir("incr", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.filter(F.col("o_orderkey") % 3 == 0), key="o_orderkey")
+    v1 = lh.current_version(path)
+    lh.append(spark, path, base.filter(F.col("o_orderkey") % 3 == 1))
+    v2 = lh.current_version(path)
+    lh.append(spark, path, base.filter(F.col("o_orderkey") % 3 == 2))
+    assert lh.read_incremental(spark, path, v2, v2).count() == 0
+    n_tail = lh.read_incremental(spark, path, v1).count()
+    assert n_tail == base.filter(F.col("o_orderkey") % 3 != 0).count()
+    return lh.read_incremental(spark, path, v1, v2)
+
+
+@op(
     "lake_compact_audit",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -287,3 +287,20 @@ def test_create_empty_seed_then_read(spark, tmp_path):
     lh.create(spark, path, seed, key="id")
     out = lh.read(spark, path)
     assert out.columns == ["id", "val"] and out.count() == 0
+
+
+def test_read_incremental_file_diff_and_rewrite_redelivery(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10, files=2)  # v1
+    lh.append(spark, path, spark.range(10, 14).select("id", (F.col("id") * 10).alias("val")))  # v2
+    got = sorted(r["id"] for r in lh.read_incremental(spark, path, 1, 2).collect())
+    assert got == [10, 11, 12, 13]
+    # evolved column null-fills for an increment read under a newer schema
+    lh.append(spark, path, _widened(spark, 14, 16), merge_schema=True)  # v3
+    inc = {r["id"]: r for r in lh.read_incremental(spark, path, 1).collect()}
+    assert set(inc) == set(range(10, 16))
+    assert inc[10]["flag"] is None and inc[15]["flag"] is not None
+    # a merge REWRITES touched files -> their surviving rows redeliver
+    lh.merge_upsert(spark, path, spark.createDataFrame([(0, -1)], "id long, val long"))  # v4
+    redelivered = sorted(r["id"] for r in lh.read_incremental(spark, path, 3).collect())
+    assert 0 in redelivered  # the updated key
+    assert all(i < 10 for i in redelivered)  # only the rewritten file's rows
