@@ -150,6 +150,11 @@ class LakeTable:
     def compact(self, num_files: int = 1) -> int:
         return self._lh.compact(self.spark, self.path, num_files)
 
+    def zorder_cluster(self, cols: list, num_files: int = 8) -> int:
+        """Rewrite the snapshot clustered by the Z-value of `cols` so
+        multi-column predicates prune files (Delta OPTIMIZE ZORDER)."""
+        return self._lh.zorder_cluster(self.spark, self.path, cols, num_files)
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         return self._lh.vacuum(self.path, keep_last)
 

@@ -140,23 +140,40 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 
 def _file_stats(file_path: str, key: str) -> dict:
-    """Footer-only stats for one parquet file: row count and min/max
-    of the table key. Never reads data pages."""
+    """Footer-only stats for one parquet file: row count, min/max of
+    the table key, and min/max of every JSON-representable primitive
+    column (``cols`` — what multi-dimensional pruning and Z-order
+    clustering consult). Never reads data pages."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(file_path).metadata
-    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
-    mins, maxs = [], []
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is not None and st.has_min_max:
-            mins.append(st.min)
-            maxs.append(st.max)
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+    def _minmax(col: str):
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if not mins:
+            return None, None
+        return min(mins), max(maxs)
+
+    cols = {}
+    for col in names:
+        lo, hi = _minmax(col)
+        # keep the manifest JSON-pure: ints/floats/strs only (skips
+        # timestamps/binary — those columns simply aren't prunable)
+        if isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str)):
+            cols[col] = [lo, hi]
+    key_lo, key_hi = _minmax(key)
     return {
         "path": file_path,
         "rows": md.num_rows,
-        "min_key": min(mins) if mins else None,
-        "max_key": max(maxs) if maxs else None,
+        "min_key": key_lo,
+        "max_key": key_hi,
+        "cols": cols,
     }
 
 
@@ -340,25 +357,38 @@ def plan_files(
     *,
     key_min=None,
     key_max=None,
+    predicates: dict | None = None,
     version: int | None = None,
 ) -> list[dict]:
     """File-skipping plan: the manifest entries whose footer (min,max)
-    key range intersects [key_min, key_max] (None = unbounded; files
-    with no stats are conservatively kept). This is the read-side
-    twin of merge_upsert's pruning — at 100 TB a selective key
-    predicate plans a scan over the touched files only, from ONE
-    manifest read, before Spark lists anything."""
+    ranges intersect the requested bounds (None = unbounded; files or
+    columns with no stats are conservatively kept). `key_min`/`key_max`
+    bound the table key; `predicates` maps ANY stats-tracked column to
+    a (lo, hi) pair — multi-dimensional pruning, which is what Z-order
+    clustering exists to make effective. This is the read-side twin of
+    merge_upsert's pruning — at 100 TB a selective predicate plans a
+    scan over the touched files only, from ONE manifest read, before
+    Spark lists anything."""
     m = read_manifest(path, version)
+    bounds = dict(predicates or {})
+    if key_min is not None or key_max is not None:
+        bounds[m["key"]] = (key_min, key_max)
     out = []
     for f in m["files"]:
-        if f["min_key"] is None:
+        keep = True
+        for col, (lo, hi) in bounds.items():
+            if col == m["key"] and f.get("min_key") is not None:
+                fmin, fmax = f["min_key"], f["max_key"]
+            else:
+                st = f.get("cols", {}).get(col)
+                if st is None:
+                    continue  # no stats for this column: keep
+                fmin, fmax = st
+            if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+                keep = False
+                break
+        if keep:
             out.append(f)
-            continue
-        if key_min is not None and f["max_key"] < key_min:
-            continue
-        if key_max is not None and f["min_key"] > key_max:
-            continue
-        out.append(f)
     return out
 
 
@@ -368,26 +398,34 @@ def scan(
     *,
     key_min=None,
     key_max=None,
+    predicates: dict | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Snapshot scan with manifest-stats file skipping, then the exact
-    row-level predicate on the key (file stats admit whole files; the
-    residual filter — pushed to the parquet reader by Catalyst —
-    finishes the job). Equivalent to read().filter(between) with
-    fewer files planned."""
+    row-level predicates (file stats admit whole files; the residual
+    filters — pushed to the parquet reader by Catalyst — finish the
+    job). Equivalent to read().filter(between...) with fewer files
+    planned. `predicates` prunes and filters on any stats-tracked
+    column; effective multi-column skipping requires the layout to
+    cluster those columns (see zorder_cluster)."""
     m = read_manifest(path, version)
-    files = plan_files(path, key_min=key_min, key_max=key_max, version=version)
+    files = plan_files(
+        path, key_min=key_min, key_max=key_max, predicates=predicates, version=version
+    )
+    bounds = dict(predicates or {})
+    if key_min is not None or key_max is not None:
+        bounds[m["key"]] = (key_min, key_max)
     if not files:
         schema = _manifest_schema(m)
         if schema is None:  # pre-schema-tracking manifest: derive from the data
             return read(spark, path, version).limit(0)
         return spark.createDataFrame([], schema)
     df = _read_snapshot_files(spark, m, [f["path"] for f in files])
-    key = m["key"]
-    if key_min is not None:
-        df = df.filter(F.col(key) >= key_min)
-    if key_max is not None:
-        df = df.filter(F.col(key) <= key_max)
+    for col, (lo, hi) in bounds.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
     return df
 
 
@@ -445,6 +483,74 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
             return _commit(path, build)
         except CommitConflict:
             _discard_orphans(new_files)  # unreferenced; recompute from new head
+
+
+def _zvalue_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
+    """Interleaved-bit Z-value over `cols`, each min-max scaled to 16
+    bits (one tiny agg for the bounds, broadcast as literals — at
+    100 TB you would feed approximate quantile bounds instead, same
+    expression). Bit interleaving is a pure-JVM projection: 16 shift/
+    mask terms per column, whole-stage-codegen friendly."""
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    n = len(cols)
+    parts = []
+    for i, c in enumerate(cols):
+        lo, hi = float(row[f"lo_{i}"]), float(row[f"hi_{i}"])
+        span = (hi - lo) or 1.0
+        scaled = (
+            f"CAST(LEAST(65535, GREATEST(0, "
+            f"FLOOR((CAST(`{c}` AS DOUBLE) - {lo!r}) / {span!r} * 65535.0))) AS BIGINT)"
+        )
+        parts.append(
+            "("
+            + " | ".join(
+                f"(((({scaled}) >> {b}) & 1) << {b * n + i})" for b in range(16)
+            )
+            + ")"
+        )
+    return F.expr("(" + " | ".join(parts) + ")")
+
+
+def zorder_cluster(
+    spark: SparkSession, path: str, cols: list[str], num_files: int = 8
+) -> int:
+    """Rewrite the current snapshot range-partitioned by the
+    interleaved-bit Z-value of `cols` — multi-dimensional clustering
+    (Delta's OPTIMIZE ZORDER BY): after the rewrite, each data file
+    covers a small hyper-rectangle of the clustered columns, so
+    plan_files predicates on ANY of them (not just the leading one)
+    skip most files. A normal versioned commit: older versions still
+    resolve to the old layout, and the txns ledger and schema carry
+    forward. Rows are bit-identical — only placement changes."""
+    while True:
+        m = read_manifest(path)
+        old_paths = {f["path"] for f in m["files"]}
+        df = _read_snapshot_files(spark, m, old_paths)
+        z = _zvalue_expr(spark, df, cols)
+        clustered = df.repartitionByRange(num_files, z.alias("_z"))
+        new_files = _write_data_files(clustered, path, m["key"])
+
+        def build(head):
+            head_paths = {f["path"] for f in head["files"]}
+            if not old_paths <= head_paths:
+                raise CommitConflict
+            racing = [f for f in head["files"] if f["path"] not in old_paths]
+            return {
+                "action": "zorder",
+                "key": head["key"],
+                "files": new_files + racing,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+                "zorder_by": list(cols),
+            }
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
 
 
 def _discard_orphans(files: list[dict]) -> None:

@@ -224,6 +224,74 @@ def lake_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "lake_zorder_audit",
+    oracle="""
+WITH b AS (
+  SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) / 4.0 AS ck,
+         MIN(o_totalprice) + (MAX(o_totalprice) - MIN(o_totalprice)) / 4.0 AS tp
+  FROM orders
+)
+SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM orders, b
+             WHERE o_custkey <= b.ck AND o_totalprice <= b.tp) AS BIGINT) AS matched_rows,
+       TRUE AS rows_preserved,
+       TRUE AS pruning_improved,
+       CAST(2 AS BIGINT) AS n_versions
+""",
+    tags=("side_effect",),
+)
+def lake_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering as a versioned commit (Delta OPTIMIZE ZORDER
+    shape): orders lands range-partitioned by the TABLE KEY into 8
+    files — so a box predicate on (o_custkey, o_totalprice), both
+    scattered within every file, skips nothing — then zorder_cluster
+    rewrites the snapshot range-partitioned by the interleaved-bit
+    Z-value of those two columns. The audit row publishes the protocol
+    invariants: row count preserved through the rewrite, file skipping
+    strictly improved for the 2-D box, the pre-cluster layout still
+    time-travelable, and matched_rows — the rows the stats-pruned scan
+    returns for the box — equal to the purely relational count, which
+    is the stats-CORRECTNESS gate (a file wrongly skipped would lose
+    rows; wrongly kept costs nothing).
+
+    Scale: clustering is the one-off maintenance job; after it, every
+    query with predicates on either clustered column plans from ONE
+    manifest read and touches a hyper-rectangle of files, not the
+    table. The min-max bounds feeding the Z-scale come from one tiny
+    agg (at 100 TB: an approximate-quantile sketch, same expression)."""
+    path = _fresh_table_dir("zorder", sf_dir)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_base = base.count()
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    r = base.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    ck = r[0] + (r[1] - r[0]) / 4.0
+    tp = r[2] + (r[3] - r[2]) / 4.0
+    box = {"o_custkey": (None, ck), "o_totalprice": (None, tp)}
+    before = len(lh.plan_files(path, predicates=box))
+    lh.zorder_cluster(spark, path, ["o_custkey", "o_totalprice"], num_files=8)
+    after = len(lh.plan_files(path, predicates=box))
+    matched = lh.scan(spark, path, predicates=box).count()
+    return spark.createDataFrame(
+        [
+            (
+                lh.read(spark, path).count(),
+                matched,
+                lh.read(spark, path, version=1).count() == n_base,
+                after < before,
+                lh.current_version(path),
+            )
+        ],
+        "n_rows long, matched_rows long, rows_preserved boolean, "
+        "pruning_improved boolean, n_versions long",
+    )
+
+
+@op(
     "lake_compact_audit",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

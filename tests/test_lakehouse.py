@@ -304,3 +304,37 @@ def test_read_incremental_file_diff_and_rewrite_redelivery(spark, tmp_path):
     redelivered = sorted(r["id"] for r in lh.read_incremental(spark, path, 3).collect())
     assert 0 in redelivered  # the updated key
     assert all(i < 10 for i in redelivered)  # only the rewritten file's rows
+
+
+def test_zorder_clustering_improves_nonleading_column_pruning(spark, tmp_path):
+    path = str(tmp_path / "z")
+    # y is hash-scattered (independent of x): the range layout on x
+    # puts the full y range in EVERY file, so a y predicate prunes
+    # nothing — the exact situation Z-ordering exists to fix.
+    df = spark.range(4096).select(
+        F.col("id").alias("x"), (F.col("id") * 2654435761 % 4096).alias("y")
+    )
+    lh.create(spark, path, df.repartitionByRange(8, "x"), key="x")
+    box = {"y": (0, 511)}
+    before = len(lh.plan_files(path, predicates=box))
+    assert before == 8  # y scattered everywhere: zero skipping
+    v = lh.zorder_cluster(spark, path, ["x", "y"], num_files=8)
+    after = len(lh.plan_files(path, predicates=box))
+    assert after < before, (before, after)
+    # values are exactly the relational filter, post cluster
+    expect = sorted((r["x"], r["y"]) for r in df.filter("y <= 511").collect())
+    got = sorted(
+        (r["x"], r["y"])
+        for r in lh.scan(spark, path, predicates=box).collect()
+    )
+    assert got == expect
+    # rows preserved bit-for-bit; old layout still time-travelable
+    assert lh.read(spark, path).count() == 4096
+    assert lh.read(spark, path, version=v - 1).count() == 4096
+    assert lh.read_manifest(path)["zorder_by"] == ["x", "y"]
+
+
+def test_multi_column_predicates_keep_files_without_stats(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20, files=2)
+    # a predicate on an unknown/untracked column must not skip anything
+    assert len(lh.plan_files(path, predicates={"nope": (0, 1)})) == 2
