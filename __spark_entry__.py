@@ -152,8 +152,8 @@ _BACKLOG_FIRST = (
     # graph (graph.py) — first 3; link_prediction + component_density
     # queue via the family rank and drain in round 7
     "graph_degree", "graph_triangles", "graph_pagerank",
-    # vector stats (stats.py) — first 1; the rest queue via family rank
-    "vec_pca_power_iter",
+    # vector stats (stats.py) queue via family rank (displaced for the
+    # change-data-feed op — completing the lake capability this round)
     # lakehouse table layer + streaming sink (lake.py / streams.py,
     # NEW round 6) — the ACID gap the r5 verdict ranked top residual;
     # grade the WHOLE capability this round: commit log + OCC, time
@@ -166,7 +166,8 @@ _BACKLOG_FIRST = (
     # all, and these nine are this round's distinguishing feature.
     "lake_merge_upsert", "lake_time_travel", "lake_compact_audit",
     "lake_schema_evolution", "lake_stats_pruned_scan",
-    "lake_incremental_read", "lake_zorder_audit", "stream_sink_lake",
+    "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
+    "stream_sink_lake",
     # re-earners (edited this round)
     "tpch_q11_important_stock",
 )

@@ -144,8 +144,14 @@ class LakeTable:
         """Rows in files added after `since_version` (up to `to_version`/head)."""
         return self._lh.read_incremental(self.spark, self.path, since_version, to_version)
 
-    def merge_upsert(self, updates: DataFrame) -> int:
-        return self._lh.merge_upsert(self.spark, self.path, updates)
+    def merge_upsert(self, updates: DataFrame, *, track_changes: bool = False) -> int:
+        return self._lh.merge_upsert(
+            self.spark, self.path, updates, track_changes=track_changes
+        )
+
+    def read_changes(self, version: int) -> DataFrame:
+        """Row-level change feed of one commit (`_change_type` tagged)."""
+        return self._lh.read_changes(self.spark, self.path, version)
 
     def compact(self, num_files: int = 1) -> int:
         return self._lh.compact(self.spark, self.path, num_files)

@@ -429,13 +429,41 @@ def scan(
     return df
 
 
-def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str | None = None) -> int:
+_CHANGES = "changes"
+
+
+def _write_change_files(df: DataFrame, path: str) -> list[str]:
+    """Materialize a change batch (rows + _change_type) under the
+    table's changes/ area; returns the file paths."""
+    out = os.path.join(path, _CHANGES, uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(out)
+    return [
+        os.path.join(out, f) for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+    ]
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    key: str | None = None,
+    track_changes: bool = False,
+) -> int:
     """Upsert `updates` by the table key: rows with matching keys are
     replaced, new keys are inserted. Only data files whose footer
     (min,max) key range intersects the updates' key range are
     rewritten; all others carry over by reference — the stats-pruned
     copy-on-write MERGE. The anti-join runs with the updates' keys
-    broadcast (a MERGE batch is bounded; the TABLE is not)."""
+    broadcast (a MERGE batch is bounded; the TABLE is not).
+
+    With ``track_changes=True`` the commit also writes a row-level
+    change feed (Delta CDF shape): matched pre-images
+    (`update_preimage`), their replacements (`update_postimage`), and
+    brand-new keys (`insert`), each tagged in a `_change_type` column
+    and recorded in the manifest — `read_changes` serves them without
+    diffing snapshots. Costs two extra broadcast joins against the
+    bounded updates batch, nothing against the table."""
     while True:
         m = read_manifest(path)
         key = key or m["key"]
@@ -450,6 +478,7 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
         ]
         touched_paths = {f["path"] for f in touched}
 
+        change_files: list[str] = []
         if touched:
             # Read under the snapshot schema so pre-evolution files
             # null-fill evolved columns; an updates batch may likewise
@@ -460,8 +489,27 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
             )
             merged = survivors.unionByName(updates, allowMissingColumns=True)
             new_files = _write_data_files(merged, path, key)
+            if track_changes:
+                pre = affected.join(
+                    F.broadcast(updates.select(key)), on=key, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                matched_keys = pre.select(key)
+                post = updates.join(
+                    F.broadcast(matched_keys), on=key, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = updates.join(
+                    F.broadcast(matched_keys), on=key, how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                feed = pre.unionByName(post, allowMissingColumns=True).unionByName(
+                    ins, allowMissingColumns=True
+                )
+                change_files = _write_change_files(feed, path)
         else:
             new_files = _write_data_files(updates, path, key)
+            if track_changes:
+                change_files = _write_change_files(
+                    updates.withColumn("_change_type", F.lit("insert")), path
+                )
 
         def build(head):
             # A racing append's files are carried over; but if a racing
@@ -471,18 +519,72 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, *, key: str
             if not touched_paths <= head_paths:
                 raise CommitConflict
             head_kept = [f for f in head["files"] if f["path"] not in touched_paths]
-            return {
+            entry = {
                 "action": "merge",
                 "key": head["key"],
                 "files": head_kept + new_files,
                 "schema": head.get("schema"),
                 "txns": head.get("txns", {}),
             }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
 
         try:
             return _commit(path, build)
         except CommitConflict:
             _discard_orphans(new_files)  # unreferenced; recompute from new head
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Row-level change feed of ONE commit, tagged by `_change_type`
+    (Delta CDF read shape):
+    - create/append commits serve `insert` rows straight from the
+      files the commit added (a manifest file-set diff — no second
+      copy of appended data is ever written);
+    - merge commits committed with ``track_changes=True`` serve their
+      recorded pre/post-image change files;
+    - compact/zorder commits are layout-only: empty feed.
+    A merge committed WITHOUT change tracking raises — silently
+    serving an incomplete feed would corrupt every downstream CDC
+    consumer, the one unforgivable failure of a change feed."""
+    m = read_manifest(path, version)
+    action = m.get("action")
+    if action in ("create", "append"):
+        prev = (
+            {f["path"] for f in read_manifest(path, version - 1)["files"]}
+            if m.get("parent")
+            else set()
+        )
+        added = [f["path"] for f in m["files"] if f["path"] not in prev]
+        schema = _manifest_schema(m)
+        if not added:
+            base = (
+                spark.createDataFrame([], schema)
+                if schema is not None
+                else read(spark, path, version).limit(0)
+            )
+            return base.withColumn("_change_type", F.lit("insert"))
+        return _read_snapshot_files(spark, m, added).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    if action == "merge":
+        if "changes" not in m:
+            raise ValueError(
+                f"version {version} is a merge committed without track_changes"
+            )
+        if not m["changes"]:
+            return read(spark, path, version).limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return spark.read.parquet(*m["changes"])
+    # compact / zorder: physical layout only, no logical change
+    return read(spark, path, version).limit(0).withColumn(
+        "_change_type", F.lit("insert")
+    )
 
 
 def _zvalue_expr(spark: SparkSession, df: DataFrame, cols: list[str]):
@@ -613,10 +715,16 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for v in all_versions:
         if v in keep_versions:
             continue
-        for f in read_manifest(path, v)["files"]:
+        mv = read_manifest(path, v)
+        for f in mv["files"]:
             if f["path"] not in live and os.path.exists(f["path"]):
                 os.remove(f["path"])
                 deleted.append(f["path"])
+        # change-feed files are per-version, never shared: drop with it
+        for p in mv.get("changes", []):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(p)
         os.remove(_manifest_path(path, v))
     # prune now-empty uuid data dirs
     data_root = os.path.join(path, _DATA)

@@ -292,6 +292,67 @@ def lake_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "lake_cdf_read",
+    oracle="""
+SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'update_postimage' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+       o_totalprice, 'insert' AS _change_type
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    tags=("side_effect",),
+)
+def lake_cdf_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed (Delta CDF shape): orders lands as a
+    lake table, one MERGE commits with track_changes=True (every 10th
+    key updated to doubled price, every 97th re-keyed past the max as
+    an insert), and the op returns read_changes of that commit — the
+    matched pre-images, their post-images, and the inserts, each
+    tagged in `_change_type`. The oracle rebuilds all three slices
+    relationally, so a missing pre-image, a post-image with the wrong
+    value, or an update misclassified as insert all hash-fail. In-op,
+    a merge WITHOUT tracking is asserted to refuse read_changes —
+    silently serving an incomplete feed is the one unforgivable
+    failure of a CDC source.
+
+    Scale: change files are written only for merge commits and only
+    for the touched rows (two extra broadcast joins against the
+    bounded updates batch); append/create commits serve their feed
+    straight from the file-set diff with zero extra copies — at
+    100 TB the feed costs O(changed rows), never O(table)."""
+    from lambda_hive_spark import lakehouse as lh
+
+    path = _fresh_table_dir("cdf", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)
+            )
+        )
+    )
+    v = lh.merge_upsert(spark, path, updates, track_changes=True)
+    untracked = lh.merge_upsert(
+        spark, path, base.filter(F.col("o_orderkey") == 1).limit(1)
+    )
+    try:
+        lh.read_changes(spark, path, untracked)
+        raise AssertionError("untracked merge served a change feed")
+    except ValueError:
+        pass
+    return lh.read_changes(spark, path, v)
+
+
+@op(
     "lake_compact_audit",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -338,3 +338,47 @@ def test_multi_column_predicates_keep_files_without_stats(spark, tmp_path):
     path = _mk(spark, tmp_path, n=20, files=2)
     # a predicate on an unknown/untracked column must not skip anything
     assert len(lh.plan_files(path, predicates={"nope": (0, 1)})) == 2
+
+
+def test_change_feed_pre_post_images_and_inserts(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10, files=2)  # v1
+    ups = spark.createDataFrame([(3, -3), (4, -4), (100, 1000)], "id long, val long")
+    v = lh.merge_upsert(spark, path, ups, track_changes=True)  # v2
+    feed = [(r["_change_type"], r["id"], r["val"]) for r in lh.read_changes(spark, path, v).collect()]
+    assert sorted(feed) == [
+        ("insert", 100, 1000),
+        ("update_postimage", 3, -3),
+        ("update_postimage", 4, -4),
+        ("update_preimage", 3, 30),
+        ("update_preimage", 4, 40),
+    ]
+    # append CDF serves inserts from the file diff, no extra copies
+    lh.append(spark, path, spark.range(200, 202).select("id", (F.col("id") * 10).alias("val")))  # v3
+    ins = sorted(r["id"] for r in lh.read_changes(spark, path, v + 1).collect())
+    assert ins == [200, 201]
+    # create CDF: the whole first snapshot is inserts
+    assert lh.read_changes(spark, path, 1).count() == 10
+    # compaction is layout-only: empty feed
+    cv = lh.compact(spark, path, num_files=1)
+    assert lh.read_changes(spark, path, cv).count() == 0
+
+
+def test_change_feed_refuses_untracked_merge(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=6)
+    v = lh.merge_upsert(spark, path, spark.createDataFrame([(0, -1)], "id long, val long"))
+    with pytest.raises(ValueError):
+        lh.read_changes(spark, path, v)
+
+
+def test_vacuum_reclaims_change_files(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=6)
+    lh.merge_upsert(
+        spark, path, spark.createDataFrame([(0, -1)], "id long, val long"),
+        track_changes=True,
+    )
+    chg = lh.read_manifest(path, 2)["changes"]
+    assert chg and all(os.path.exists(p) for p in chg)
+    lh.compact(spark, path, num_files=1)  # v3
+    deleted = lh.vacuum(path, keep_last=1)
+    assert all(not os.path.exists(p) for p in chg)
+    assert any(p in deleted for p in chg)
