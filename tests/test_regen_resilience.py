@@ -98,6 +98,18 @@ NOVEL_ENUM_TARGETS = [
 ]
 
 
+# the lake table layer + streaming sink (round 6): all side-effect ops
+# over orders/events-derived tables — the NULL-injected variants drive
+# o_totalprice NULLs through Z-value scaling and CDF pre/post images,
+# colshuffle through the manifest-schema read path.
+LAKE_TARGETS = [
+    "lake_merge_upsert", "lake_time_travel", "lake_compact_audit",
+    "lake_schema_evolution", "lake_stats_pruned_scan",
+    "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
+    "stream_sink_lake",
+]
+
+
 def _sweep(spark, variant: str, names: list[str]) -> list[str]:
     import duckdb
 
@@ -167,3 +179,8 @@ def test_empty_text_variant(spark):
 
 def test_novel_enum_variant(spark):
     assert _sweep(spark, "novel_enum", sorted(set(NOVEL_ENUM_TARGETS))) == []
+
+
+@pytest.mark.parametrize("variant", ["nulled_heavy", "colshuffle"])
+def test_lake_layer_variants(spark, variant):
+    assert _sweep(spark, variant, LAKE_TARGETS) == []
