@@ -97,3 +97,135 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("campaign_id")
         .agg(F.count_distinct("o_orderkey").alias("n_orders"))
     )
+
+
+@op(
+    "interval_islands_merge",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events
+),
+mk AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > MAX(e) OVER (
+           PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING
+         ) AS island
+  FROM mk
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(s) AS island_start_us, MAX(e) AS island_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM isl
+GROUP BY user_id, island
+""",
+)
+def interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands): each event opens a
+    30-minute activity window [ts, ts+30m); overlapping/touching-free
+    windows per user merge into islands. The classic two-window plan:
+    a row starts a NEW island iff its start exceeds the running MAX
+    end of every earlier interval (cumulative max over a rows frame —
+    NOT lag(end), which misses the engulfed-interval case where an
+    earlier long interval outlives its successor), then a running SUM
+    of the flags numbers the islands. First row's frame is empty →
+    NULL compare → flag 0: island ids start at 0 per user on BOTH
+    engines. All arithmetic in integer epoch-µs; tie order within
+    equal (s, e) cannot change island assignment (the flag pattern is
+    symmetric under permutation of ties).
+
+    Scale: one shuffle on user_id; both windows and the final groupBy
+    share that partitioning (Catalyst plans a single Exchange). Island
+    state is O(1) per row — no buffering of the interval set."""
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 1_800_000_000).alias("e"),
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run).cast("long"))
+    return flagged.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start_us"),
+        F.max("e").alias("island_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@op(
+    "interval_max_concurrent",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e FROM events
+),
+pts AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS d FROM iv
+),
+run AS (
+  SELECT user_id,
+         SUM(d) OVER (
+           PARTITION BY user_id ORDER BY t, d ROWS UNBOUNDED PRECEDING
+         ) AS live
+  FROM pts
+)
+SELECT user_id, CAST(MAX(live) AS BIGINT) AS max_concurrent
+FROM run GROUP BY user_id
+""",
+)
+def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency (the room-booking maximum): each event's
+    30-minute window contributes a +1 at its start and a -1 at its
+    end; the running sum ordered by (time, delta) is the number of
+    live intervals, and its per-user MAX is the peak concurrency.
+    Ordering ends (-1) before starts (+1) at the same instant makes
+    the windows half-open — back-to-back intervals never double-count.
+    Tie groups of identical (t, d) rows cannot change the partition
+    MAX (the prefix sum is monotone within a tie group), so the result
+    is deterministic on both engines despite row-order freedom.
+
+    Scale: one shuffle on user_id over 2 rows per interval; the sweep
+    is a single window pass, state O(1) per row. The same plan handles
+    billions of intervals — the alternative self-join counts overlaps
+    quadratically."""
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 1_800_000_000).alias("e"),
+    )
+    pts = iv.select("user_id", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("live", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(F.max("live").cast("long").alias("max_concurrent"))
+    )
