@@ -117,9 +117,11 @@ SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 # map-side build). Measured r6: agg_hash crosses to 1.28×,
 # agg_partial_final 1.48×, win_topk_per_group 0.86× (Spark WINS),
 # join_asof 0.089× (Spark 11× faster — DuckDB's native ASOF collapses
-# at 100M events), sim_knn_exact 2.2× (trajectory 8×→3.8×→2.2× across
-# the three decades; an unrolled-64-term dot was measured 6× SLOWER
-# than the interpreted HOF fold — codegen fallback — and rejected).
+# at 100M events), sim_knn_exact 2.2× with the HOF fold (trajectory
+# 8×→3.8×→2.2×; an unrolled-64-term dot was measured 6× SLOWER —
+# codegen fallback — and rejected), then 0.8× after the Arrow-numpy
+# dim-major scorer with per-batch partial top-k (10.9 s → 2.3 s vs
+# DuckDB 2.8 s; bit-parity restamp-proven, BASELINE.md §7 addendum 3).
 # distinct_rows stays ~6-7×, and the floor is the SCAN, not the
 # distinct: decomposed at 60M rows (32-file parquet, local[32]),
 # max() over the same 3 columns costs 0.77 s vs 0.14 s for one long
