@@ -1916,3 +1916,166 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pred_lang").eqNullSafe(F.col("true_lang")).alias("correct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune) + inverted index (round 6)
+# --------------------------------------------------------------------------
+
+_SEM_K = 4      # deterministic seed centroids = vec_id < K
+_SEM_TAU = 0.5  # within-cluster near-dup threshold (unit-norm dot)
+
+_SEMDEDUP_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < {_SEM_K}
+),
+scored AS (
+  SELECT e.vec_id, s.cid, {sql_dot('e.embedding', 's.c')} AS sc
+  FROM embeddings e CROSS JOIN seeds s
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a
+  JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings x ON x.vec_id = a.vec_id
+  JOIN embeddings y ON y.vec_id = b.vec_id
+  WHERE {sql_dot('x.embedding', 'y.embedding')} >= {_SEM_TAU}
+)
+SELECT asg.vec_id, CAST(asg.cid AS BIGINT) AS cid,
+       asg.vec_id IN (SELECT vec_id FROM dup) AS pruned
+FROM assign asg
+"""
+
+
+@op("dedup_semantic_cluster", oracle=_SEMDEDUP_ORACLE)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    arXiv:2303.09540 — cluster the embedding space, then prune
+    near-duplicates WITHIN clusters only): assign every vector to its
+    nearest of K deterministic seed centroids (vec_id < K, max-dot
+    with cid-asc tie-break), then inside each cluster greedily drop
+    any vector that has a cosine ≥ τ neighbor with a smaller vec_id.
+    Output = full assignment (vec_id, cid) + the pruned flag, so both
+    the surviving set and the cluster map are auditable.
+
+    Scale design: the seed matrix broadcasts (K×dim); assignment is
+    one corpus scan + a per-vector window over K rows. The pairwise
+    stage is quadratic PER CLUSTER — the published method's point is
+    that K grows with the corpus (K ∝ n/target-cluster-size) so each
+    cluster stays bounded; this fixture-K variant carries the same
+    O(n²) guard as dedup_embedding and points to the LSH siblings
+    beyond it. Dots are left-fold double on both engines →
+    bit-identical, so the float threshold and the rank-1 assignment
+    agree exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id").count()
+    if n > _EMB_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"dedup_semantic_cluster: {n} corpus rows exceeds the within-"
+            f"cluster O(n²) guard ({_EMB_EXACT_MAX_ROWS}). Scale K with the "
+            "corpus (SemDeDup's contract) or use the banded-LSH siblings "
+            "(sim_pairs_rp_lsh / sim_pairs_threshold)."
+        )
+    seeds = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        dot(F.col("embedding"), F.col("c")).alias("sc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sc").desc(), F.col("cid").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    a = assign.select(
+        F.col("cid").alias("cid_a"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = assign.select(
+        F.col("cid").alias("cid_b"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    dup = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("va") < F.col("vb")))
+        .filter(dot(F.col("ea"), F.col("eb")) >= _SEM_TAU)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .join(dup, "vec_id", "left")
+        .select("vec_id", "cid", F.coalesce(F.col("hit"), F.lit(False)).alias("pruned"))
+    )
+
+
+_INVIDX_CAP = 20  # posting-list cap per term
+
+_INVIDX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM per_doc GROUP BY term
+),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rn
+  FROM per_doc
+),
+postings AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= {_INVIDX_CAP} GROUP BY term
+)
+SELECT s.term, s.df, s.tf_total, p.postings
+FROM stats s JOIN postings p USING (term)
+"""
+
+
+@op("text_inverted_index", oracle=_INVIDX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-engine posting lists as a table):
+    per term, document frequency, total term frequency, and the first
+    {cap} doc ids as a comma-joined posting string. The posting list
+    is capped BEFORE any collect — a per-term row_number over the
+    (term, doc) level keeps ≤{cap} rows per term, so a stopword that
+    appears in a billion documents still contributes a bounded list
+    (an uncapped collect_list is the classic inverted-index OOM).
+    Two aggregates over the same exploded scan: map-side partial
+    (term, doc) counts, then tiny per-term rollups; string-joined
+    postings follow the agg_collect hash-stability idiom."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    per_doc = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    postings = (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _INVIDX_CAP)
+        .groupBy("term")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            "term",
+            F.concat_ws(",", F.transform(F.col("ids"), lambda x: x.cast("string"))).alias(
+                "postings"
+            ),
+        )
+    )
+    return stats.join(postings, "term")

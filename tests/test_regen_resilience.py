@@ -78,6 +78,7 @@ EMPTY_TEXT_TARGETS = [
     "dedup_chunk_exact", "dedup_ngram_jaccard", "dedup_exact",
     "text_clean_normalize", "doc_repetition", "text_bpe_merge_step",
     "pipeline_pack_sequences", "pipeline_encode_token_ids",
+    "text_inverted_index",
 ]
 
 
