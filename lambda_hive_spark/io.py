@@ -70,6 +70,29 @@ def _path_stamp(path: str) -> tuple:
         return (0, 0)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet footprint of a fixture table (file or directory
+    of part-files). A metadata-only stat used to pick join strategy at
+    PLAN time: Spark's cost model happily broadcasts any post-filter
+    side its size estimate puts under the threshold, but building a
+    multi-million-row HashedRelation single-threaded on the driver
+    costs seconds per execution — the real footprint is the honest
+    signal the estimate lacks (measured: the 100×-orders broadcast
+    made join_multiway 12.4 s vs 5.6 s shuffle-hash at the scale100
+    tier, while sub-threshold fixtures keep the faster broadcast)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.stat(path).st_size
+    total = 0
+    try:
+        for entry in os.scandir(path):
+            if entry.is_file():
+                total += entry.stat().st_size
+    except OSError:
+        return 0
+    return total
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path, _path_stamp(path))

