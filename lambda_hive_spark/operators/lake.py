@@ -400,3 +400,157 @@ def lake_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, rows_preserved boolean, files_reduced boolean, "
         "time_travel_intact boolean, n_versions long",
     )
+
+
+# Per-row exact long-micros of the money column (positive-domain
+# round-half-up == DuckDB's ROUND; see helpers.hier_exact_agg for the
+# 2^51 exactness derivation — order totals sit ~9 orders below it).
+_PRICE_MICROS = "CAST(FLOOR(o_totalprice * 1000000.0D + 0.5D) AS BIGINT)"
+
+
+def _orders_group_state(df: DataFrame) -> DataFrame:
+    """The materialized view's STORED state: per-customer row count,
+    count of non-null prices, and the zero-filled micros sum. SUM's
+    null-skipping is not representable by a sum column alone — an
+    all-null group must emit NULL, not 0 — so the state carries the
+    non-null-contribution count separately (the standard IVM state
+    for SUM). All three columns are integers, so the retract/apply
+    delta algebra is EXACT: incrementally merged state is
+    bit-identical to a full recompute, which double-typed sums cannot
+    promise (FP addition is order-sensitive)."""
+    micros = F.expr(_PRICE_MICROS)
+    return df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count"),
+        F.count(micros).cast("long").alias("nn_price_count"),
+        F.sum(F.coalesce(micros, F.lit(0))).cast("long").alias("micros_raw"),
+    )
+
+
+def _emit_group_view(state: DataFrame) -> DataFrame:
+    """Project the stored state to the user-facing view: total_micros
+    is NULL when no non-null price contributed (SUM semantics)."""
+    return state.select(
+        "o_custkey",
+        "order_count",
+        F.when(F.col("nn_price_count") > 0, F.col("micros_raw"))
+        .cast("long")
+        .alias("total_micros"),
+    )
+
+
+def ivm_refresh_view(spark: SparkSession, base_path: str, mv_path: str, version: int) -> None:
+    """Fold ONE base-table commit's change feed into the view table:
+    signed delta aggregation over `read_changes(version)` (pre-images
+    retract, post-images/inserts apply), broadcast semi-join loads the
+    touched groups' old state, and the refreshed groups MERGE back.
+    Composes across commits — calling this once per version in commit
+    order keeps the view exactly equal to a full recompute of the head
+    (tests/test_lakehouse.py runs two cycles and checks after each)."""
+    delta = lh.read_changes(spark, base_path, version).withColumn(
+        "_sign",
+        F.when(F.col("_change_type") == "update_preimage", F.lit(-1)).otherwise(
+            F.lit(1)
+        ),
+    )
+    micros = F.expr(_PRICE_MICROS)
+    delta_agg = delta.groupBy("o_custkey").agg(
+        F.sum("_sign").cast("long").alias("d_count"),
+        F.sum(F.when(micros.isNotNull(), F.col("_sign")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("d_nn"),
+        F.sum(F.coalesce(micros, F.lit(0)) * F.col("_sign"))
+        .cast("long")
+        .alias("d_micros"),
+    )
+    touched_old = lh.read(spark, mv_path).join(
+        F.broadcast(delta_agg.select("o_custkey")), on="o_custkey", how="left_semi"
+    )
+    refreshed = delta_agg.join(touched_old, on="o_custkey", how="left").select(
+        "o_custkey",
+        (F.coalesce(F.col("order_count"), F.lit(0)) + F.col("d_count"))
+        .cast("long")
+        .alias("order_count"),
+        (F.coalesce(F.col("nn_price_count"), F.lit(0)) + F.col("d_nn"))
+        .cast("long")
+        .alias("nn_price_count"),
+        (F.coalesce(F.col("micros_raw"), F.lit(0)) + F.col("d_micros"))
+        .cast("long")
+        .alias("micros_raw"),
+    )
+    assert refreshed.filter(F.col("order_count") <= 0).count() == 0
+    lh.merge_upsert(spark, mv_path, refreshed)
+
+
+@op(
+    "lake_ivm_refresh",
+    oracle="""
+WITH final_state AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS order_count,
+       CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT)) AS BIGINT) AS total_micros
+FROM final_state
+GROUP BY o_custkey
+""",
+    tags=("side_effect",),
+)
+def lake_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance off the change feed:
+    orders lands as a keyed lake table, its per-customer revenue view
+    materializes as a SECOND lake table, one MERGE mutates the base
+    (every 10th key price-doubled, every 97th re-keyed as an insert),
+    and the view refreshes from `read_changes` ONLY — pre-images
+    retract (sign −1), post-images and inserts apply (sign +1), the
+    signed deltas fold into the touched groups, and the refreshed
+    groups MERGE back into the view table. The op then asserts the
+    incremental view equals a from-scratch recompute of the head
+    snapshot (the IVM soundness claim) before returning it; the
+    oracle independently rebuilds the final state relationally.
+    View state is integer (row count, non-null-price count, and
+    zero-filled long-micros sum — the extra count is what lets an
+    all-null group emit NULL exactly as SUM does), so the
+    retract/apply algebra is exact — no FP drift across refreshes.
+
+    Scale: the refresh costs O(changed rows), never O(base) and never
+    O(view) — the change feed is bounded by the MERGE batch, the
+    delta aggregation shuffles only changed rows, the view's old rows
+    load via a broadcast semi-join on the touched keys, and the view
+    MERGE rewrites only key-range-intersecting view files. At 100 TB
+    this is the difference between a view you refresh every commit
+    and one you rebuild nightly. Groups whose count reaches zero
+    would need a delete-capable view merge — asserted absent here
+    (updates and re-keyed inserts never empty a customer's group)."""
+    path = _fresh_table_dir("ivm_base", sf_dir)
+    mv_path = _fresh_table_dir("ivm_view", sf_dir)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    lh.create(
+        spark, mv_path, _orders_group_state(lh.read(spark, path)), key="o_custkey"
+    )
+
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(shift)
+            )
+        )
+    )
+    v = lh.merge_upsert(spark, path, updates, track_changes=True)
+    ivm_refresh_view(spark, path, mv_path, v)
+
+    incremental = lh.read(spark, mv_path)
+    full = _orders_group_state(lh.read(spark, path))
+    drift = incremental.exceptAll(full).unionAll(full.exceptAll(incremental))
+    assert drift.count() == 0, "incremental view drifted from full recompute"
+    return _emit_group_view(incremental)

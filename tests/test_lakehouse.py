@@ -382,3 +382,62 @@ def test_vacuum_reclaims_change_files(spark, tmp_path):
     deleted = lh.vacuum(path, keep_last=1)
     assert all(not os.path.exists(p) for p in chg)
     assert any(p in deleted for p in chg)
+
+
+def test_ivm_two_cycles_track_full_recompute(spark, tmp_path):
+    """Incremental view maintenance composes across commits: two
+    merge+refresh cycles (price updates touching an all-NULL-price
+    group, then inserts for a brand-new group), and after EACH cycle
+    the incrementally-maintained state table equals a from-scratch
+    recompute of the head snapshot — including the non-null-count
+    column that lets SUM's null-skipping survive retraction."""
+    from lambda_hive_spark.operators.lake import (
+        _orders_group_state,
+        ivm_refresh_view,
+    )
+
+    base_path = str(tmp_path / "base")
+    mv_path = str(tmp_path / "mv")
+    orders = spark.range(60).select(
+        F.col("id").cast("long").alias("o_orderkey"),
+        (F.col("id") % 7).cast("long").alias("o_custkey"),
+        # customer 6 is all-NULL-priced: the state's nn_price_count
+        # must keep its total_micros emitting NULL through refreshes
+        F.when(F.col("id") % 7 != 6, F.col("id") * 1.25 + 3.5).alias(
+            "o_totalprice"
+        ),
+    )
+    lh.create(spark, base_path, orders.repartition(4), key="o_orderkey")
+    lh.create(
+        spark,
+        mv_path,
+        _orders_group_state(lh.read(spark, base_path)),
+        key="o_custkey",
+    )
+
+    def assert_synced():
+        inc = sorted(map(tuple, lh.read(spark, mv_path).collect()))
+        full = sorted(
+            map(tuple, _orders_group_state(lh.read(spark, base_path)).collect())
+        )
+        assert inc == full
+
+    # cycle 1: every 5th key price-doubled (NULL prices stay NULL)
+    u1 = (
+        lh.read(spark, base_path)
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    v1 = lh.merge_upsert(spark, base_path, u1, track_changes=True)
+    ivm_refresh_view(spark, base_path, mv_path, v1)
+    assert_synced()
+
+    # cycle 2: ten inserts for a customer the view has never seen
+    u2 = spark.range(60, 70).select(
+        F.col("id").cast("long").alias("o_orderkey"),
+        F.lit(99).cast("long").alias("o_custkey"),
+        (F.col("id") * 2.0).alias("o_totalprice"),
+    )
+    v2 = lh.merge_upsert(spark, base_path, u2, track_changes=True)
+    ivm_refresh_view(spark, base_path, mv_path, v2)
+    assert_synced()
