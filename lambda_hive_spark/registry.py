@@ -34,6 +34,39 @@ class Op:
 
 _OPS: dict[str, Op] = {}
 
+# Session-level plan cache (prepared-statement behavior): repeat calls
+# of the same pure op on the same session + corpus return the SAME
+# DataFrame object, so Spark reuses its analyzed/optimized/physical
+# plan (QueryExecution is memoized per DataFrame) and the driver-side
+# plan build (py4j round-trips + Catalyst analysis, the fixed ~40-150
+# ms floor under every sub-second query) is paid once. Execution is
+# NOT cached — every action re-runs the physical plan on current
+# files. Keyed like io._TABLE_CACHE: applicationId scopes to the
+# session, the corpus stamp (per-entry mtime+size) self-invalidates
+# when a fixture or scratch corpus is regenerated in-process.
+# Side-effect ops (lake commits, stream drains, sink writes) are
+# never cached — their fn() body must re-run per call.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _corpus_stamp(sf_dir: str) -> tuple:
+    import os
+
+    try:
+        entries = sorted(os.scandir(sf_dir), key=lambda e: e.name)
+    except OSError:
+        return ()
+    out = []
+    for e in entries:
+        if not e.name.endswith(".parquet"):
+            continue
+        try:
+            st = e.stat()
+            out.append((e.name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            out.append((e.name, 0, 0))
+    return tuple(out)
+
 
 def op(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -44,7 +77,24 @@ def op(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Call
             from lambda_hive_spark.session import tune_runtime
 
             tune_runtime(spark)
-            return fn(spark, sf_dir)
+            import os
+
+            if "side_effect" in tags or os.environ.get(
+                "SPARK_GRAFT_PLAN_CACHE"
+            ) == "0":
+                return fn(spark, sf_dir)
+            key = (
+                spark.sparkContext.applicationId,
+                name,
+                sf_dir,
+                _corpus_stamp(sf_dir),
+            )
+            hit = _PLAN_CACHE.get(key)
+            if hit is not None:
+                return hit
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+            return df
 
         if name in _OPS:
             raise ValueError(f"duplicate op registration: {name}")

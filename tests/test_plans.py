@@ -4,10 +4,21 @@ physical plan, not just believed."""
 
 from __future__ import annotations
 
+import pytest
+
 from lambda_hive_spark.registry import all_ops
 from tests.conftest import SF_DIR
 
 OPS = all_ops()
+
+
+@pytest.fixture(autouse=True)
+def _fresh_plans(monkeypatch):
+    """Bypass the registry plan cache: these tests assert on the
+    compile-time plan, but a cached DataFrame another test already
+    EXECUTED shows its AQE-final plan (isFinalPlan=true — exchanges
+    reused/renumbered), making assertions order-dependent."""
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
 
 
 def _plan(spark, name: str) -> str:

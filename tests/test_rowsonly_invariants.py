@@ -228,6 +228,10 @@ def test_dedup_embedding_guard_refuses_oversized_corpus(spark, monkeypatch):
 
     from lambda_hive_spark.operators import llm
 
+    # The guard fires at plan-build time; a cached plan for this
+    # (session, corpus) was already admitted under the REAL guard, so
+    # bypass the plan cache to see the monkeypatched limit.
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
     monkeypatch.setattr(llm, "_EMB_EXACT_MAX_ROWS", 1)
     with pytest.raises(ValueError, match="all-pairs"):
         OPS["dedup_embedding"].fn(spark, SF_SMALL).collect()
