@@ -539,6 +539,77 @@ def merge_upsert(
                     os.remove(p)
 
 
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    *,
+    prune: dict | None = None,
+    track_changes: bool = False,
+) -> int:
+    """Copy-on-write DELETE: rows where `predicate` (a SQL boolean
+    expression over the table's columns) evaluates TRUE are removed as
+    a new version — rows where it is FALSE or NULL survive (SQL WHERE
+    semantics). File pruning mirrors merge_upsert: pass `prune` as a
+    {col: (lo, hi)} stats box (the predicate's sargable bounds, same
+    shape plan_files takes) and files the footer stats prove
+    un-matchable carry over BY REFERENCE; only candidates rewrite.
+    At 100 TB "delete one day / one tenant" touches that partition's
+    files, never the table.
+
+    With ``track_changes=True`` the deleted pre-images land in the
+    change feed tagged `delete` (read_changes serves them) — CDC
+    consumers and incremental view maintenance see retractions, not a
+    silent row-count drop. A delete committed WITHOUT tracking refuses
+    read_changes, exactly like an untracked merge."""
+    while True:
+        m = read_manifest(path)
+        key = m["key"]
+        if prune:
+            touched_files = plan_files(
+                path, predicates=prune, version=m["version"]
+            )
+        else:
+            touched_files = m["files"]
+        touched_paths = {f["path"] for f in touched_files}
+
+        new_files: list[dict] = []
+        change_files: list[str] = []
+        if touched_paths:
+            affected = _read_snapshot_files(spark, m, touched_paths)
+            survivors = affected.filter(f"NOT coalesce(({predicate}), false)")
+            new_files = _write_data_files(survivors, path, key)
+            if track_changes:
+                doomed = affected.filter(f"coalesce(({predicate}), false)")
+                change_files = _write_change_files(
+                    doomed.withColumn("_change_type", F.lit("delete")), path
+                )
+
+        def build(head):
+            head_paths = {f["path"] for f in head["files"]}
+            if not touched_paths <= head_paths:
+                raise CommitConflict  # a racing commit rewrote our input
+            kept = [f for f in head["files"] if f["path"] not in touched_paths]
+            entry = {
+                "action": "delete",
+                "key": head["key"],
+                "files": kept + new_files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+            }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     """Row-level change feed of ONE commit, tagged by `_change_type`
     (Delta CDF read shape):
@@ -546,11 +617,12 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
       files the commit added (a manifest file-set diff — no second
       copy of appended data is ever written);
     - merge commits committed with ``track_changes=True`` serve their
-      recorded pre/post-image change files;
+      recorded pre/post-image change files; delete commits likewise
+      serve their recorded `delete` pre-images;
     - compact/zorder commits are layout-only: empty feed.
-    A merge committed WITHOUT change tracking raises — silently
-    serving an incomplete feed would corrupt every downstream CDC
-    consumer, the one unforgivable failure of a change feed."""
+    A merge or delete committed WITHOUT change tracking raises —
+    silently serving an incomplete feed would corrupt every downstream
+    CDC consumer, the one unforgivable failure of a change feed."""
     m = read_manifest(path, version)
     action = m.get("action")
     if action in ("create", "append"):
@@ -571,10 +643,10 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         return _read_snapshot_files(spark, m, added).withColumn(
             "_change_type", F.lit("insert")
         )
-    if action == "merge":
+    if action in ("merge", "delete"):
         if "changes" not in m:
             raise ValueError(
-                f"version {version} is a merge committed without track_changes"
+                f"version {version} is a {action} committed without track_changes"
             )
         if not m["changes"]:
             return read(spark, path, version).limit(0).withColumn(

@@ -441,16 +441,21 @@ def _emit_group_view(state: DataFrame) -> DataFrame:
 def ivm_refresh_view(spark: SparkSession, base_path: str, mv_path: str, version: int) -> None:
     """Fold ONE base-table commit's change feed into the view table:
     signed delta aggregation over `read_changes(version)` (pre-images
-    retract, post-images/inserts apply), broadcast semi-join loads the
-    touched groups' old state, and the refreshed groups MERGE back.
-    Composes across commits — calling this once per version in commit
-    order keeps the view exactly equal to a full recompute of the head
-    (tests/test_lakehouse.py runs two cycles and checks after each)."""
+    and delete rows retract, post-images/inserts apply), broadcast
+    semi-join loads the touched groups' old state, and the refreshed
+    groups MERGE back; groups whose row count reaches zero are
+    REMOVED from the view with a pruned `delete_where` (the zero-key
+    list is bounded by the commit's changed groups — collected as a
+    scalar list, never table-sized). Composes across commits —
+    calling this once per version in commit order keeps the view
+    exactly equal to a full recompute of the head
+    (tests/test_lakehouse.py runs three cycles incl. a group-emptying
+    delete and checks after each)."""
     delta = lh.read_changes(spark, base_path, version).withColumn(
         "_sign",
-        F.when(F.col("_change_type") == "update_preimage", F.lit(-1)).otherwise(
-            F.lit(1)
-        ),
+        F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(-1)
+        ).otherwise(F.lit(1)),
     )
     micros = F.expr(_PRICE_MICROS)
     delta_agg = delta.groupBy("o_custkey").agg(
@@ -477,8 +482,23 @@ def ivm_refresh_view(spark: SparkSession, base_path: str, mv_path: str, version:
         .cast("long")
         .alias("micros_raw"),
     )
-    assert refreshed.filter(F.col("order_count") <= 0).count() == 0
-    lh.merge_upsert(spark, mv_path, refreshed)
+    zero_keys = [
+        r[0]
+        for r in refreshed.filter(F.col("order_count") <= 0)
+        .select("o_custkey")
+        .collect()  # bounded: ⊆ this commit's changed groups
+    ]
+    live = refreshed.filter(F.col("order_count") > 0)
+    if live.limit(1).count() > 0:
+        lh.merge_upsert(spark, mv_path, live)
+    if zero_keys:
+        in_list = ", ".join(str(k) for k in zero_keys)
+        lh.delete_where(
+            spark,
+            mv_path,
+            f"o_custkey IN ({in_list})",
+            prune={"o_custkey": (min(zero_keys), max(zero_keys))},
+        )
 
 
 @op(
@@ -523,9 +543,10 @@ def lake_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load via a broadcast semi-join on the touched keys, and the view
     MERGE rewrites only key-range-intersecting view files. At 100 TB
     this is the difference between a view you refresh every commit
-    and one you rebuild nightly. Groups whose count reaches zero
-    would need a delete-capable view merge — asserted absent here
-    (updates and re-keyed inserts never empty a customer's group)."""
+    and one you rebuild nightly. Groups whose count reaches zero are
+    removed from the view via a pruned delete_where (exercised by the
+    three-cycle protocol test; this fixture's updates and re-keyed
+    inserts never empty a customer's group)."""
     path = _fresh_table_dir("ivm_base", sf_dir)
     mv_path = _fresh_table_dir("ivm_view", sf_dir)
     base = table(spark, sf_dir, "orders").select(
@@ -554,3 +575,66 @@ def lake_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = incremental.exceptAll(full).unionAll(full.exceptAll(incremental))
     assert drift.count() == 0, "incremental view drifted from full recompute"
     return _emit_group_view(incremental)
+
+
+@op(
+    "lake_delete_where",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE NOT COALESCE(o_orderkey % 3 = 0 AND o_totalprice < 100000.0, FALSE)
+""",
+    tags=("side_effect",),
+)
+def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE through the table layer: orders lands
+    range-partitioned by key into 8 files, then one delete removes
+    every 3rd key priced under a fixed threshold (a shared literal on
+    both sides — a computed cut like the median would re-derive on
+    each engine and a 1-ulp interpolation gap could flip a boundary
+    row) — committed with change tracking, so the deleted pre-images
+    are served by the change feed.
+    The head read-back must equal the relational survivor set (the
+    oracle's NOT COALESCE(p, FALSE): DELETE removes only p IS TRUE,
+    so a NULL-valued predicate row SURVIVES — a bare WHERE NOT (p)
+    oracle would drop it, the mismatch the heavy-null variant
+    caught), proving survivors were rewritten exactly and untouched
+    files carried by reference; in-op, the pre-delete version is
+    asserted still readable (time travel across the delete), the
+    change feed's `delete` row count is asserted equal to the rows
+    removed, and an untracked delete is asserted to refuse
+    read_changes — the same unforgivable-CDC-failure contract the
+    merge path carries.
+
+    Scale: with a `prune` stats box the rewrite touches only files the
+    footer stats cannot clear — "delete one day / one tenant" rewrites
+    that partition, never the table (here the predicate is scattered
+    across all files, the honest worst case, so all 8 rewrite; the
+    pruned path is exercised structurally in tests/test_lakehouse.py)."""
+    path = _fresh_table_dir("delete", sf_dir)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    n_base = base.count()
+
+    v = lh.delete_where(
+        spark,
+        path,
+        "o_orderkey % 3 = 0 AND o_totalprice < 100000.0",
+        track_changes=True,
+    )
+    head = lh.read(spark, path)
+    n_head = head.count()
+    assert lh.read(spark, path, version=1).count() == n_base  # time travel
+    feed = lh.read_changes(spark, path, v)
+    assert feed.count() == n_base - n_head  # every removed row fed
+    assert feed.select("_change_type").distinct().collect()[0][0] == "delete"
+
+    untracked = lh.delete_where(spark, path, "o_orderkey = 1")
+    try:
+        lh.read_changes(spark, path, untracked)
+        raise AssertionError("untracked delete served a change feed")
+    except ValueError:
+        pass
+    return head

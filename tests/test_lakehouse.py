@@ -441,3 +441,91 @@ def test_ivm_two_cycles_track_full_recompute(spark, tmp_path):
     v2 = lh.merge_upsert(spark, base_path, u2, track_changes=True)
     ivm_refresh_view(spark, base_path, mv_path, v2)
     assert_synced()
+
+
+def test_delete_where_removes_rows_feeds_changes_time_travels(spark, tmp_path):
+    path = _mk(spark, tmp_path)  # ids 0..99, val = id*10
+    v = lh.delete_where(spark, path, "val >= 800", track_changes=True)
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(80)]
+    assert _rows(lh.read(spark, path, version=1)) == [
+        (i, i * 10) for i in range(100)
+    ]  # pre-delete version intact
+    feed = lh.read_changes(spark, path, v)
+    assert sorted(r["id"] for r in feed.collect()) == list(range(80, 100))
+    assert feed.select("_change_type").distinct().collect()[0][0] == "delete"
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """DELETE WHERE p removes rows where p IS TRUE — FALSE and NULL
+    both survive (SQL WHERE semantics)."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, val long"
+    )
+    lh.create(spark, path, df, key="id")
+    lh.delete_where(spark, path, "val > 20")
+    assert sorted(r["id"] for r in lh.read(spark, path).collect()) == [1, 2]
+
+
+def test_delete_prunes_files_outside_stats_box(spark, tmp_path):
+    """Files the prune box's footer stats clear carry over BY
+    REFERENCE — same path objects in the new manifest, no rewrite."""
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(100)
+        .select(F.col("id").cast("long"), (F.col("id") * 10).alias("val"))
+        .repartitionByRange(4, "id")
+    )
+    lh.create(spark, path, df, key="id")
+    before = {f["path"] for f in lh.read_manifest(path)["files"]}
+    lh.delete_where(spark, path, "id >= 90", prune={"id": (90, None)})
+    after = {f["path"] for f in lh.read_manifest(path)["files"]}
+    assert len(before & after) >= 2  # low-range files untouched
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(90)]
+
+
+def test_delete_untracked_refuses_change_feed(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    v = lh.delete_where(spark, path, "id = 1")
+    with pytest.raises(ValueError, match="delete committed without"):
+        lh.read_changes(spark, path, v)
+
+
+def test_ivm_delete_cycle_removes_emptied_group(spark, tmp_path):
+    """Cycle 3 of the IVM protocol: a tracked DELETE that empties one
+    customer's group must remove that group from the view entirely
+    (via the pruned view delete), while partially-deleted groups just
+    retract."""
+    from lambda_hive_spark.operators.lake import (
+        _orders_group_state,
+        ivm_refresh_view,
+    )
+
+    base_path = str(tmp_path / "base")
+    mv_path = str(tmp_path / "mv")
+    orders = spark.range(40).select(
+        F.col("id").cast("long").alias("o_orderkey"),
+        (F.col("id") % 4).cast("long").alias("o_custkey"),
+        (F.col("id") * 1.5 + 1.0).alias("o_totalprice"),
+    )
+    lh.create(spark, base_path, orders.repartition(4), key="o_orderkey")
+    lh.create(
+        spark,
+        mv_path,
+        _orders_group_state(lh.read(spark, base_path)),
+        key="o_custkey",
+    )
+    # customer 3 loses ALL rows; customer 2 loses only high orderkeys
+    v = lh.delete_where(
+        spark,
+        base_path,
+        "o_custkey = 3 OR (o_custkey = 2 AND o_orderkey >= 20)",
+        track_changes=True,
+    )
+    ivm_refresh_view(spark, base_path, mv_path, v)
+    inc = sorted(map(tuple, lh.read(spark, mv_path).collect()))
+    full = sorted(
+        map(tuple, _orders_group_state(lh.read(spark, base_path)).collect())
+    )
+    assert inc == full
+    assert sorted(r[0] for r in inc) == [0, 1, 2]  # group 3 gone

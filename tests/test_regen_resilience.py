@@ -107,7 +107,7 @@ LAKE_TARGETS = [
     "lake_merge_upsert", "lake_time_travel", "lake_compact_audit",
     "lake_schema_evolution", "lake_stats_pruned_scan",
     "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
-    "stream_sink_lake", "lake_ivm_refresh",
+    "stream_sink_lake", "lake_ivm_refresh", "lake_delete_where",
 ]
 
 
