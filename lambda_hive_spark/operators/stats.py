@@ -300,20 +300,41 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes billion-vector search fit RAM.
 
     Scale: everything is per-row expression work fused into the scan —
-    the 4×16 centroid sweep is an unrolled JVM expression, no shuffle,
-    no UDF, no broadcast needed."""
+    no shuffle, no UDF, no broadcast. Each subspace distance is a
+    higher-order `aggregate` fold over the dims (centroid values
+    derived arithmetically IN the lambda, same left-to-right IEEE
+    fold as the oracle's list_reduce), NOT an unrolled flat
+    expression: unrolling the 4×16×16 sweep generated >64 KB of Java
+    per projection, which janino cannot compile — every run paid a
+    failed whole-stage-codegen attempt before interpreting the giant
+    tree anyway, and on a loaded driver heap the compile attempt
+    itself OOMed (caught by a 320-op sweep; same lesson as
+    sim_knn_exact's rejected unroll, BASELINE.md §7)."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+
+    def dist(s: int, k: int):
+        # fold d = 0..DIM-1: acc + (emb[s*DIM+d] - c(s,k,d))², with
+        # c(s,k,d) = ((s*131 + k*17 + d*7) % 21 - 10)/10 computed on
+        # the fly — identical double sequence to the old unrolled form.
+        def step(acc, d):
+            x = F.element_at(emb, d + F.lit(s * _PQ_DIM + 1)).cast("double")
+            c = ((F.lit(s * 131 + k * 17) + d * F.lit(7)) % 21 - 10).cast(
+                "double"
+            ) / 10.0
+            diff = x - c
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step
+        )
+
     codes = []
     for s in range(_PQ_SUB):
-        dists = []
-        for k in range(_PQ_K):
-            terms = None
-            for d in range(_PQ_DIM):
-                diff = emb[s * _PQ_DIM + d].cast("double") - F.lit(_pq_centroid(s, k, d))
-                term = diff * diff
-                terms = term if terms is None else terms + term
-            dists.append(F.struct(terms.alias("dist"), F.lit(k).alias("k")))
+        dists = [
+            F.struct(dist(s, k).alias("dist"), F.lit(k).alias("k"))
+            for k in range(_PQ_K)
+        ]
         # argmin via array_min over (dist, k) structs: struct ordering
         # compares dist first, then k — the deterministic tie-break.
         best = F.array_min(F.array(*dists)).getField("k")
