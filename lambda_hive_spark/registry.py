@@ -46,7 +46,30 @@ _OPS: dict[str, Op] = {}
 # when a fixture or scratch corpus is regenerated in-process.
 # Side-effect ops (lake commits, stream drains, sink writes) are
 # never cached — their fn() body must re-run per call.
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+#
+# BOUNDED (LRU): an executed DataFrame pins its broadcast relations
+# on the driver heap (ContextCleaner only reclaims a broadcast once
+# its owning plan is unreachable), so an unbounded cache across a
+# full-registry sweep at sf0.1 accumulated every op's broadcast
+# tables until BroadcastExchange failed with "Not enough memory to
+# build and broadcast". Real engines bound their prepared-statement
+# caches for exactly this reason. The repeat-call patterns the cache
+# exists for (bench's median-of-N loop, a driver re-invoking the same
+# query) are back-to-back, so a small LRU serves them at full hit
+# rate while a 320-op sweep evicts continuously and pins at most
+# SPARK_GRAFT_PLAN_CACHE_SIZE plans (default 32).
+from collections import OrderedDict
+
+_PLAN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+
+def _plan_cache_capacity() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_PLAN_CACHE_SIZE", "32"))
+    except ValueError:
+        return 32
 
 
 def _corpus_stamp(sf_dir: str) -> tuple:
@@ -91,9 +114,12 @@ def op(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Call
             )
             hit = _PLAN_CACHE.get(key)
             if hit is not None:
+                _PLAN_CACHE.move_to_end(key)
                 return hit
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
+            while len(_PLAN_CACHE) > _plan_cache_capacity():
+                _PLAN_CACHE.popitem(last=False)
             return df
 
         if name in _OPS:
