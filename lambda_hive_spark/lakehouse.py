@@ -66,10 +66,13 @@ only ever touches manifests and footers.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
 import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -203,6 +206,13 @@ def _commit(path: str, build_entry):
         version = head_v + 1
         entry["version"] = version
         entry["parent"] = head_v or None
+        # Index metadata rides along unless the builder sets it
+        # explicitly: a bloom index stays live across appends/merges
+        # (files it never saw are conservatively kept at probe time).
+        if head is not None and "bloom" not in entry and head.get("bloom"):
+            entry["bloom"] = head["bloom"]
+        if entry.get("bloom") is None:  # restore-to-preindex: drop, not null
+            entry.pop("bloom", None)
         staged = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as fh:
             json.dump(entry, fh, indent=1, sort_keys=True)
@@ -352,12 +362,137 @@ def read_incremental(
     return _read_snapshot_files(spark, m_new, added)
 
 
+_BLOOM_SALT1, _BLOOM_SALT2 = "#bloom1", "#bloom2"
+_BLOOM_TYPES = ("string", "integer", "long", "int", "bigint", "short", "byte")
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    """The k bit positions of `value` — double hashing (Kirsch-
+    Mitzenmacher: pos_i = h1 + i*h2 mod m) over two salted md5s,
+    60 bits each. MUST stay bit-identical to the SQL twin in
+    bloom_index: both canonicalize the value to its string form
+    (str(int) == CAST(bigint AS STRING); strings are themselves),
+    both take the first 15 hex chars (< 2^60, so h1 + 6*h2 < 2^63
+    — exact in Java longs AND Python ints, no overflow divergence)."""
+    s = str(value)
+    h1 = int(hashlib.md5((s + _BLOOM_SALT1).encode()).hexdigest()[:15], 16)
+    h2 = int(hashlib.md5((s + _BLOOM_SALT2).encode()).hexdigest()[:15], 16) | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _plain_path(uri: str) -> str:
+    """input_file_name() returns a file: URI; manifests store plain
+    absolute paths."""
+    return unquote(urlparse(uri).path) if uri.startswith("file:") else uri
+
+
+def bloom_index(
+    spark: SparkSession, path: str, col: str, *, bits_per_row: int = 10, k: int = 7
+) -> int:
+    """Build a per-file bloom-filter index on `col` as a versioned
+    commit (Delta bloom-filter-index / Iceberg puffin shape). Footer
+    min/max stats cannot prune a POINT lookup on a high-cardinality
+    column the layout doesn't cluster — every file's (min,max) spans
+    the domain — but a per-file bloom answers "definitely not in this
+    file" from the index alone, so `plan_files(point=...)` skips to
+    the files that can match and a lookup of an ABSENT value plans
+    ZERO files (the "does this ID exist" query at 100 TB: no listing,
+    no footer fetch, no scan).
+
+    Build is Spark-distributed: one column-pruned scan → per-file
+    distinct values → k salted-md5 bit positions (pure JVM
+    expressions) → per-file bitsets folded in an Arrow-batched
+    applyInPandas (numpy bitwise_or.at); the driver collects ONE row
+    per file of m/8 bytes. Bitsets land in a sidecar JSON under _log/
+    (manifests stay O(files), like Delta's separate index files) and
+    the manifest records {col, m, k, sidecar}. m is a power of two
+    sized from the largest file (`bits_per_row` ≈ 10 → ~1% fpp with
+    k=7). Files written AFTER the index (appends, merge/compaction
+    rewrites) have no sidecar entry and are conservatively kept at
+    probe time — re-run bloom_index after large layout changes, the
+    same contract Delta's OPTIMIZE + bloom re-index has. Restricted
+    to integer/string columns: their Spark CAST-to-string is
+    canonical; float formatting is not."""
+    m = read_manifest(path)
+    schema = _manifest_schema(m)
+    if schema is not None:
+        dtype = schema[col].dataType.typeName()
+        if dtype not in _BLOOM_TYPES:
+            raise TypeError(f"bloom_index: unsupported column type {dtype!r}")
+    files = m["files"]
+    if not files:
+        raise ValueError(f"bloom_index: empty table {path}")
+    max_rows = max(f["rows"] for f in files)
+    m_bits = 1 << max(13, int(max_rows * bits_per_row - 1).bit_length())
+
+    df = _read_snapshot_files(spark, m, [f["path"] for f in files])
+    hashed = df.select(
+        F.input_file_name().alias("_file"),
+        F.col(col).cast("string").alias("_v"),
+    ).where("_v IS NOT NULL").distinct().selectExpr(
+        "_file",
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT(_v, '{_BLOOM_SALT1}')), 1, 15), 16, 10)"
+        " AS BIGINT) AS _h1",
+        f"(CAST(CONV(SUBSTRING(MD5(CONCAT(_v, '{_BLOOM_SALT2}')), 1, 15), 16, 10)"
+        " AS BIGINT) | 1) AS _h2",
+    )
+    pos = hashed.selectExpr(
+        "_file",
+        f"explode(transform(sequence(0, {k - 1}),"
+        f" i -> (_h1 + i * _h2) % {m_bits}L)) AS _pos",
+    )
+
+    def _fold(pdf):
+        import numpy as np
+        import pandas as pd
+
+        arr = np.zeros(m_bits // 8, dtype=np.uint8)
+        p = pdf["_pos"].to_numpy()
+        np.bitwise_or.at(arr, p // 8, (1 << (p % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "_file": [pdf["_file"].iloc[0]],
+                "_bits": [base64.b64encode(arr.tobytes()).decode()],
+            }
+        )
+
+    rows = (
+        pos.groupBy("_file")
+        .applyInPandas(_fold, "_file string, _bits string")
+        .collect()  # bounded: one row per data file, m/8 bytes each
+    )
+    bitsets = {_plain_path(r["_file"]): r["_bits"] for r in rows}
+
+    sidecar = os.path.join(_log_dir(path), f"bloom-{uuid.uuid4().hex}.json")
+    os.makedirs(_log_dir(path), exist_ok=True)
+    with open(sidecar, "w") as fh:
+        json.dump({"col": col, "m": m_bits, "k": k, "files": bitsets}, fh)
+
+    def build(head):
+        return {
+            "action": "bloom_index",
+            "key": head["key"],
+            "files": head["files"],
+            "schema": head.get("schema"),
+            "txns": head.get("txns", {}),
+            "bloom": {"col": col, "m": m_bits, "k": k, "sidecar": sidecar},
+        }
+
+    return _commit(path, build)
+
+
+def _bloom_admits(bitset_b64: str, positions: list[int]) -> bool:
+    bits = base64.b64decode(bitset_b64)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
+
+
 def plan_files(
     path: str,
     *,
     key_min=None,
     key_max=None,
     predicates: dict | None = None,
+    point: dict | None = None,
     version: int | None = None,
 ) -> list[dict]:
     """File-skipping plan: the manifest entries whose footer (min,max)
@@ -371,8 +506,17 @@ def plan_files(
     Spark lists anything."""
     m = read_manifest(path, version)
     bounds = dict(predicates or {})
+    for col, v in (point or {}).items():
+        bounds[col] = (v, v)  # equality also prunes on footer stats
     if key_min is not None or key_max is not None:
         bounds[m["key"]] = (key_min, key_max)
+    bloom = m.get("bloom")
+    bloom_bits: dict | None = None
+    bloom_pos: list[int] | None = None
+    if point and bloom and bloom["col"] in point:
+        with open(bloom["sidecar"]) as fh:
+            bloom_bits = json.load(fh)["files"]
+        bloom_pos = _bloom_positions(point[bloom["col"]], bloom["m"], bloom["k"])
     out = []
     for f in m["files"]:
         keep = True
@@ -387,6 +531,13 @@ def plan_files(
             if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
                 keep = False
                 break
+        if keep and bloom_bits is not None:
+            bits = bloom_bits.get(f["path"])
+            # files the index never saw (post-index appends/rewrites)
+            # are conservatively kept; an indexed file is skipped the
+            # moment ANY of the k bits is clear — definitely absent
+            if bits is not None and not _bloom_admits(bits, bloom_pos):
+                keep = False
         if keep:
             out.append(f)
     return out
@@ -399,6 +550,7 @@ def scan(
     key_min=None,
     key_max=None,
     predicates: dict | None = None,
+    point: dict | None = None,
     version: int | None = None,
 ) -> DataFrame:
     """Snapshot scan with manifest-stats file skipping, then the exact
@@ -410,7 +562,12 @@ def scan(
     cluster those columns (see zorder_cluster)."""
     m = read_manifest(path, version)
     files = plan_files(
-        path, key_min=key_min, key_max=key_max, predicates=predicates, version=version
+        path,
+        key_min=key_min,
+        key_max=key_max,
+        predicates=predicates,
+        point=point,
+        version=version,
     )
     bounds = dict(predicates or {})
     if key_min is not None or key_max is not None:
@@ -426,6 +583,8 @@ def scan(
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
+    for col, v in (point or {}).items():
+        df = df.filter(F.col(col) == v)
     return df
 
 
@@ -768,6 +927,43 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             _discard_orphans(new_files)
 
 
+def restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE the table to an earlier snapshot as a NEW commit (Delta
+    RESTORE shape): the head's file list becomes version N's file list
+    — carried by reference, zero data copied or rewritten, O(1) data
+    I/O regardless of table size. History is preserved: the undone
+    versions remain time-travelable and a restore of the restore is
+    just another commit. Two deliberate semantics:
+
+    - The txns ledger carries forward from the HEAD, never from the
+      restored snapshot — rewinding it would re-admit already-applied
+      idempotent batches, the exactly-once violation no restore is
+      worth.
+    - The restored files must still exist: restore reaches only as far
+      back as the vacuum horizon (vacuum is the single operation that
+      forfeits history, and it says so)."""
+    target = read_manifest(path, version)
+    missing = [f["path"] for f in target["files"] if not os.path.exists(f["path"])]
+    if missing:
+        raise FileNotFoundError(
+            f"restore: version {version} reaches past the vacuum horizon "
+            f"({len(missing)} data files gone, e.g. {missing[0]})"
+        )
+
+    def build(head):
+        return {
+            "action": "restore",
+            "restored_from": version,
+            "key": head["key"],
+            "files": target["files"],
+            "schema": target.get("schema"),
+            "txns": head.get("txns", {}),
+            "bloom": target.get("bloom"),
+        }
+
+    return _commit(path, build)
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced ONLY by manifests older
     than the last `keep_last` versions, then drop those manifests.
@@ -807,4 +1003,17 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
                 f.endswith(".parquet") for f in os.listdir(full)
             ):
                 shutil.rmtree(full)
+    # reap bloom sidecars no surviving manifest references (a re-index
+    # supersedes its predecessor; the old bitsets die with the
+    # manifests that pointed at them)
+    referenced = set()
+    for v in keep_versions:
+        bl = read_manifest(path, v).get("bloom")
+        if bl:
+            referenced.add(bl["sidecar"])
+    for n in os.listdir(_log_dir(path)):
+        full = os.path.join(_log_dir(path), n)
+        if n.startswith("bloom-") and full not in referenced:
+            os.remove(full)
+            deleted.append(full)
     return deleted

@@ -638,3 +638,142 @@ def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     return head
+
+
+@op(
+    "lake_bloom_pruned_scan",
+    oracle="""
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_name IN (SELECT p_name FROM part ORDER BY p_partkey LIMIT 3)
+""",
+    tags=("side_effect",),
+)
+def lake_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup pruning: part lands range-partitioned
+    by its KEY (p_partkey) into 8 files, so every file's footer
+    (min,max) on p_name — high-cardinality, unclustered — spans nearly
+    the whole domain and stats skip nothing for a name lookup. One
+    bloom_index commit later, a point scan for each of three known
+    names plans only the file(s) that can contain it, and a lookup of
+    an ABSENT name plans ZERO files. Both pruning claims are asserted
+    structurally in-op (bloom plan strictly smaller than the
+    stats-only plan; absent value → empty plan); the returned rows of
+    the three lookups must equal the purely relational IN — the
+    stats-CORRECTNESS gate (a bloom that wrongly skips a file loses
+    rows and hash-fails; a false positive only costs a file read).
+
+    Scale: this is the "does this document/order/user ID exist" query
+    at 100 TB — answered from ONE manifest read plus a sidecar fetch,
+    no directory listing, no footer fetches, no scan for misses.
+    Build cost is one column-pruned pass: per-file distinct values →
+    k salted-md5 positions (pure JVM) → per-file numpy bitset fold in
+    applyInPandas; the driver collects one m/8-byte row per file."""
+    path = _fresh_table_dir("bloom", sf_dir)
+    base = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    lh.create(spark, path, base.repartitionByRange(8, "p_partkey"), key="p_partkey")
+    lh.bloom_index(spark, path, "p_name")
+
+    probes = sorted(
+        {r["p_name"] for r in base.orderBy("p_partkey").limit(3).collect()}
+    )
+    n_total = len(lh.read_manifest(path)["files"])
+    strictly_pruned = False
+    for name in probes:
+        stats_only = len(lh.plan_files(path, predicates={"p_name": (name, name)}))
+        with_bloom = len(lh.plan_files(path, point={"p_name": name}))
+        assert 1 <= with_bloom <= stats_only, (name, with_bloom, stats_only)
+        strictly_pruned = strictly_pruned or with_bloom < stats_only
+    assert strictly_pruned, "bloom never beat footer stats"
+    absent = probes[0] + "#no-such-part"
+    assert lh.plan_files(path, point={"p_name": absent}) == []
+
+    out = None
+    for name in probes:
+        d = lh.scan(spark, path, point={"p_name": name})
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+@op(
+    "lake_restore_version",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+""",
+    tags=("side_effect",),
+)
+def lake_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a versioned commit: version 1 lands the even
+    orderkeys, version 2 appends the odds, version 3 restores to v1 —
+    by manifest reference, zero data rewritten. The head read must
+    equal v1's content (the oracle), and in-op the UNDONE version 2 is
+    asserted still time-travelable with the full row count: restore
+    rewinds the table, not its history. A restore past the vacuum
+    horizon is asserted to refuse (the missing-files guard) rather
+    than publish a snapshot that cannot be read.
+
+    Scale: restore is the incident-response primitive — "yesterday's
+    bad MERGE poisoned the table" undoes in O(1) data I/O at any table
+    size, because the commit log owns file membership; only vacuum
+    forfeits that option, and it says so."""
+    path = _fresh_table_dir("restore", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    evens = base.filter(F.col("o_orderkey") % 2 == 0)
+    lh.create(spark, path, evens.repartitionByRange(4, "o_orderkey"), key="o_orderkey")
+    lh.append(spark, path, base.filter(F.col("o_orderkey") % 2 == 1))
+    v = lh.restore(spark, path, 1)
+    assert v == 3 and lh.current_version(path) == 3
+    assert lh.read(spark, path, version=2).count() == base.count()  # history intact
+    assert lh.read_manifest(path)["restored_from"] == 1
+    return lh.read(spark, path)
+
+
+@op(
+    "lake_vacuum_audit",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS files_reclaimed,
+       TRUE AS head_intact,
+       TRUE AS horizon_enforced
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum's retention contract, value-gated: orders lands in 8
+    files (v1), compaction rewrites the snapshot into one file (v2),
+    and vacuum(keep_last=1) physically reclaims v1's now-unreferenced
+    files and drops its manifest. The audit row publishes the three
+    invariants — storage actually reclaimed (the deleted list is
+    non-empty and gone from disk), the head still serves every row
+    bit-for-bit (COUNT gate), and the horizon is enforced on BOTH
+    doors: time travel to v1 and restore(1) each refuse instead of
+    resolving to deleted files.
+
+    Scale: vacuum is the only operation that deletes data; everything
+    else appends files and manifests. At 100 TB it runs from the
+    commit log alone — set arithmetic over manifests' file lists, no
+    table scan — exactly like Delta's VACUUM with the reference-count
+    done by manifest diff."""
+    path = _fresh_table_dir("vacuum", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_base = base.count()
+    lh.create(spark, path, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    lh.compact(spark, path, num_files=1)
+    deleted = lh.vacuum(path, keep_last=1)
+    head_rows = lh.read(spark, path).count()
+    reclaimed = len(deleted) >= 8 and not any(os.path.exists(p) for p in deleted)
+    try:
+        lh.read_manifest(path, 1)
+        horizon = False
+    except FileNotFoundError:
+        try:
+            lh.restore(spark, path, 1)
+            horizon = False
+        except FileNotFoundError:
+            horizon = True
+    return spark.createDataFrame(
+        [(head_rows, reclaimed, head_rows == n_base, horizon)],
+        "n_rows long, files_reclaimed boolean, head_intact boolean, "
+        "horizon_enforced boolean",
+    )

@@ -529,3 +529,151 @@ def test_ivm_delete_cycle_removes_emptied_group(spark, tmp_path):
     )
     assert inc == full
     assert sorted(r[0] for r in inc) == [0, 1, 2]  # group 3 gone
+
+
+# ---------------------------------------------------------------- bloom index
+
+
+def _mk_sparse(spark, tmp_path, n=100, files=4):
+    """Even ids only, ROUND-ROBIN partitioned: every file's (min,max)
+    id range spans ~the whole domain, so footer stats cannot prune a
+    point lookup — the layout bloom filters exist for. Odd ids are
+    in-range but absent (a stats-equality plan keeps every file for
+    them; only the bloom can say 'definitely not here')."""
+    path = str(tmp_path / "btbl")
+    df = (
+        spark.range(n)
+        .select((F.col("id") * 2).alias("id"), (F.col("id") * 20).alias("val"))
+        .repartition(files)
+    )
+    lh.create(spark, path, df, key="id")
+    return path
+
+
+def test_bloom_point_lookup_prunes_and_finds(spark, tmp_path):
+    path = _mk_sparse(spark, tmp_path)
+    lh.bloom_index(spark, path, "id")
+    n_total = len(lh.read_manifest(path)["files"])
+    # stats keep nearly everything (round-robin layout); bloom narrows
+    # to the file(s) that can actually contain the value
+    stats_only = len(lh.plan_files(path, predicates={"id": (100, 100)}))
+    planned = len(lh.plan_files(path, point={"id": 100}))
+    assert 1 <= planned < stats_only <= n_total
+    assert _rows(lh.scan(spark, path, point={"id": 100})) == [(100, 1000)]
+
+
+def test_bloom_absent_inrange_value_plans_zero_files(spark, tmp_path):
+    path = _mk_sparse(spark, tmp_path)
+    lh.bloom_index(spark, path, "id")
+    # odd ids sit inside every file's stats range but in no file
+    assert lh.plan_files(path, point={"id": 51}) == []
+    assert lh.scan(spark, path, point={"id": 51}).count() == 0
+
+
+def test_bloom_false_positive_rate_is_sane(spark, tmp_path):
+    path = _mk_sparse(spark, tmp_path, n=200, files=4)
+    lh.bloom_index(spark, path, "id")
+    # 200 absent probes: at ~1% per-file fpp, kept files ≈ 8 of 800
+    kept = sum(len(lh.plan_files(path, point={"id": 2 * i + 1})) for i in range(200))
+    assert kept <= 80  # 10× headroom over the expected fpp
+
+
+def test_bloom_unindexed_files_conservatively_kept(spark, tmp_path):
+    path = _mk_sparse(spark, tmp_path)
+    lh.bloom_index(spark, path, "id")
+    late = spark.createDataFrame([(501, -1), (509, -1)], "id long, val long")
+    lh.append(spark, path, late)
+    # 501 is odd (absent from every indexed file → bloom prunes them
+    # all); the new file has no bitset, so it MUST be kept — found
+    assert _rows(lh.scan(spark, path, point={"id": 501})) == [(501, -1)]
+    # 505 is absent everywhere, but sits inside the new file's stats
+    # range: only conservative keeping of the unindexed file remains
+    assert len(lh.plan_files(path, point={"id": 505})) == 1
+    assert lh.scan(spark, path, point={"id": 505}).count() == 0
+
+
+def test_bloom_survives_merge_and_string_columns(spark, tmp_path):
+    path = str(tmp_path / "stbl")
+    df = spark.createDataFrame(
+        [(i, f"name-{i:04d}") for i in range(0, 100, 2)], "id long, name string"
+    ).repartition(4)
+    lh.create(spark, path, df, key="id")
+    lh.bloom_index(spark, path, "name")
+    assert lh.plan_files(path, point={"name": "name-0051"}) == []
+    got = lh.scan(spark, path, point={"name": "name-0050"}).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(50, "name-0050")]
+    # a merge rewrites files → rewritten files lack bitsets → kept
+    lh.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(50, "name-XXXX")], "id long, name string"),
+    )
+    assert _plan_names(path, "name-XXXX") >= 1  # new file conservatively kept
+    assert lh.scan(spark, path, point={"name": "name-XXXX"}).count() == 1
+
+
+def _plan_names(path, name):
+    return len(lh.plan_files(path, point={"name": name}))
+
+
+def test_bloom_rejects_uncanonical_column_types(spark, tmp_path):
+    path = str(tmp_path / "ftbl")
+    df = spark.createDataFrame([(1, 1.5)], "id long, x double")
+    lh.create(spark, path, df, key="id")
+    with pytest.raises(TypeError):
+        lh.bloom_index(spark, path, "x")
+
+
+def test_vacuum_reaps_orphaned_bloom_sidecars(spark, tmp_path):
+    path = _mk_sparse(spark, tmp_path)
+    lh.bloom_index(spark, path, "id")
+    old_sidecar = lh.read_manifest(path)["bloom"]["sidecar"]
+    lh.bloom_index(spark, path, "id")  # supersedes the first index
+    new_sidecar = lh.read_manifest(path)["bloom"]["sidecar"]
+    assert old_sidecar != new_sidecar
+    lh.vacuum(path, keep_last=1)
+    assert not os.path.exists(old_sidecar)
+    assert os.path.exists(new_sidecar)
+    assert len(lh.plan_files(path, point={"id": 51})) == 0  # index still live
+
+
+# -------------------------------------------------------------------- restore
+
+
+def test_restore_rewinds_content_keeps_history_and_ledger(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=50)
+    batch = spark.range(50, 60).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    )
+    lh.append_idempotent(spark, path, batch, writer_id="w", batch_id=7)
+    assert lh.read(spark, path).count() == 60
+    v = lh.restore(spark, path, 1)
+    assert v == 3
+    # content rewound...
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(50)]
+    # ...history intact (the undone append still time-travels)...
+    assert lh.read(spark, path, version=2).count() == 60
+    # ...and the ledger did NOT rewind: the replayed batch stays a no-op
+    v2 = lh.append_idempotent(spark, path, batch, writer_id="w", batch_id=7)
+    assert v2 == 3 and lh.read(spark, path).count() == 50
+
+
+def test_restore_of_restore_and_schema(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20)
+    widened = spark.range(20, 30).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val"), F.lit("x").alias("tag")
+    )
+    lh.append(spark, path, widened, merge_schema=True)
+    lh.restore(spark, path, 1)  # back to the 2-column snapshot
+    assert lh.read(spark, path).columns == ["id", "val"]
+    lh.restore(spark, path, 2)  # forward again to the evolved snapshot
+    assert lh.read(spark, path).columns == ["id", "val", "tag"]
+    assert lh.read(spark, path).count() == 30
+
+
+def test_restore_past_vacuum_horizon_refuses(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=30)
+    lh.compact(spark, path, num_files=1)
+    lh.vacuum(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        lh.restore(spark, path, 1)
