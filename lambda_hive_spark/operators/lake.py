@@ -643,17 +643,18 @@ def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "lake_bloom_pruned_scan",
     oracle="""
-SELECT p_partkey, p_name, p_retailprice
-FROM part
-WHERE p_name IN (SELECT p_name FROM part ORDER BY p_partkey LIMIT 3)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_name IN (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 3)
 """,
     tags=("side_effect",),
 )
 def lake_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter point-lookup pruning: part lands range-partitioned
-    by its KEY (p_partkey) into 8 files, so every file's footer
-    (min,max) on p_name — high-cardinality, unclustered — spans nearly
-    the whole domain and stats skip nothing for a name lookup. One
+    """Bloom-filter point-lookup pruning: customer lands ROUND-ROBIN
+    partitioned into 8 files — the honest model of a table whose
+    layout clusters some other dimension — so every file's footer
+    (min,max) on c_name (unique, unclustered in this layout) spans
+    ~the whole domain and stats skip nothing for a name lookup. One
     bloom_index commit later, a point scan for each of three known
     names plans only the file(s) that can contain it, and a lookup of
     an ABSENT name plans ZERO files. Both pruning claims are asserted
@@ -662,6 +663,12 @@ def lake_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three lookups must equal the purely relational IN — the
     stats-CORRECTNESS gate (a bloom that wrongly skips a file loses
     rows and hash-fails; a false positive only costs a file read).
+    bits_per_row=16 puts the per-file fpp near 1e-5, so the
+    zero-files claim holds deterministically across corpus scales
+    and regenerations (at the default ~1% it would be a coin flip
+    per 100 probes). p_name was deliberately NOT used: the fixture's
+    part names are low-cardinality phrases present in every file —
+    a bloom can never prune a value that is genuinely everywhere.
 
     Scale: this is the "does this document/order/user ID exist" query
     at 100 TB — answered from ONE manifest read plus a sidecar fetch,
@@ -670,27 +677,26 @@ def lake_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     k salted-md5 positions (pure JVM) → per-file numpy bitset fold in
     applyInPandas; the driver collects one m/8-byte row per file."""
     path = _fresh_table_dir("bloom", sf_dir)
-    base = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
-    lh.create(spark, path, base.repartitionByRange(8, "p_partkey"), key="p_partkey")
-    lh.bloom_index(spark, path, "p_name")
+    base = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    lh.create(spark, path, base.repartition(8), key="c_custkey")
+    lh.bloom_index(spark, path, "c_name", bits_per_row=16)
 
     probes = sorted(
-        {r["p_name"] for r in base.orderBy("p_partkey").limit(3).collect()}
+        {r["c_name"] for r in base.orderBy("c_custkey").limit(3).collect()}
     )
-    n_total = len(lh.read_manifest(path)["files"])
     strictly_pruned = False
     for name in probes:
-        stats_only = len(lh.plan_files(path, predicates={"p_name": (name, name)}))
-        with_bloom = len(lh.plan_files(path, point={"p_name": name}))
+        stats_only = len(lh.plan_files(path, predicates={"c_name": (name, name)}))
+        with_bloom = len(lh.plan_files(path, point={"c_name": name}))
         assert 1 <= with_bloom <= stats_only, (name, with_bloom, stats_only)
         strictly_pruned = strictly_pruned or with_bloom < stats_only
     assert strictly_pruned, "bloom never beat footer stats"
-    absent = probes[0] + "#no-such-part"
-    assert lh.plan_files(path, point={"p_name": absent}) == []
+    absent = probes[0] + "#no-such-customer"
+    assert lh.plan_files(path, point={"c_name": absent}) == []
 
     out = None
     for name in probes:
-        d = lh.scan(spark, path, point={"p_name": name})
+        d = lh.scan(spark, path, point={"c_name": name})
         out = d if out is None else out.unionByName(d)
     return out
 
