@@ -405,7 +405,10 @@ def bloom_index(
     applyInPandas (numpy bitwise_or.at); the driver collects ONE row
     per file of m/8 bytes. Bitsets land in a sidecar JSON under _log/
     (manifests stay O(files), like Delta's separate index files) and
-    the manifest records {col, m, k, sidecar}. m is a power of two
+    the manifest records a per-column map {col: {m, k, sidecar}} —
+    indexes on several columns coexist, a multi-column point probe
+    intersects them, re-indexing a column replaces only its entry.
+    m is a power of two
     sized from the largest file (`bits_per_row` ≈ 10 → ~1% fpp with
     k=7). Files written AFTER the index (appends, merge/compaction
     rewrites) have no sidecar entry and are conservatively kept at
@@ -469,13 +472,17 @@ def bloom_index(
         json.dump({"col": col, "m": m_bits, "k": k, "files": bitsets}, fh)
 
     def build(head):
+        # one index per column, coexisting: re-indexing a column
+        # replaces its entry, other columns' indexes carry forward
+        blooms = dict(head.get("bloom") or {})
+        blooms[col] = {"m": m_bits, "k": k, "sidecar": sidecar}
         return {
             "action": "bloom_index",
             "key": head["key"],
             "files": head["files"],
             "schema": head.get("schema"),
             "txns": head.get("txns", {}),
-            "bloom": {"col": col, "m": m_bits, "k": k, "sidecar": sidecar},
+            "bloom": blooms,
         }
 
     return _commit(path, build)
@@ -510,13 +517,14 @@ def plan_files(
         bounds[col] = (v, v)  # equality also prunes on footer stats
     if key_min is not None or key_max is not None:
         bounds[m["key"]] = (key_min, key_max)
-    bloom = m.get("bloom")
-    bloom_bits: dict | None = None
-    bloom_pos: list[int] | None = None
-    if point and bloom and bloom["col"] in point:
-        with open(bloom["sidecar"]) as fh:
-            bloom_bits = json.load(fh)["files"]
-        bloom_pos = _bloom_positions(point[bloom["col"]], bloom["m"], bloom["k"])
+    blooms = m.get("bloom") or {}
+    probes: list[tuple[dict, list[int]]] = []
+    for col, v in (point or {}).items():
+        bl = blooms.get(col)
+        if bl:
+            with open(bl["sidecar"]) as fh:
+                bits_map = json.load(fh)["files"]
+            probes.append((bits_map, _bloom_positions(v, bl["m"], bl["k"])))
     out = []
     for f in m["files"]:
         keep = True
@@ -531,13 +539,16 @@ def plan_files(
             if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
                 keep = False
                 break
-        if keep and bloom_bits is not None:
-            bits = bloom_bits.get(f["path"])
-            # files the index never saw (post-index appends/rewrites)
-            # are conservatively kept; an indexed file is skipped the
-            # moment ANY of the k bits is clear — definitely absent
-            if bits is not None and not _bloom_admits(bits, bloom_pos):
-                keep = False
+        if keep:
+            for bits_map, pos in probes:
+                bits = bits_map.get(f["path"])
+                # files an index never saw (post-index appends or
+                # rewrites) are conservatively kept; an indexed file
+                # is skipped the moment ANY of the k bits is clear —
+                # definitely absent for that point column
+                if bits is not None and not _bloom_admits(bits, pos):
+                    keep = False
+                    break
         if keep:
             out.append(f)
     return out
@@ -1008,8 +1019,7 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     # manifests that pointed at them)
     referenced = set()
     for v in keep_versions:
-        bl = read_manifest(path, v).get("bloom")
-        if bl:
+        for bl in (read_manifest(path, v).get("bloom") or {}).values():
             referenced.add(bl["sidecar"])
     for n in os.listdir(_log_dir(path)):
         full = os.path.join(_log_dir(path), n)

@@ -627,9 +627,9 @@ def test_bloom_rejects_uncanonical_column_types(spark, tmp_path):
 def test_vacuum_reaps_orphaned_bloom_sidecars(spark, tmp_path):
     path = _mk_sparse(spark, tmp_path)
     lh.bloom_index(spark, path, "id")
-    old_sidecar = lh.read_manifest(path)["bloom"]["sidecar"]
+    old_sidecar = lh.read_manifest(path)["bloom"]["id"]["sidecar"]
     lh.bloom_index(spark, path, "id")  # supersedes the first index
-    new_sidecar = lh.read_manifest(path)["bloom"]["sidecar"]
+    new_sidecar = lh.read_manifest(path)["bloom"]["id"]["sidecar"]
     assert old_sidecar != new_sidecar
     lh.vacuum(path, keep_last=1)
     assert not os.path.exists(old_sidecar)
@@ -677,3 +677,30 @@ def test_restore_past_vacuum_horizon_refuses(spark, tmp_path):
     lh.vacuum(path, keep_last=1)
     with pytest.raises(FileNotFoundError):
         lh.restore(spark, path, 1)
+
+
+def test_bloom_multi_column_indexes_coexist_and_intersect(spark, tmp_path):
+    path = str(tmp_path / "mtbl")
+    df = spark.createDataFrame(
+        [(i, f"name-{i:04d}", f"tag-{i % 7}") for i in range(0, 100, 2)],
+        "id long, name string, tag string",
+    ).repartition(4)
+    lh.create(spark, path, df, key="id")
+    lh.bloom_index(spark, path, "id")
+    lh.bloom_index(spark, path, "name")
+    blooms = lh.read_manifest(path)["bloom"]
+    assert set(blooms) == {"id", "name"}
+    # each index prunes its own column...
+    assert lh.plan_files(path, point={"id": 51}) == []
+    assert lh.plan_files(path, point={"name": "name-0051"}) == []
+    # ...a multi-column probe intersects them...
+    assert lh.plan_files(path, point={"id": 51, "name": "name-0050"}) == []
+    both = lh.plan_files(path, point={"id": 50, "name": "name-0050"})
+    assert 1 <= len(both) <= 2
+    got = lh.scan(spark, path, point={"id": 50, "name": "name-0050"}).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(50, "name-0050")]
+    # ...and re-indexing one column preserves the other's entry
+    lh.bloom_index(spark, path, "id", bits_per_row=16)
+    blooms2 = lh.read_manifest(path)["bloom"]
+    assert blooms2["name"] == blooms["name"]
+    assert blooms2["id"] != blooms["id"]

@@ -215,3 +215,70 @@ def test_pack_sequences_bin_budget(spark):
     for (lang, b), toks in bins.items():
         # streaming-pack bound: a bin overflows 2048 by at most its last doc
         assert sum(toks) <= 2048 + max(toks), (lang, b, sum(toks))
+
+
+# ------------------------------------------------- bloom hash parity
+
+
+def _spark_bloom_positions(spark, values, m_bits, k):
+    """The JVM twin of lakehouse._bloom_positions, exactly as
+    bloom_index builds it: salted-md5 double hashing over the
+    string-canonical value."""
+    from lambda_hive_spark import lakehouse as lh
+
+    df = spark.createDataFrame([(v,) for v in values], "v string").selectExpr(
+        "v",
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT(v, '{lh._BLOOM_SALT1}')), 1, 15), 16, 10)"
+        " AS BIGINT) AS h1",
+        f"(CAST(CONV(SUBSTRING(MD5(CONCAT(v, '{lh._BLOOM_SALT2}')), 1, 15), 16, 10)"
+        " AS BIGINT) | 1) AS h2",
+    ).selectExpr(
+        "v", f"transform(sequence(0, {k - 1}), i -> (h1 + i * h2) % {m_bits}L) AS pos"
+    )
+    return {r["v"]: list(r["pos"]) for r in df.collect()}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_bloom_positions_spark_python_parity_strings(spark_h, vals):
+    """The index is built by JVM SQL expressions and probed by driver-
+    side Python; the k bit positions MUST agree for arbitrary unicode
+    values or a point lookup silently skips a file that has the value
+    (the unforgivable bloom failure: lost rows, not lost speed)."""
+    from lambda_hive_spark.lakehouse import _bloom_positions
+
+    got = _spark_bloom_positions(spark_h, vals, 8192, 7)
+    for v in vals:
+        assert got[v] == _bloom_positions(v, 8192, 7), repr(v)
+
+
+def test_bloom_positions_int_canonicalization(spark):
+    """Integer columns canonicalize through CAST(bigint AS STRING) on
+    the JVM and str(int) in the probe — pin the corners (negatives,
+    zero, int64 extremes)."""
+    from lambda_hive_spark.lakehouse import _bloom_positions
+
+    ints = [0, -1, 5, -5, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(i,) for i in ints], "v long").selectExpr(
+        "CAST(v AS STRING) AS v"
+    )
+    strs = [r["v"] for r in df.collect()]
+    assert strs == [str(i) for i in ints]  # canonical forms agree
+    got = _spark_bloom_positions(spark, strs, 8192, 7)
+    for i in ints:
+        assert got[str(i)] == _bloom_positions(i, 8192, 7), i
