@@ -599,6 +599,201 @@ def scan(
     return df
 
 
+_NUM_RE = r"-?\d+(?:\.\d+)?"
+_STR_RE = r"'(?:[^']|'')*'"
+_LIT_RE = f"(?:{_NUM_RE}|{_STR_RE})"
+_ID_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _parse_lit(s: str):
+    s = s.strip()
+    if s.startswith("'"):
+        return s[1:-1].replace("''", "'")
+    return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+
+
+def _split_top_and(s: str) -> list[str]:
+    """Split on AND at paren depth 0, outside string literals. BETWEEN
+    clauses are placeholder-substituted before this runs, so their
+    internal AND never reaches here."""
+    import re
+
+    parts, depth, in_str, start = [], 0, False, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = s[i + 1 : i + 2] == "'"  # '' stays inside
+                i += 2 if in_str else 1
+                continue
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)\bAND\b", s[i : i + 3]):
+            # word boundary on both sides
+            if (i == 0 or not s[i - 1].isalnum()) and not (
+                len(s) > i + 3 and (s[i + 3].isalnum() or s[i + 3] == "_")
+            ):
+                parts.append(s[start:i])
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _has_top_level_or(s: str) -> bool:
+    """True if an OR occurs at paren depth 0 outside string literals.
+    SQL's AND binds tighter than OR, so `a AND b OR c` is `(a AND b)
+    OR c` — splitting such an expression on AND would emit bounds the
+    predicate does NOT imply (unsound pruning). Any top-level OR
+    therefore voids the whole expression's contribution."""
+    depth, in_str, i = 0, False, 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = s[i + 1 : i + 2] == "'"
+                i += 2 if in_str else 1
+                continue
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "oO"
+            and s[i : i + 2].upper() == "OR"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and not (len(s) > i + 2 and (s[i + 2].isalnum() or s[i + 2] == "_"))
+        ):
+            return True
+        i += 1
+    return False
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, c in enumerate(s):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # the first paren closes early: not outer
+        s = s[1:-1].strip()
+    return s
+
+
+def compile_prune_box(predicate: str) -> dict:
+    """Derive the file-skipping stats box IMPLIED by a SQL predicate —
+    the read/delete-side twin of what every lakehouse query planner
+    does before listing files. Sound by construction: only bounds the
+    whole predicate implies are emitted, so a pruned file provably
+    contains no qualifying row.
+
+    Handled (conjunctive, literal-vs-column): ``=  <  <=  >  >=``
+    (either operand order), ``BETWEEN``, ``IN (literals)`` (min/max
+    envelope), nested parenthesized conjunctions. Everything else —
+    OR branches, NOT, IS NULL, function calls, column-to-column —
+    contributes NOTHING (conservative: fewer files skipped, never a
+    lost row). A contradictory conjunction (x > 5 AND x < 3) yields
+    an empty-range box that prunes every file — correct, since the
+    predicate selects no rows. At 100 TB this is the difference
+    between "delete one day" rewriting a partition and rewriting the
+    table, without the caller hand-deriving bounds."""
+    import re
+
+    # 1. lift BETWEEN clauses out so their AND survives the split
+    betweens: list[tuple[str, str, str]] = []
+
+    def _stash(mo):
+        betweens.append((mo.group(1), mo.group(2), mo.group(3)))
+        return f" __BETWEEN_{len(betweens) - 1}__ "
+
+    s = re.sub(
+        rf"(?i)\b({_ID_RE})\s+BETWEEN\s+({_LIT_RE})\s+AND\s+({_LIT_RE})",
+        _stash,
+        predicate,
+    )
+
+    box: dict[str, list] = {}
+
+    def _bound(col: str, lo=None, hi=None):
+        cur = box.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    cmp_re = re.compile(
+        rf"^({_ID_RE})\s*(=|>=|<=|>|<)\s*({_LIT_RE})$|"
+        rf"^({_LIT_RE})\s*(=|>=|<=|>|<)\s*({_ID_RE})$"
+    )
+    in_re = re.compile(rf"^({_ID_RE})\s+IN\s*\(\s*({_LIT_RE}(?:\s*,\s*{_LIT_RE})*)\s*\)$", re.I)
+    lit_split_re = re.compile(rf"{_LIT_RE}")
+
+    def _walk(expr: str):
+        expr = _strip_outer_parens(expr)
+        if _has_top_level_or(expr):
+            return  # (a AND b) OR c implies none of a, b, c
+        for part in _split_top_and(expr):
+            part = _strip_outer_parens(part)
+            if len(_split_top_and(part)) > 1:  # (a AND b) nested group
+                _walk(part)  # re-enters with its own OR guard
+                continue
+            mo = re.match(r"^__BETWEEN_(\d+)__$", part)
+            if mo:
+                col, a, b = betweens[int(mo.group(1))]
+                _bound(col, lo=_parse_lit(a), hi=_parse_lit(b))
+                continue
+            mo = cmp_re.match(part)
+            if mo:
+                if mo.group(1) is not None:
+                    col, op, lit = mo.group(1), mo.group(2), _parse_lit(mo.group(3))
+                else:  # literal on the left: flip the operator
+                    lit, op, col = _parse_lit(mo.group(4)), mo.group(5), mo.group(6)
+                    op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+                if op == "=":
+                    _bound(col, lo=lit, hi=lit)
+                elif op in (">", ">="):
+                    _bound(col, lo=lit)
+                else:
+                    _bound(col, hi=lit)
+                continue
+            mo = in_re.match(part)
+            if mo:
+                lits = [_parse_lit(x.group(0)) for x in lit_split_re.finditer(mo.group(2))]
+                if lits:
+                    _bound(mo.group(1), lo=min(lits), hi=max(lits))
+                continue
+            # any other shape (OR branch, NOT, IS NULL, functions,
+            # column-to-column) contributes nothing — conservative
+
+    _walk(s)  # the BETWEEN-stashed form — its internal ANDs are safe
+    return {c: (lo, hi) for c, (lo, hi) in box.items()}
+
+
+def scan_where(spark: SparkSession, path: str, predicate: str, *, version: int | None = None) -> DataFrame:
+    """Predicate scan with AUTOMATIC stats pruning: the sargable
+    bounds are compiled from the predicate (compile_prune_box), files
+    the footer stats clear are never planned, and the FULL predicate
+    runs as the residual row filter — so non-sargable clauses still
+    apply exactly. read().filter(pred) with fewer files, from one
+    manifest read."""
+    df = scan(spark, path, predicates=compile_prune_box(predicate) or None, version=version)
+    return df.filter(predicate)
+
+
 _CHANGES = "changes"
 
 
@@ -714,7 +909,7 @@ def delete_where(
     path: str,
     predicate: str,
     *,
-    prune: dict | None = None,
+    prune: dict | str | None = None,
     track_changes: bool = False,
 ) -> int:
     """Copy-on-write DELETE: rows where `predicate` (a SQL boolean
@@ -731,7 +926,13 @@ def delete_where(
     change feed tagged `delete` (read_changes serves them) — CDC
     consumers and incremental view maintenance see retractions, not a
     silent row-count drop. A delete committed WITHOUT tracking refuses
-    read_changes, exactly like an untracked merge."""
+    read_changes, exactly like an untracked merge.
+
+    ``prune="auto"`` compiles the stats box from the predicate itself
+    (compile_prune_box) — sound sargable bounds only, so pruning can
+    never drop a row the predicate matches."""
+    if prune == "auto":
+        prune = compile_prune_box(predicate) or None
     while True:
         m = read_manifest(path)
         key = m["key"]

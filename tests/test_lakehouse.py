@@ -704,3 +704,71 @@ def test_bloom_multi_column_indexes_coexist_and_intersect(spark, tmp_path):
     blooms2 = lh.read_manifest(path)["bloom"]
     assert blooms2["name"] == blooms["name"]
     assert blooms2["id"] != blooms["id"]
+
+
+# -------------------------------------------- sargable predicate compilation
+
+
+def test_compile_prune_box_shapes():
+    c = lh.compile_prune_box
+    assert c("id >= 5 AND id < 10") == {"id": (5, 10)}
+    assert c("5 <= id AND 10 > id") == {"id": (5, 10)}  # flipped operands
+    assert c("id = 7") == {"id": (7, 7)}
+    assert c("id BETWEEN 3 AND 9 AND val <= 100") == {"id": (3, 9), "val": (None, 100)}
+    assert c("id IN (4, 2, 8)") == {"id": (2, 8)}
+    assert c("name = 'x''y'") == {"name": ("x'y", "x'y")}
+    assert c("(id > 1 AND (id < 9 AND val = 0))") == {"id": (1, 9), "val": (0, 0)}
+    # intersect: tightest bounds win
+    assert c("id >= 2 AND id >= 5 AND id <= 9 AND id <= 7") == {"id": (5, 7)}
+
+
+def test_compile_prune_box_is_conservative():
+    c = lh.compile_prune_box
+    # a top-level OR voids everything: a AND b OR c == (a AND b) OR c
+    assert c("id > 5 AND val = 1 OR id < 2") == {}
+    assert c("id > 5 OR id < 2") == {}
+    assert c("(id > 5) OR (id < 2)") == {}
+    # non-sargable conjuncts contribute nothing but don't poison others
+    assert c("id % 3 = 0 AND val < 50") == {"val": (None, 50)}
+    assert c("NOT id = 5 AND val >= 7") == {"val": (7, None)}
+    assert c("upper(name) = 'X' AND id <= 4") == {"id": (None, 4)}
+    # a parenthesized group containing OR is opaque
+    assert c("(id = 1 OR id = 9) AND val > 0") == {"val": (0, None)}
+    # BETWEEN inside an OR branch must not leak its bounds
+    assert c("(id BETWEEN 1 AND 2) OR val = 3") == {}
+
+
+def test_scan_where_prunes_files_and_matches_filter(spark, tmp_path):
+    path = str(tmp_path / "sw")
+    df = (
+        spark.range(1000)
+        .select("id", (F.col("id") * 10).alias("val"))
+        .repartitionByRange(10, "id")
+    )
+    lh.create(spark, path, df, key="id")
+    pred = "id BETWEEN 100 AND 199 AND val % 20 = 0"
+    box = lh.compile_prune_box(pred)
+    planned = len(lh.plan_files(path, predicates=box))
+    assert planned < 10  # the box really pruned file planning
+    got = sorted(r["id"] for r in lh.scan_where(spark, path, pred).collect())
+    want = sorted(
+        r["id"] for r in lh.read(spark, path).filter(pred).collect()
+    )
+    assert got == want and len(got) == 50
+
+
+def test_delete_where_auto_prune(spark, tmp_path):
+    path = str(tmp_path / "adel")
+    df = (
+        spark.range(1000)
+        .select("id", (F.col("id") * 10).alias("val"))
+        .repartitionByRange(10, "id")
+    )
+    lh.create(spark, path, df, key="id")
+    before = {f["path"] for f in lh.read_manifest(path)["files"]}
+    lh.delete_where(spark, path, "id BETWEEN 100 AND 199", prune="auto")
+    after = lh.read_manifest(path)["files"]
+    carried = sum(1 for f in after if f["path"] in before)
+    assert carried >= len(before) - 2  # only intersecting files rewrote
+    assert lh.read(spark, path).count() == 900
+    assert lh.read(spark, path).filter("id BETWEEN 100 AND 199").count() == 0

@@ -282,3 +282,40 @@ def test_bloom_positions_int_canonicalization(spark):
     got = _spark_bloom_positions(spark, strs, 8192, 7)
     for i in ints:
         assert got[str(i)] == _bloom_positions(i, 8192, 7), i
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.integers(min_value=-50, max_value=1050),
+    b=st.integers(min_value=-50, max_value=1050),
+    v=st.integers(min_value=0, max_value=10000),
+    op=st.sampled_from([">", ">=", "<", "<=", "="]),
+)
+def test_scan_where_equals_full_filter(spark_h, tmp_path_factory, a, b, v, op):
+    """Auto-pruned scans must return exactly read().filter(pred) for
+    arbitrary sargable predicates — pruning may only skip files the
+    predicate provably cannot match (lost rows = the unforgivable
+    pruning failure)."""
+    from lambda_hive_spark import lakehouse as lh
+
+    global _SW_PATH
+    if "_SW_PATH" not in globals():
+        path = str(tmp_path_factory.mktemp("swprop") / "tbl")
+        df = (
+            _SPARK.range(1000)
+            .select("id", (F.col("id") * 10).alias("val"))
+            .repartitionByRange(10, "id")
+        )
+        lh.create(_SPARK, path, df, key="id")
+        _SW_PATH = path
+    lo, hi = min(a, b), max(a, b)
+    pred = f"id BETWEEN {lo} AND {hi} AND val {op} {v}"
+    got = sorted(r["id"] for r in lh.scan_where(spark_h, _SW_PATH, pred).collect())
+    want = sorted(
+        r["id"] for r in lh.read(spark_h, _SW_PATH).filter(pred).collect()
+    )
+    assert got == want
