@@ -96,6 +96,42 @@ class SchemaMismatch(Exception):
     is the table layer's whole point."""
 
 
+class ConstraintViolation(Exception):
+    """An incoming batch (or, for add_constraint, the existing table)
+    contains rows where a CHECK constraint evaluates FALSE. The write
+    is refused whole — partial admission would leave the table in a
+    state no constraint-trusting reader can reason about. NULL-valued
+    predicates PASS (SQL CHECK semantics, same as Delta's): a
+    constraint constrains what is present, not what is missing."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            "CHECK constraint(s) violated: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in violations.items())
+        )
+
+
+def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Refuse a batch containing rows where any constraint is FALSE.
+    ONE aggregation job over the batch regardless of constraint count
+    (each is a conditional SUM column); a violation reports every
+    failing constraint with its row count. At 100 TB the batch is the
+    bounded side — the table itself is never rescanned here."""
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"NOT coalesce(({e}), TRUE)"), 1).otherwise(0)
+        ).alias(name)
+        for name, e in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        raise ConstraintViolation(bad)
+
+
 def _manifest_schema(m: dict) -> StructType | None:
     """Snapshot schema recorded in the manifest (None for manifests
     written before schema tracking — reads fall back to file-inferred
@@ -213,6 +249,10 @@ def _commit(path: str, build_entry):
             entry["bloom"] = head["bloom"]
         if entry.get("bloom") is None:  # restore-to-preindex: drop, not null
             entry.pop("bloom", None)
+        if head is not None and "constraints" not in entry and head.get("constraints"):
+            entry["constraints"] = head["constraints"]
+        if entry.get("constraints") is None:
+            entry.pop("constraints", None)
         staged = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as fh:
             json.dump(entry, fh, indent=1, sort_keys=True)
@@ -224,11 +264,23 @@ def _commit(path: str, build_entry):
             os.unlink(staged)  # lost the race — rebuild against new head
 
 
-def create(spark: SparkSession, path: str, df: DataFrame, key: str) -> int:
+def create(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key: str,
+    *,
+    constraints: dict[str, str] | None = None,
+) -> int:
     """Create a lake table at `path` (must not exist) keyed by `key`
-    (the column MERGE prunes on)."""
+    (the column MERGE prunes on). ``constraints`` maps name → SQL
+    boolean expression: CHECK constraints every future write batch is
+    validated against (the value-level companion to the schema-drift
+    refusal); the seed data itself must satisfy them."""
     if os.path.exists(_log_dir(path)) and current_version(path) > 0:
         raise FileExistsError(f"lake table already exists: {path}")
+    if constraints:
+        _validate_constraints(df, constraints)
     files = _write_data_files(df, path, key)
 
     schema_json = df.schema.json()
@@ -236,7 +288,10 @@ def create(spark: SparkSession, path: str, df: DataFrame, key: str) -> int:
     def build(head):
         if head is not None:
             raise FileExistsError(f"lake table already exists: {path}")
-        return {"action": "create", "key": key, "files": files, "schema": schema_json, "txns": {}}
+        entry = {"action": "create", "key": key, "files": files, "schema": schema_json, "txns": {}}
+        if constraints:
+            entry["constraints"] = dict(constraints)
+        return entry
 
     return _commit(path, build)
 
@@ -247,8 +302,13 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     silent drift raises SchemaMismatch. With ``merge_schema=True``
     genuinely-new columns WIDEN the snapshot schema (recorded in the
     new manifest; older files null-fill on read), and columns the
-    batch omits are allowed (its files null-fill them)."""
-    key = read_manifest(path)["key"]
+    batch omits are allowed (its files null-fill them). CHECK
+    constraints validate against the head snapshot read at call time
+    (a constraint added by a racing commit governs the NEXT write —
+    the same read-snapshot semantics Delta's invariants have)."""
+    m = read_manifest(path)
+    key = m["key"]
+    _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key)
 
     def build(head):
@@ -315,6 +375,7 @@ def append_idempotent(
     if m.get("txns", {}).get(writer_id, -1) >= batch_id:
         return current_version(path)
     key = m["key"]
+    _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key)
 
     def build(head):
@@ -832,6 +893,7 @@ def merge_upsert(
     while True:
         m = read_manifest(path)
         key = key or m["key"]
+        _validate_constraints(updates, m.get("constraints") or {})
         lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
         if lo is None:
             raise ValueError("merge_upsert: updates batch is empty")
@@ -1139,6 +1201,52 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             _discard_orphans(new_files)
 
 
+def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
+    """Add a CHECK constraint as a metadata-only commit — AFTER
+    validating the EXISTING snapshot against it (one scan; a
+    constraint the current data violates is refused, because a
+    constraint that doesn't hold is worse than none). Rewrites zero
+    data files; every subsequent write batch validates against it."""
+    m = read_manifest(path)
+    if name in (m.get("constraints") or {}):
+        raise ValueError(f"constraint already exists: {name}")
+    _validate_constraints(read(spark, path), {name: expr})
+
+    def build(head):
+        cons = dict(head.get("constraints") or {})
+        cons[name] = expr
+        return {
+            "action": "add_constraint",
+            "key": head["key"],
+            "files": head["files"],
+            "schema": head.get("schema"),
+            "txns": head.get("txns", {}),
+            "constraints": cons,
+        }
+
+    return _commit(path, build)
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Remove a CHECK constraint (metadata-only commit)."""
+    if name not in (read_manifest(path).get("constraints") or {}):
+        raise ValueError(f"no such constraint: {name}")
+
+    def build(head):
+        cons = dict(head.get("constraints") or {})
+        cons.pop(name, None)
+        return {
+            "action": "drop_constraint",
+            "key": head["key"],
+            "files": head["files"],
+            "schema": head.get("schema"),
+            "txns": head.get("txns", {}),
+            "constraints": cons or None,
+        }
+
+    return _commit(path, build)
+
+
 def restore(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE the table to an earlier snapshot as a NEW commit (Delta
     RESTORE shape): the head's file list becomes version N's file list
@@ -1160,6 +1268,16 @@ def restore(spark: SparkSession, path: str, version: int) -> int:
         raise FileNotFoundError(
             f"restore: version {version} reaches past the vacuum horizon "
             f"({len(missing)} data files gone, e.g. {missing[0]})"
+        )
+    # Constraints are governance, not content: they carry forward from
+    # the HEAD (like the txn ledger), so a restore must not smuggle in
+    # rows a since-added CHECK forbids — validate the target snapshot
+    # (one scan, only when constraints exist; O(1) otherwise).
+    head_cons = read_manifest(path).get("constraints") or {}
+    if head_cons and target["files"]:
+        _validate_constraints(
+            _read_snapshot_files(spark, target, [f["path"] for f in target["files"]]),
+            head_cons,
         )
 
     def build(head):

@@ -783,3 +783,87 @@ def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, files_reclaimed boolean, head_intact boolean, "
         "horizon_enforced boolean",
     )
+
+
+@op(
+    "lake_constraint_audit",
+    oracle="""
+SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS refused_violation,
+       TRUE AS landed_valid,
+       TRUE AS refused_retroactive,
+       CAST(3 AS BIGINT) AS n_constraints
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end-to-end (Delta invariants shape): orders
+    lands with two constraints (non-negative price, key present); a
+    batch with negated prices is REFUSED whole (ConstraintViolation
+    carries per-constraint row counts), a clean re-keyed batch lands,
+    a retroactive constraint the existing data violates is refused at
+    add time (a constraint that doesn't hold is worse than none), and
+    a satisfiable one commits metadata-only. The audit row gates the
+    invariants: head row count equals seed + the one valid batch
+    (nothing from the refused batch leaked), both refusals fired, and
+    the final constraint count is exact. NULL predicate rows PASS
+    (SQL CHECK semantics) — the heavy-null perturbation corpus rides
+    through the price constraint untouched by construction.
+
+    Scale: validation is ONE aggregation over the WRITE BATCH (all
+    constraints as conditional sums in a single job) — the table is
+    rescanned only by add_constraint, which is the point: enforcement
+    rides the bounded side of every write, exactly like schema
+    validation. Constraints live in the manifest and carry forward
+    through merge/compact/restore commits automatically."""
+    path = _fresh_table_dir("constraint", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(
+        spark,
+        path,
+        base.repartitionByRange(4, "o_orderkey"),
+        key="o_orderkey",
+        constraints={
+            "price_nonneg": "o_totalprice >= 0",
+            "key_present": "o_orderkey IS NOT NULL",
+        },
+    )
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+
+    poisoned = base.filter(F.col("o_totalprice").isNotNull()).select(
+        (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    refused_violation = False
+    try:
+        lh.append(spark, path, poisoned)
+    except lh.ConstraintViolation as e:
+        refused_violation = "price_nonneg" in e.violations
+
+    valid = base.select(
+        (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"), "o_totalprice"
+    )
+    lh.append(spark, path, valid)
+    landed_valid = lh.read(spark, path).count() == 2 * base.count()
+
+    refused_retroactive = False
+    try:
+        lh.add_constraint(spark, path, "price_tiny", "o_totalprice <= 1.0")
+    except lh.ConstraintViolation:
+        refused_retroactive = True
+    lh.add_constraint(spark, path, "price_cap", "o_totalprice <= 1e12")
+
+    return spark.createDataFrame(
+        [
+            (
+                lh.read(spark, path).count(),
+                refused_violation,
+                landed_valid,
+                refused_retroactive,
+                len(lh.read_manifest(path)["constraints"]),
+            )
+        ],
+        "n_rows long, refused_violation boolean, landed_valid boolean, "
+        "refused_retroactive boolean, n_constraints long",
+    )

@@ -772,3 +772,74 @@ def test_delete_where_auto_prune(spark, tmp_path):
     assert carried >= len(before) - 2  # only intersecting files rewrote
     assert lh.read(spark, path).count() == 900
     assert lh.read(spark, path).filter("id BETWEEN 100 AND 199").count() == 0
+
+
+# ---------------------------------------------------------- CHECK constraints
+
+
+def test_constraints_refuse_bad_batches_whole(spark, tmp_path):
+    path = str(tmp_path / "ctbl")
+    df = spark.range(10).select("id", (F.col("id") * 10).alias("val"))
+    lh.create(spark, path, df, key="id", constraints={"val_nonneg": "val >= 0"})
+    bad = spark.createDataFrame([(100, 5), (101, -1), (102, -2)], "id long, val long")
+    with pytest.raises(lh.ConstraintViolation) as ei:
+        lh.append(spark, path, bad)
+    assert ei.value.violations == {"val_nonneg": 2}
+    # the refusal is atomic: nothing from the batch landed
+    assert lh.read(spark, path).count() == 10
+    # merge validates too
+    with pytest.raises(lh.ConstraintViolation):
+        lh.merge_upsert(spark, path, bad)
+    # idempotent appends validate before touching the ledger
+    with pytest.raises(lh.ConstraintViolation):
+        lh.append_idempotent(spark, path, bad, writer_id="w", batch_id=1)
+    ok = spark.createDataFrame([(100, 5)], "id long, val long")
+    lh.append_idempotent(spark, path, ok, writer_id="w", batch_id=1)
+    assert lh.read(spark, path).count() == 11
+
+
+def test_constraint_nulls_pass_and_create_validates_seed(spark, tmp_path):
+    path = str(tmp_path / "ntbl")
+    df = spark.createDataFrame([(1, 10), (2, None)], "id long, val long")
+    # NULL predicate passes (SQL CHECK semantics)
+    lh.create(spark, path, df, key="id", constraints={"val_pos": "val > 0"})
+    with pytest.raises(lh.ConstraintViolation):
+        lh.create(
+            spark,
+            str(tmp_path / "ntbl2"),
+            spark.createDataFrame([(1, -5)], "id long, val long"),
+            key="id",
+            constraints={"val_pos": "val > 0"},
+        )
+
+
+def test_add_drop_constraint_and_carry_through_commits(spark, tmp_path):
+    path = str(tmp_path / "atbl")
+    df = spark.range(10).select("id", (F.col("id") * 10).alias("val"))
+    lh.create(spark, path, df, key="id")
+    with pytest.raises(lh.ConstraintViolation):
+        lh.add_constraint(spark, path, "val_small", "val < 50")  # data violates
+    lh.add_constraint(spark, path, "val_nonneg", "val >= 0")
+    with pytest.raises(ValueError):
+        lh.add_constraint(spark, path, "val_nonneg", "val >= 0")  # duplicate
+    # the constraint survives a compaction commit and still enforces
+    lh.compact(spark, path, num_files=1)
+    assert lh.read_manifest(path)["constraints"] == {"val_nonneg": "val >= 0"}
+    with pytest.raises(lh.ConstraintViolation):
+        lh.append(spark, path, spark.createDataFrame([(99, -1)], "id long, val long"))
+    lh.drop_constraint(path, "val_nonneg")
+    lh.append(spark, path, spark.createDataFrame([(99, -1)], "id long, val long"))
+    assert lh.read(spark, path).count() == 11
+    assert "constraints" not in lh.read_manifest(path)
+
+
+def test_restore_validates_against_head_constraints(spark, tmp_path):
+    path = str(tmp_path / "rtbl")
+    v1_data = spark.createDataFrame([(1, -5), (2, 3)], "id long, val long")
+    lh.create(spark, path, v1_data, key="id")
+    lh.delete_where(spark, path, "val < 0")  # v2: only positive rows remain
+    lh.add_constraint(spark, path, "val_nonneg", "val >= 0")  # v3
+    with pytest.raises(lh.ConstraintViolation):
+        lh.restore(spark, path, 1)  # would smuggle the -5 row back in
+    lh.restore(spark, path, 2)  # the clean snapshot restores fine
+    assert lh.read(spark, path).count() == 1
