@@ -253,6 +253,21 @@ def _commit(path: str, build_entry):
             entry["constraints"] = head["constraints"]
         if entry.get("constraints") is None:
             entry.pop("constraints", None)
+        # Operation metrics, derived from the manifest diff alone (zero
+        # data I/O — file row counts are footer stats already in hand):
+        # net_rows is the commit's logical row delta (+batch for an
+        # append, -deleted for a delete, 0 for layout-only rewrites).
+        old_rows = {f["path"]: f["rows"] for f in (head or {}).get("files", [])}
+        new_rows = {f["path"]: f["rows"] for f in entry.get("files", [])}
+        entry["metrics"] = {
+            "files_added": sum(1 for p in new_rows if p not in old_rows),
+            "files_removed": sum(1 for p in old_rows if p not in new_rows),
+            "rows_added": sum(r for p, r in new_rows.items() if p not in old_rows),
+            "rows_removed": sum(r for p, r in old_rows.items() if p not in new_rows),
+        }
+        entry["metrics"]["net_rows"] = (
+            entry["metrics"]["rows_added"] - entry["metrics"]["rows_removed"]
+        )
         staged = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as fh:
             json.dump(entry, fh, indent=1, sort_keys=True)
@@ -1199,6 +1214,32 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             return _commit(path, build)
         except CommitConflict:
             _discard_orphans(new_files)
+
+
+def history(path: str) -> list[dict]:
+    """The table's commit history, oldest first (Delta DESCRIBE
+    HISTORY shape): one entry per surviving manifest with version,
+    action, parent, and the operation metrics recorded at commit time
+    (file/row adds+removes and the logical net_rows delta, all derived
+    from manifest diffs — reading history costs log reads only, never
+    data I/O). Vacuumed versions are absent: history reaches exactly
+    as far as time travel does."""
+    head = current_version(path)
+    out = []
+    for v in range(1, head + 1):
+        try:
+            m = read_manifest(path, v)
+        except FileNotFoundError:
+            continue  # vacuumed past the horizon
+        out.append(
+            {
+                "version": m["version"],
+                "action": m.get("action"),
+                "parent": m.get("parent"),
+                "metrics": m.get("metrics", {}),
+            }
+        )
+    return out
 
 
 def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:

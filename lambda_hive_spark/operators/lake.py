@@ -867,3 +867,55 @@ def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, refused_violation boolean, landed_valid boolean, "
         "refused_retroactive boolean, n_constraints long",
     )
+
+
+@op(
+    "lake_history_metrics",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS version, 'create' AS action,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS net_rows
+FROM orders
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'append',
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'delete',
+       CAST(-COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT CAST(4 AS BIGINT), 'compact', CAST(0 * COUNT(*) AS BIGINT) FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit history with operation metrics (Delta DESCRIBE HISTORY
+    shape): create the evens (v1), append the odds (v2), delete every
+    3rd key (v3), compact (v4) — then read the table's own history.
+    Each commit's `net_rows` (logical row delta, derived at commit
+    time from the manifest file-stats diff, zero data I/O) must equal
+    the relational truth: +evens, +odds, -every-3rd, and EXACTLY ZERO
+    for the compaction (a layout-only rewrite that changed net_rows
+    would mean rows were lost or invented by maintenance — the
+    invariant this op pins).
+
+    Scale: history is log-read-only observability — at 100 TB an
+    operator answers "what changed, when, how much" from manifests
+    alone; per-commit metrics cost nothing extra because footer row
+    counts are already in the manifest for pruning."""
+    path = _fresh_table_dir("history", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(
+        spark,
+        path,
+        base.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_orderkey"),
+        key="o_orderkey",
+    )
+    lh.append(spark, path, base.filter(F.col("o_orderkey") % 2 == 1))
+    lh.delete_where(spark, path, "o_orderkey % 3 = 0")
+    lh.compact(spark, path, num_files=2)
+    hist = lh.history(path)
+    return spark.createDataFrame(
+        [(h["version"], h["action"], h["metrics"]["net_rows"]) for h in hist],
+        "version long, action string, net_rows long",
+    )

@@ -843,3 +843,23 @@ def test_restore_validates_against_head_constraints(spark, tmp_path):
         lh.restore(spark, path, 1)  # would smuggle the -5 row back in
     lh.restore(spark, path, 2)  # the clean snapshot restores fine
     assert lh.read(spark, path).count() == 1
+
+
+def test_history_metrics_track_commits_and_vacuum_horizon(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=100)  # v1: +100
+    lh.append(spark, path, spark.range(100, 130).select("id", (F.col("id") * 10).alias("val")))
+    lh.merge_upsert(  # 1 update + 1 insert: net +1
+        spark, path, spark.createDataFrame([(5, -5), (500, 1)], "id long, val long")
+    )
+    lh.compact(spark, path, num_files=1)  # layout only: net 0
+    hist = lh.history(path)
+    assert [(h["version"], h["action"], h["metrics"]["net_rows"]) for h in hist] == [
+        (1, "create", 100),
+        (2, "append", 30),
+        (3, "merge", 1),
+        (4, "compact", 0),
+    ]
+    assert all(h["metrics"]["rows_added"] >= 0 for h in hist)
+    lh.vacuum(path, keep_last=2)
+    trimmed = lh.history(path)  # history reaches exactly the horizon
+    assert [h["version"] for h in trimmed] == [3, 4]
