@@ -890,6 +890,7 @@ def merge_upsert(
     *,
     key: str | None = None,
     track_changes: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Upsert `updates` by the table key: rows with matching keys are
     replaced, new keys are inserted. Only data files whose footer
@@ -909,6 +910,20 @@ def merge_upsert(
         m = read_manifest(path)
         key = key or m["key"]
         _validate_constraints(updates, m.get("constraints") or {})
+        # The same silent-drift contract append carries: an updates
+        # batch with columns the table lacks refuses unless the caller
+        # opts into evolution (unionByName(allowMissingColumns) below
+        # would otherwise widen the schema as a side effect of MERGE).
+        head_schema = _manifest_schema(m)
+        batch_new = []
+        if head_schema is not None:
+            head_names = set(head_schema.fieldNames())
+            batch_new = [f for f in updates.schema.fields if f.name not in head_names]
+            if batch_new and not merge_schema:
+                raise SchemaMismatch(
+                    f"merge batch adds columns {[f.name for f in batch_new]}; "
+                    "pass merge_schema=True to evolve"
+                )
         lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
         if lo is None:
             raise ValueError("merge_upsert: updates batch is empty")
@@ -961,11 +976,19 @@ def merge_upsert(
             if not touched_paths <= head_paths:
                 raise CommitConflict
             head_kept = [f for f in head["files"] if f["path"] not in touched_paths]
+            schema_json = head.get("schema")
+            if batch_new:  # opted-in evolution: record the widened schema
+                hs = _manifest_schema(head)
+                if hs is not None:
+                    have = set(hs.fieldNames())
+                    add = [f for f in batch_new if f.name not in have]
+                    if add:
+                        schema_json = StructType(hs.fields + add).json()
             entry = {
                 "action": "merge",
                 "key": head["key"],
                 "files": head_kept + new_files,
-                "schema": head.get("schema"),
+                "schema": schema_json,
                 "txns": head.get("txns", {}),
             }
             if track_changes:

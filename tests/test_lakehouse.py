@@ -863,3 +863,17 @@ def test_history_metrics_track_commits_and_vacuum_horizon(spark, tmp_path):
     lh.vacuum(path, keep_last=2)
     trimmed = lh.history(path)  # history reaches exactly the horizon
     assert [h["version"] for h in trimmed] == [3, 4]
+
+
+def test_merge_refuses_silent_schema_drift_and_evolves_on_optin(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    widened = spark.createDataFrame([(3, -3, "x")], "id long, val long, tag string")
+    with pytest.raises(lh.SchemaMismatch):
+        lh.merge_upsert(spark, path, widened)
+    assert lh.read(spark, path).columns == ["id", "val"]  # nothing leaked
+    lh.merge_upsert(spark, path, widened, merge_schema=True)
+    head = lh.read(spark, path)
+    assert head.columns == ["id", "val", "tag"]
+    got = {(r["id"], r["val"], r["tag"]) for r in head.collect()}
+    assert (3, -3, "x") in got
+    assert (5, 50, None) in got  # untouched rows null-fill the new column
