@@ -505,29 +505,59 @@ def bloom_index(
     m_bits = 1 << max(13, int(max_rows * bits_per_row - 1).bit_length())
 
     df = _read_snapshot_files(spark, m, [f["path"] for f in files])
+    # No distinct and no position explode: setting a bit twice is
+    # idempotent, so deduplication buys nothing and costs a full
+    # row-shuffle; materializing k positions per row would shuffle
+    # k×rows. Instead the ONLY shuffled payload is bitsets: each scan
+    # partition folds its rows into per-file partial bitsets in numpy
+    # (the two 60-bit salted-md5 hashes come from JVM expressions, so
+    # the bit positions are exactly _bloom_positions'), and a final
+    # m/8-byte OR-merge per file reconciles files that split across
+    # partitions. Shuffle volume: O(splits × m/8), independent of
+    # row count — the 100 TB build is one scan plus a KB-scale merge.
     hashed = df.select(
         F.input_file_name().alias("_file"),
         F.col(col).cast("string").alias("_v"),
-    ).where("_v IS NOT NULL").distinct().selectExpr(
+    ).where("_v IS NOT NULL").selectExpr(
         "_file",
         f"CAST(CONV(SUBSTRING(MD5(CONCAT(_v, '{_BLOOM_SALT1}')), 1, 15), 16, 10)"
         " AS BIGINT) AS _h1",
         f"(CAST(CONV(SUBSTRING(MD5(CONCAT(_v, '{_BLOOM_SALT2}')), 1, 15), 16, 10)"
         " AS BIGINT) | 1) AS _h2",
     )
-    pos = hashed.selectExpr(
-        "_file",
-        f"explode(transform(sequence(0, {k - 1}),"
-        f" i -> (_h1 + i * _h2) % {m_bits}L)) AS _pos",
-    )
 
-    def _fold(pdf):
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for file, grp in pdf.groupby("_file", sort=False):
+                arr = acc.get(file)
+                if arr is None:
+                    arr = acc[file] = np.zeros(m_bits // 8, dtype=np.uint8)
+                h1 = grp["_h1"].to_numpy()
+                h2 = grp["_h2"].to_numpy()
+                for i in range(k):  # h1 + i*h2 < 7·2^60 < 2^63: exact int64
+                    p = (h1 + i * h2) % m_bits
+                    np.bitwise_or.at(arr, p // 8, (1 << (p % 8)).astype(np.uint8))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "_file": list(acc),
+                    "_bits": [
+                        base64.b64encode(a.tobytes()).decode() for a in acc.values()
+                    ],
+                }
+            )
+
+    def _or_merge(pdf):
         import numpy as np
         import pandas as pd
 
         arr = np.zeros(m_bits // 8, dtype=np.uint8)
-        p = pdf["_pos"].to_numpy()
-        np.bitwise_or.at(arr, p // 8, (1 << (p % 8)).astype(np.uint8))
+        for b in pdf["_bits"]:
+            arr |= np.frombuffer(base64.b64decode(b), dtype=np.uint8)
         return pd.DataFrame(
             {
                 "_file": [pdf["_file"].iloc[0]],
@@ -536,8 +566,9 @@ def bloom_index(
         )
 
     rows = (
-        pos.groupBy("_file")
-        .applyInPandas(_fold, "_file string, _bits string")
+        hashed.mapInPandas(_partials, "_file string, _bits string")
+        .groupBy("_file")
+        .applyInPandas(_or_merge, "_file string, _bits string")
         .collect()  # bounded: one row per data file, m/8 bytes each
     )
     bitsets = {_plain_path(r["_file"]): r["_bits"] for r in rows}
