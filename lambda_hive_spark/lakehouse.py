@@ -600,6 +600,26 @@ def _bloom_admits(bitset_b64: str, positions: list[int]) -> bool:
     return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
 
 
+_SIDECAR_CACHE: dict[str, dict] = {}
+_SIDECAR_CACHE_MAX = 8
+
+
+def _load_sidecar(path: str) -> dict:
+    """Sidecars are immutable once written (uuid-named, published by
+    the commit that references them), so caching by path is always
+    coherent; a small LRU bounds driver memory (a 15M-row index's
+    sidecar is ~45 MB of b64 — re-parsing it per point probe was the
+    dominant probe cost)."""
+    hit = _SIDECAR_CACHE.pop(path, None)
+    if hit is None:
+        with open(path) as fh:
+            hit = json.load(fh)["files"]
+    _SIDECAR_CACHE[path] = hit  # re-insert: most-recently-used last
+    while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    return hit
+
+
 def plan_files(
     path: str,
     *,
@@ -629,8 +649,7 @@ def plan_files(
     for col, v in (point or {}).items():
         bl = blooms.get(col)
         if bl:
-            with open(bl["sidecar"]) as fh:
-                bits_map = json.load(fh)["files"]
+            bits_map = _load_sidecar(bl["sidecar"])
             probes.append((bits_map, _bloom_positions(v, bl["m"], bl["k"])))
     out = []
     for f in m["files"]:
