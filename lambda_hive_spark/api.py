@@ -118,8 +118,10 @@ class LakeTable:
         self.spark = spark
         self.path = path
 
-    def create(self, df: DataFrame, key: str) -> int:
-        return self._lh.create(self.spark, self.path, df, key)
+    def create(self, df: DataFrame, key: str, *, constraints: dict | None = None) -> int:
+        return self._lh.create(
+            self.spark, self.path, df, key, constraints=constraints
+        )
 
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
         return self._lh.append(self.spark, self.path, df, merge_schema=merge_schema)
@@ -134,19 +136,77 @@ class LakeTable:
     def read(self, version: int | None = None) -> DataFrame:
         return self._lh.read(self.spark, self.path, version)
 
-    def scan(self, *, key_min=None, key_max=None, version: int | None = None) -> DataFrame:
-        """Snapshot scan with manifest-stats file skipping on the key."""
+    def scan(
+        self,
+        *,
+        key_min=None,
+        key_max=None,
+        predicates: dict | None = None,
+        point: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot scan with manifest-stats file skipping (key range,
+        any stats-tracked column box, or bloom-indexed point lookup)."""
         return self._lh.scan(
-            self.spark, self.path, key_min=key_min, key_max=key_max, version=version
+            self.spark,
+            self.path,
+            key_min=key_min,
+            key_max=key_max,
+            predicates=predicates,
+            point=point,
+            version=version,
         )
+
+    def scan_where(self, predicate: str, *, version: int | None = None) -> DataFrame:
+        """Predicate scan with automatic sargable-bounds file pruning."""
+        return self._lh.scan_where(self.spark, self.path, predicate, version=version)
+
+    def bloom_index(self, col: str, *, bits_per_row: int = 10, k: int = 7) -> int:
+        """Build a per-file bloom point-lookup index on `col`."""
+        return self._lh.bloom_index(
+            self.spark, self.path, col, bits_per_row=bits_per_row, k=k
+        )
+
+    def delete_where(
+        self,
+        predicate: str,
+        *,
+        prune: dict | str | None = "auto",
+        track_changes: bool = False,
+    ) -> int:
+        """Copy-on-write DELETE; pruning bounds compile from the
+        predicate by default (prune="auto")."""
+        return self._lh.delete_where(
+            self.spark, self.path, predicate, prune=prune, track_changes=track_changes
+        )
+
+    def restore(self, version: int) -> int:
+        """Rewind the table to snapshot `version` as a new commit."""
+        return self._lh.restore(self.spark, self.path, version)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        return self._lh.add_constraint(self.spark, self.path, name, expr)
+
+    def drop_constraint(self, name: str) -> int:
+        return self._lh.drop_constraint(self.path, name)
 
     def read_incremental(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Rows in files added after `since_version` (up to `to_version`/head)."""
         return self._lh.read_incremental(self.spark, self.path, since_version, to_version)
 
-    def merge_upsert(self, updates: DataFrame, *, track_changes: bool = False) -> int:
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        *,
+        track_changes: bool = False,
+        merge_schema: bool = False,
+    ) -> int:
         return self._lh.merge_upsert(
-            self.spark, self.path, updates, track_changes=track_changes
+            self.spark,
+            self.path,
+            updates,
+            track_changes=track_changes,
+            merge_schema=merge_schema,
         )
 
     def read_changes(self, version: int) -> DataFrame:
@@ -168,18 +228,15 @@ class LakeTable:
         return self._lh.current_version(self.path)
 
     def history(self) -> list[dict]:
-        """Commit metadata for every retained version, oldest first."""
-        head = self._lh.current_version(self.path)
+        """Commit metadata for every retained version, oldest first:
+        the engine's history() (action, parent, operation metrics)
+        enriched with each snapshot's file/row totals."""
         out = []
-        for v in range(1, head + 1):
-            try:
-                m = self._lh.read_manifest(self.path, v)
-            except FileNotFoundError:  # vacuumed beyond the horizon
-                continue
+        for h in self._lh.history(self.path):
+            m = self._lh.read_manifest(self.path, h["version"])
             out.append(
                 {
-                    "version": m["version"],
-                    "action": m["action"],
+                    **h,
                     "n_files": len(m["files"]),
                     "n_rows": sum(f["rows"] for f in m["files"]),
                 }

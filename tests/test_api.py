@@ -133,3 +133,36 @@ def test_engine_lake_facade_roundtrip(spark, tmp_path):
     assert hist[-1]["n_rows"] == 25
     # time travel through the facade
     assert t.read(version=1).count() == 20
+
+
+def test_engine_lake_facade_new_verbs(spark, tmp_path):
+    """One-touch coverage of the continuation-session verbs through
+    the facade: constraints, bloom point lookup, scan_where auto
+    pruning, delete_where(prune="auto"), restore, metrics in history."""
+    from pyspark.sql import functions as F
+
+    from lambda_hive_spark.api import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.001", spark=spark)
+    t = eng.lake(str(tmp_path / "facade2_tbl"))
+    t.create(
+        spark.range(0, 100, 2).select("id", (F.col("id") * 2).alias("v")),
+        key="id",
+        constraints={"v_nonneg": "v >= 0"},
+    )
+    import pytest as _pt
+
+    from lambda_hive_spark import lakehouse as lh
+
+    with _pt.raises(lh.ConstraintViolation):
+        t.append(spark.createDataFrame([(999, -1)], "id long, v long"))
+    t.bloom_index("id")
+    assert t.scan(point={"id": 51}).count() == 0  # absent: zero files planned
+    assert t.scan(point={"id": 50}).collect()[0]["v"] == 100
+    assert t.scan_where("id BETWEEN 10 AND 20 AND v > 0").count() == 6
+    t.delete_where("id >= 90")  # prune="auto" default
+    assert t.read().count() == 45
+    t.restore(2)  # back to the post-bloom snapshot (delete undone)
+    assert t.read().count() == 50
+    assert t.history()[-1]["action"] == "restore"
+    assert t.history()[-1]["metrics"]["net_rows"] == 5
