@@ -1174,7 +1174,17 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
                 "_change_type", F.lit("insert")
             )
         return spark.read.parquet(*m["changes"])
-    # compact / zorder: physical layout only, no logical change
+    if action == "restore":
+        # a restore DOES change logical content, but not row-by-row in
+        # any feed-expressible way: refusing beats serving a silently
+        # empty (= incomplete) feed — consumers resync from the
+        # restored snapshot instead
+        raise ValueError(
+            f"version {version} is a restore; change feed undefined across "
+            "it — resync from the snapshot"
+        )
+    # compact / zorder / optimize / index / constraint commits:
+    # physical layout or metadata only, no logical change
     return read(spark, path, version).limit(0).withColumn(
         "_change_type", F.lit("insert")
     )
@@ -1406,6 +1416,51 @@ def restore(spark: SparkSession, path: str, version: int) -> int:
         }
 
     return _commit(path, build)
+
+
+def optimize_small_files(
+    spark: SparkSession, path: str, *, target_rows: int = 1_000_000
+) -> int:
+    """Delta OPTIMIZE-style bin packing: coalesce only files BELOW the
+    target size into target-sized files, carrying every
+    already-large-enough file by reference. `compact()` rewrites the
+    whole snapshot — fine for a small table, catastrophic at 100 TB
+    where the small-file problem is a trickle of streaming appends on
+    top of terabytes of well-sized files: optimize touches exactly the
+    trickle. Sized by manifest ROW counts (the stats already in hand;
+    at equal schema, rows ∝ bytes) so planning needs zero file I/O.
+    A no-op (zero or one small file) returns the current version
+    without committing. Selection is stable under concurrent appends:
+    a racing append's files simply stay for the next optimize; a
+    racing rewrite of OUR input conflicts and recomputes, like every
+    other rewriting commit."""
+    while True:
+        m = read_manifest(path)
+        small = [f for f in m["files"] if f["rows"] < target_rows]
+        if len(small) <= 1:
+            return m["version"]
+        small_paths = {f["path"] for f in small}
+        n_bins = max(1, (sum(f["rows"] for f in small) + target_rows - 1) // target_rows)
+        df = _read_snapshot_files(spark, m, small_paths).repartition(n_bins)
+        new_files = _write_data_files(df, path, m["key"])
+
+        def build(head):
+            head_paths = {f["path"] for f in head["files"]}
+            if not small_paths <= head_paths:
+                raise CommitConflict  # someone rewrote our input files
+            kept = [f for f in head["files"] if f["path"] not in small_paths]
+            return {
+                "action": "optimize",
+                "key": head["key"],
+                "files": kept + new_files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+            }
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
 
 
 def vacuum(path: str, keep_last: int = 1) -> list[str]:

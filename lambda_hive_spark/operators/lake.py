@@ -919,3 +919,65 @@ def lake_history_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(h["version"], h["action"], h["metrics"]["net_rows"]) for h in hist],
         "version long, action string, net_rows long",
     )
+
+
+@op(
+    "lake_optimize_small_files",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS only_small_rewritten,
+       TRUE AS large_carried_by_reference,
+       TRUE AS files_reduced,
+       CAST(0 AS BIGINT) AS net_rows
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE with small-file selection (Delta OPTIMIZE bin-packing
+    shape): one well-sized file lands first, then eight tiny appends
+    model a streaming trickle — the classic small-file problem. One
+    optimize later, ONLY the trickle coalesced (the audit checks the
+    big file's path is carried by reference, byte-identical manifest
+    entry), total file count dropped, the row count is bit-preserved,
+    and the commit's net_rows metric is exactly zero (maintenance
+    that changes the logical row delta lost or invented data).
+
+    Scale: `compact` rewrites the snapshot — O(table); optimize
+    rewrites O(trickle), selected from manifest row counts with zero
+    file I/O to plan. At 100 TB with streaming ingestion this is the
+    difference between a nightly maintenance job that costs minutes
+    and one that costs the whole table."""
+    path = _fresh_table_dir("optimize", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_base = base.count()
+    big = base.filter(F.col("o_orderkey") % 9 != 0)
+    lh.create(spark, path, big.repartition(1), key="o_orderkey")
+    trickle = base.filter(F.col("o_orderkey") % 9 == 0)
+    for i in range(8):
+        lh.append(spark, path, trickle.filter(F.col("o_orderkey") % 8 == i))
+
+    m_before = lh.read_manifest(path)
+    big_rows = big.count()
+    big_paths = {f["path"] for f in m_before["files"] if f["rows"] == big_rows}
+    n_files_before = len(m_before["files"])
+
+    lh.optimize_small_files(spark, path, target_rows=big_rows)
+    m_after = lh.read_manifest(path)
+    after_paths = {f["path"] for f in m_after["files"]}
+    only_small = big_paths <= after_paths  # the big file untouched
+    reduced = len(m_after["files"]) < n_files_before
+    net = m_after["metrics"]["net_rows"]
+    return spark.createDataFrame(
+        [
+            (
+                lh.read(spark, path).count(),
+                only_small,
+                bool(big_paths) and only_small,
+                reduced,
+                net,
+            )
+        ],
+        "n_rows long, only_small_rewritten boolean, "
+        "large_carried_by_reference boolean, files_reduced boolean, net_rows long",
+    )

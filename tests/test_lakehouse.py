@@ -877,3 +877,41 @@ def test_merge_refuses_silent_schema_drift_and_evolves_on_optin(spark, tmp_path)
     got = {(r["id"], r["val"], r["tag"]) for r in head.collect()}
     assert (3, -3, "x") in got
     assert (5, 50, None) in got  # untouched rows null-fill the new column
+
+
+def test_optimize_rewrites_only_small_files(spark, tmp_path):
+    path = str(tmp_path / "opt")
+    lh.create(
+        spark,
+        path,
+        spark.range(1000).select("id", (F.col("id") * 10).alias("val")).repartition(1),
+        key="id",
+    )
+    for i in range(4):  # streaming trickle: 4 tiny files
+        lh.append(
+            spark,
+            path,
+            spark.range(1000 + i * 10, 1000 + (i + 1) * 10).select(
+                "id", (F.col("id") * 10).alias("val")
+            ),
+        )
+    big_path = next(f["path"] for f in lh.read_manifest(path)["files"] if f["rows"] == 1000)
+    v = lh.optimize_small_files(spark, path, target_rows=500)
+    m = lh.read_manifest(path, v)
+    assert m["action"] == "optimize"
+    paths = {f["path"] for f in m["files"]}
+    assert big_path in paths  # carried by reference
+    assert len(m["files"]) == 2  # 1 big + 1 packed bin
+    assert m["metrics"]["net_rows"] == 0
+    assert lh.read(spark, path).count() == 1040
+    # idempotent when nothing qualifies: no empty commit
+    assert lh.optimize_small_files(spark, path, target_rows=5) == v
+    assert lh.current_version(path) == v
+
+
+def test_change_feed_refuses_restore_boundary(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20)
+    lh.append(spark, path, spark.createDataFrame([(50, 1)], "id long, val long"))
+    v = lh.restore(spark, path, 1)
+    with pytest.raises(ValueError):
+        lh.read_changes(spark, path, v)
