@@ -118,9 +118,21 @@ class LakeTable:
         self.spark = spark
         self.path = path
 
-    def create(self, df: DataFrame, key: str, *, constraints: dict | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        key: str,
+        *,
+        constraints: dict | None = None,
+        partition_by: list | None = None,
+    ) -> int:
         return self._lh.create(
-            self.spark, self.path, df, key, constraints=constraints
+            self.spark,
+            self.path,
+            df,
+            key,
+            constraints=constraints,
+            partition_by=partition_by,
         )
 
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
@@ -212,6 +224,24 @@ class LakeTable:
     def read_changes(self, version: int) -> DataFrame:
         """Row-level change feed of one commit (`_change_type` tagged)."""
         return self._lh.read_changes(self.spark, self.path, version)
+
+    def replace_where(
+        self, predicate: str, df: DataFrame, *, track_changes: bool = False
+    ) -> int:
+        """Dynamic partition overwrite: atomically swap the partitions
+        the predicate selects for `df` (the idempotent-backfill verb)."""
+        return self._lh.replace_where(
+            self.spark, self.path, predicate, df, track_changes=track_changes
+        )
+
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """Partition listing with file/row counts (manifest-only)."""
+        return self._lh.partitions(self.path, version)
+
+    def repartition_table(self, partition_by: list | None) -> int:
+        """Evolve the partition spec (or None to un-partition) as a
+        rewrite commit."""
+        return self._lh.repartition_table(self.spark, self.path, partition_by)
 
     def compact(self, num_files: int = 1) -> int:
         return self._lh.compact(self.spark, self.path, num_files)

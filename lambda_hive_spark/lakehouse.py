@@ -58,6 +58,16 @@ but honestly, with the same mechanisms the real formats use:
 - **Vacuum**: physically deletes data files referenced only by
   manifests older than the retained horizon, then drops those
   manifests — the one deliberately non-time-travelable operation.
+- **Hive-style partitioning** (round 6): ``create(partition_by=[...])``
+  routes every data file to exactly one partition tuple, recorded per
+  file in the manifest. Partition-column predicates then prune files
+  EXACTLY (independent of footer stats), ``replace_where`` swaps whole
+  partitions atomically (the idempotent-backfill verb), ``partitions``
+  lists layout health from the log alone, and ``repartition_table``
+  evolves the spec as a rewrite commit. The partition columns stay IN
+  the data files (the directory routing uses reserved ``__p_*``
+  duplicates), so reads remain explicit-file scans with no
+  path-inference coupling.
 
 Everything data-sized runs through Spark DataFrames (the rewrite
 anti-join is a broadcast of the bounded updates' keys); the driver
@@ -216,16 +226,93 @@ def _file_stats(file_path: str, key: str) -> dict:
     }
 
 
-def _write_data_files(df: DataFrame, path: str, key: str) -> list[dict]:
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_PDIR_PREFIX = "__p_"
+
+
+def _typed_partition_value(raw: str, spark_type_name: str):
+    """Cast a hive-style partition directory value (string) back to the
+    column's manifest-JSON-pure Python type. Directory names are the
+    authoritative record of what the writer routed where (footer stats
+    can be absent or truncated for long strings; the path cannot).
+    Dates/timestamps stay ISO strings — lexicographic order equals
+    chronological order, so range pruning on the string is sound."""
+    if raw == _HIVE_NULL:
+        return None
+    raw = unquote(raw)
+    if spark_type_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if spark_type_name in ("float", "double") or spark_type_name.startswith("decimal"):
+        return float(raw)
+    if spark_type_name == "boolean":
+        return raw.lower() == "true"
+    return raw
+
+
+def _parse_partition_dirs(relpath: str, schema: StructType, partition_by: list[str]) -> dict:
+    """Typed partition tuple from a file's ``__p_col=value`` directory
+    components (written by the staged ``partitionBy`` below)."""
+    type_of = {f.name: f.dataType.typeName() for f in schema.fields}
+    values: dict = {}
+    for comp in relpath.split(os.sep):
+        if "=" not in comp or not comp.startswith(_PDIR_PREFIX):
+            continue
+        name, raw = comp.split("=", 1)
+        col = name[len(_PDIR_PREFIX):]
+        if col in partition_by:
+            values[col] = _typed_partition_value(raw, type_of.get(col, "string"))
+    missing = [c for c in partition_by if c not in values]
+    if missing:
+        raise ValueError(f"partitioned write produced a file without {missing} dirs")
+    return values
+
+
+def _write_data_files(
+    df: DataFrame, path: str, key: str, partition_by: list[str] | None = None
+) -> list[dict]:
     """Materialize a DataFrame as immutable data files under a fresh
-    uuid directory; returns their stats entries."""
+    uuid directory; returns their stats entries. With ``partition_by``,
+    rows are hive-layout routed so each file holds EXACTLY ONE
+    partition tuple (recorded per file in the manifest — the unit
+    partition pruning and replace_where reason over). The partition
+    columns are DUPLICATED under reserved ``__p_*`` names for the
+    directory routing, so the original columns stay IN the data files
+    and reads stay plain explicit-file scans (no path-inference
+    dependency). One clustering shuffle per write keeps it to one file
+    per partition per write — the "optimized write" every production
+    lakehouse writer does to cap the small-file rate; at 100 TB you
+    would widen that to N files per partition by salting the
+    repartition keys, same layout contract."""
     out = os.path.join(path, _DATA, uuid.uuid4().hex)
-    df.write.mode("errorifexists").parquet(out)
-    return [
-        _file_stats(os.path.join(out, f), key)
-        for f in sorted(os.listdir(out))
-        if f.endswith(".parquet")
-    ]
+    if not partition_by:
+        df.write.mode("errorifexists").parquet(out)
+        return [
+            _file_stats(os.path.join(out, f), key)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        ]
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in data: {missing}")
+    dup = [f"{_PDIR_PREFIX}{c}" for c in partition_by]
+    staged = df
+    for c, d in zip(partition_by, dup):
+        staged = staged.withColumn(d, F.col(c))
+    staged = staged.repartition(*[F.col(d) for d in dup])
+    staged.write.mode("errorifexists").partitionBy(*dup).parquet(out)
+    entries = []
+    for root, _dirs, names in os.walk(out):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, n)
+            st = _file_stats(fp, key)
+            st["partition"] = _parse_partition_dirs(
+                os.path.relpath(root, out), df.schema, list(partition_by)
+            )
+            entries.append(st)
+    entries.sort(key=lambda e: e["path"])
+    return entries
 
 
 def _commit(path: str, build_entry):
@@ -253,6 +340,12 @@ def _commit(path: str, build_entry):
             entry["constraints"] = head["constraints"]
         if entry.get("constraints") is None:
             entry.pop("constraints", None)
+        # The partition spec is table identity: it rides every commit
+        # unless the builder changes it explicitly (repartition_table).
+        if head is not None and "partition_by" not in entry and head.get("partition_by"):
+            entry["partition_by"] = head["partition_by"]
+        if entry.get("partition_by") is None:
+            entry.pop("partition_by", None)
         # Operation metrics, derived from the manifest diff alone (zero
         # data I/O — file row counts are footer stats already in hand):
         # net_rows is the commit's logical row delta (+batch for an
@@ -286,17 +379,27 @@ def create(
     key: str,
     *,
     constraints: dict[str, str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Create a lake table at `path` (must not exist) keyed by `key`
     (the column MERGE prunes on). ``constraints`` maps name → SQL
     boolean expression: CHECK constraints every future write batch is
     validated against (the value-level companion to the schema-drift
-    refusal); the seed data itself must satisfy them."""
+    refusal); the seed data itself must satisfy them.
+
+    ``partition_by`` declares hive-style partition columns: every data
+    file holds exactly one partition tuple (recorded in the manifest),
+    so partition-column predicates prune files EXACTLY — independent of
+    footer stats — and replace_where can swap whole partitions
+    atomically. At 100 TB this is the first-order data layout decision:
+    the classic spec is a low-cardinality ingest column (date, tenant,
+    source), with Z-order handling the high-cardinality dimensions
+    WITHIN partitions."""
     if os.path.exists(_log_dir(path)) and current_version(path) > 0:
         raise FileExistsError(f"lake table already exists: {path}")
     if constraints:
         _validate_constraints(df, constraints)
-    files = _write_data_files(df, path, key)
+    files = _write_data_files(df, path, key, partition_by)
 
     schema_json = df.schema.json()
 
@@ -306,6 +409,8 @@ def create(
         entry = {"action": "create", "key": key, "files": files, "schema": schema_json, "txns": {}}
         if constraints:
             entry["constraints"] = dict(constraints)
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
         return entry
 
     return _commit(path, build)
@@ -324,7 +429,7 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     m = read_manifest(path)
     key = m["key"]
     _validate_constraints(df, m.get("constraints") or {})
-    new_files = _write_data_files(df, path, key)
+    new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
     def build(head):
         head_schema = _manifest_schema(head)
@@ -391,7 +496,7 @@ def append_idempotent(
         return current_version(path)
     key = m["key"]
     _validate_constraints(df, m.get("constraints") or {})
-    new_files = _write_data_files(df, path, key)
+    new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
     def build(head):
         if head.get("txns", {}).get(writer_id, -1) >= batch_id:
@@ -654,7 +759,28 @@ def plan_files(
     out = []
     for f in m["files"]:
         keep = True
+        part = f.get("partition") or {}
         for col, (lo, hi) in bounds.items():
+            if col in part:
+                # Exact partition-value pruning: the file holds ONE
+                # value for this column (the dir it was routed to), so
+                # the decision is equality/containment, not an
+                # intersection test — and it holds even where footer
+                # stats are absent or truncated. A NULL partition value
+                # fails every bound (SQL comparison semantics: the
+                # predicate selects no row of that file).
+                v = part[col]
+                try:
+                    if (
+                        v is None
+                        or (lo is not None and v < lo)
+                        or (hi is not None and v > hi)
+                    ):
+                        keep = False
+                        break
+                except TypeError:
+                    pass  # incomparable bound type: conservatively keep
+                continue
             if col == m["key"] and f.get("min_key") is not None:
                 fmin, fmax = f["min_key"], f["max_key"]
             else:
@@ -995,7 +1121,7 @@ def merge_upsert(
                 F.broadcast(updates.select(key)), on=key, how="left_anti"
             )
             merged = survivors.unionByName(updates, allowMissingColumns=True)
-            new_files = _write_data_files(merged, path, key)
+            new_files = _write_data_files(merged, path, key, m.get("partition_by"))
             if track_changes:
                 pre = affected.join(
                     F.broadcast(updates.select(key)), on=key, how="left_semi"
@@ -1012,7 +1138,7 @@ def merge_upsert(
                 )
                 change_files = _write_change_files(feed, path)
         else:
-            new_files = _write_data_files(updates, path, key)
+            new_files = _write_data_files(updates, path, key, m.get("partition_by"))
             if track_changes:
                 change_files = _write_change_files(
                     updates.withColumn("_change_type", F.lit("insert")), path
@@ -1099,7 +1225,7 @@ def delete_where(
         if touched_paths:
             affected = _read_snapshot_files(spark, m, touched_paths)
             survivors = affected.filter(f"NOT coalesce(({predicate}), false)")
-            new_files = _write_data_files(survivors, path, key)
+            new_files = _write_data_files(survivors, path, key, m.get("partition_by"))
             if track_changes:
                 doomed = affected.filter(f"coalesce(({predicate}), false)")
                 change_files = _write_change_files(
@@ -1129,6 +1255,246 @@ def delete_where(
             for p in change_files:
                 if os.path.exists(p):
                     os.remove(p)
+
+
+def partitions(path: str, version: int | None = None) -> list[dict]:
+    """Partition listing (SHOW PARTITIONS shape): one dict per live
+    partition tuple with its file and row counts — derived from the
+    manifest alone, zero data I/O, any version. The at-a-glance answer
+    to "is this table's layout healthy" (a partition with 400 files
+    wants optimize; one with half the rows wants salting)."""
+    m = read_manifest(path, version)
+    pby = m.get("partition_by")
+    if not pby:
+        raise ValueError(f"not a partitioned table: {path}")
+    agg: dict[tuple, dict] = {}
+    for f in m["files"]:
+        part = f.get("partition") or {}
+        t = tuple(part.get(c) for c in pby)
+        a = agg.setdefault(t, {"files": 0, "rows": 0})
+        a["files"] += 1
+        a["rows"] += f["rows"]
+    return [
+        {**dict(zip(pby, t)), "files": a["files"], "rows": a["rows"]}
+        for t, a in sorted(agg.items(), key=lambda kv: tuple(map(str, kv[0])))
+    ]
+
+
+def _json_pure(v):
+    """Normalize a Spark-returned partition value to the manifest's
+    JSON-pure representation (dates/timestamps → ISO strings)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _typed_for_spark(v, data_type):
+    """Inverse of _json_pure: manifest value → what createDataFrame
+    expects for the column's Spark type."""
+    import datetime
+
+    if v is None:
+        return None
+    tn = data_type.typeName()
+    if tn == "date" and isinstance(v, str):
+        return datetime.date.fromisoformat(v)
+    if tn == "timestamp" and isinstance(v, str):
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    df: DataFrame,
+    *,
+    track_changes: bool = False,
+) -> int:
+    """Dynamic partition overwrite (Delta ``replaceWhere``): atomically
+    replace every partition the predicate selects with `df`, as one
+    versioned commit. The idempotent-backfill verb: "recompute
+    yesterday" writes the new day and drops the old one together —
+    readers see either the old day or the new day, never both, never
+    neither.
+
+    Three refusals carry the semantics:
+    - the table must be partitioned, and the predicate may reference
+      PARTITION COLUMNS only (it is evaluated against each partition
+      tuple exactly — a file is replaced only when ALL its rows match,
+      which partition routing guarantees; a predicate over data columns
+      cannot make that promise and raises);
+    - every incoming row must itself satisfy the predicate (rows
+      outside the replaced region would silently land in partitions the
+      commit claims not to touch — Delta refuses this too);
+    - a racing append INTO a replaced partition conflicts and this
+      commit recomputes (the append's rows are inside the replaced
+      region; carrying them would contradict the overwrite).
+
+    With ``track_changes=True`` the commit records the replaced rows as
+    `delete` pre-images plus the new rows as `insert` in the change
+    feed. Scale: planning is manifest-only; the rewrite reads exactly
+    the replaced partitions' files and writes the new region — the
+    untouched 100 TB carries by reference."""
+    while True:
+        m = read_manifest(path)
+        pby = m.get("partition_by")
+        if not pby:
+            raise ValueError(
+                "replace_where requires a partitioned table "
+                "(create(partition_by=...) or repartition_table)"
+            )
+        key = m["key"]
+        _validate_constraints(df, m.get("constraints") or {})
+        head_schema = _manifest_schema(m)
+        if head_schema is not None and [
+            f.name for f in df.schema.fields
+        ] != head_schema.fieldNames():
+            raise SchemaMismatch(
+                f"replace_where batch columns {df.schema.fieldNames()} != "
+                f"table schema {head_schema.fieldNames()}"
+            )
+        no_part = [f["path"] for f in m["files"] if "partition" not in f]
+        if no_part:
+            raise ValueError(
+                f"replace_where: {len(no_part)} snapshot files carry no "
+                f"partition info (written under an older spec) — run "
+                f"repartition_table first, e.g. {no_part[0]}"
+            )
+        by_tuple: dict[tuple, list[str]] = {}
+        for f in m["files"]:
+            by_tuple.setdefault(
+                tuple(f["partition"].get(c) for c in pby), []
+            ).append(f["path"])
+
+        from pyspark.sql.types import StructField
+
+        fields = StructType([StructField(c, head_schema[c].dataType, True) for c in pby])
+        rows = [
+            tuple(_typed_for_spark(v, fields[i].dataType) for i, v in enumerate(t))
+            for t in by_tuple
+        ]
+        pdf = spark.createDataFrame(rows, schema=fields)
+        try:
+            matched = pdf.filter(predicate).collect()
+        except Exception as e:  # unresolved column ⇒ not a partition column
+            raise ValueError(
+                f"replace_where predicate must reference partition columns "
+                f"only {pby}: {e}"
+            ) from e
+        replaced = {tuple(_json_pure(r[c]) for c in pby) for r in matched}
+        doomed_paths = {
+            p for t, ps in by_tuple.items() if t in replaced for p in ps
+        }
+
+        n_bad = df.filter(f"NOT coalesce(({predicate}), false)").count()
+        if n_bad:
+            raise ValueError(
+                f"replace_where: {n_bad} incoming rows do not satisfy the "
+                f"predicate — rows outside the replaced region are refused"
+            )
+
+        new_files = _write_data_files(df, path, key, pby)
+        change_files: list[str] = []
+        if track_changes:
+            feed = df.withColumn("_change_type", F.lit("insert"))
+            if doomed_paths:
+                pre = _read_snapshot_files(spark, m, doomed_paths).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                feed = pre.unionByName(feed, allowMissingColumns=True)
+            change_files = _write_change_files(feed, path)
+
+        snapshot_tuples = set(by_tuple)
+
+        def build(head):
+            head_paths = {f["path"] for f in head["files"]}
+            if not doomed_paths <= head_paths:
+                raise CommitConflict  # a racing commit rewrote our input
+            kept = []
+            for f in head["files"]:
+                if f["path"] in doomed_paths:
+                    continue
+                t = (
+                    tuple(f["partition"].get(c) for c in pby)
+                    if "partition" in f
+                    else None
+                )
+                if t in replaced:
+                    raise CommitConflict  # racing append INTO the replaced region
+                if t is None or t not in snapshot_tuples:
+                    # a racing commit introduced a tuple (or an
+                    # un-tupled file) this evaluation never saw — the
+                    # predicate may select it, so recompute against the
+                    # new head rather than guess (pessimistic for
+                    # out-of-region new tuples, but one cheap loop)
+                    raise CommitConflict
+                kept.append(f)
+            entry = {
+                "action": "replace_where",
+                "key": head["key"],
+                "files": kept + new_files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+                "predicate": predicate,
+            }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+def repartition_table(
+    spark: SparkSession, path: str, partition_by: list[str] | None
+) -> int:
+    """Partition evolution: rewrite the current snapshot under a new
+    partition spec (or ``None`` to un-partition) as one versioned
+    commit — time travel still resolves older versions to the old
+    layout. This is the REWRITE form; Iceberg's in-place spec evolution
+    (new data under the new spec, old files grandfathered) is the
+    at-scale refinement — our per-file partition tuples already support
+    mixed manifests for PRUNING, but replace_where demands a uniform
+    spec, which is exactly what this rewrite restores. Any racing
+    commit conflicts and the rewrite recomputes (it claims the whole
+    snapshot as its read set)."""
+    while True:
+        m = read_manifest(path)
+        old_paths = {f["path"] for f in m["files"]}
+        df = (
+            _read_snapshot_files(spark, m, old_paths)
+            if old_paths
+            else read(spark, path)
+        )
+        new_files = _write_data_files(df, path, m["key"], partition_by)
+
+        def build(head):
+            if {f["path"] for f in head["files"]} != old_paths:
+                raise CommitConflict  # whole-snapshot read set
+            return {
+                "action": "repartition",
+                "key": head["key"],
+                "files": new_files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+                "partition_by": list(partition_by) if partition_by else None,
+            }
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
 
 
 def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
@@ -1164,7 +1530,7 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         return _read_snapshot_files(spark, m, added).withColumn(
             "_change_type", F.lit("insert")
         )
-    if action in ("merge", "delete"):
+    if action in ("merge", "delete", "replace_where"):
         if "changes" not in m:
             raise ValueError(
                 f"version {version} is a {action} committed without track_changes"
@@ -1236,7 +1602,7 @@ def zorder_cluster(
         df = _read_snapshot_files(spark, m, old_paths)
         z = _zvalue_expr(spark, df, cols)
         clustered = df.repartitionByRange(num_files, z.alias("_z"))
-        new_files = _write_data_files(clustered, path, m["key"])
+        new_files = _write_data_files(clustered, path, m["key"], m.get("partition_by"))
 
         def build(head):
             head_paths = {f["path"] for f in head["files"]}
@@ -1277,7 +1643,7 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
         # evolved columns (null-filled for pre-evolution rows) so the
         # output files are self-describing at the current schema.
         df = _read_snapshot_files(spark, m, old_paths).repartition(num_files)
-        new_files = _write_data_files(df, path, m["key"])
+        new_files = _write_data_files(df, path, m["key"], m.get("partition_by"))
 
         def build(head):
             head_paths = {f["path"] for f in head["files"]}
@@ -1442,7 +1808,7 @@ def optimize_small_files(
         small_paths = {f["path"] for f in small}
         n_bins = max(1, (sum(f["rows"] for f in small) + target_rows - 1) // target_rows)
         df = _read_snapshot_files(spark, m, small_paths).repartition(n_bins)
-        new_files = _write_data_files(df, path, m["key"])
+        new_files = _write_data_files(df, path, m["key"], m.get("partition_by"))
 
         def build(head):
             head_paths = {f["path"] for f in head["files"]}
@@ -1493,13 +1859,16 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
                 os.remove(p)
                 deleted.append(p)
         os.remove(_manifest_path(path, v))
-    # prune now-empty uuid data dirs
+    # prune now-empty uuid data dirs (walk nested hive partition dirs —
+    # a partitioned write's files live under __p_col=value subtrees)
     data_root = os.path.join(path, _DATA)
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
             if os.path.isdir(full) and not any(
-                f.endswith(".parquet") for f in os.listdir(full)
+                n.endswith(".parquet")
+                for _, _, names in os.walk(full)
+                for n in names
             ):
                 shutil.rmtree(full)
     # reap bloom sidecars no surviving manifest references (a re-index

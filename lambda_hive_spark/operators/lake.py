@@ -981,3 +981,168 @@ def lake_optimize_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, only_small_rewritten boolean, "
         "large_carried_by_reference boolean, files_reduced boolean, net_rows long",
     )
+
+
+@op(
+    "lake_partitioned_write",
+    oracle="""
+SELECT event_type,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events GROUP BY event_type
+""",
+    tags=("side_effect",),
+)
+def lake_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned lake table: events lands partitioned by
+    event_type, and the op returns the PARTITIONS LISTING (lakehouse
+    SHOW PARTITIONS — file and row counts per partition straight from
+    the manifest, zero data I/O). Matching the oracle proves three
+    layout invariants at once: every partition tuple exists, every
+    file holds exactly one tuple (n_files = 1 — the clustering
+    shuffle caps a write at one file per partition, the optimized-
+    write contract), and per-partition row counts equal the
+    relational GROUP BY. A full read-back count is asserted in-op so
+    routing rows to the wrong partition cannot cancel out.
+
+    Scale: partitioning is the first-order 100 TB layout decision —
+    the listing (and all partition pruning) is manifest-only, so
+    layout-health checks cost log reads on a table of any size."""
+    path = _fresh_table_dir("partwrite", sf_dir)
+    base = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    lh.create(spark, path, base, key="event_id", partition_by=["event_type"])
+    assert lh.read(spark, path).count() == base.count()  # nothing misrouted
+    parts = lh.partitions(path)
+    return spark.createDataFrame(
+        [(p["event_type"], p["files"], p["rows"]) for p in parts],
+        "event_type string, n_files long, n_rows long",
+    )
+
+
+@op(
+    "lake_partition_pruned_scan",
+    oracle="""
+WITH t AS (SELECT MIN(event_type) AS et FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events, t WHERE event_type = t.et
+GROUP BY event_type
+""",
+    tags=("side_effect",),
+)
+def lake_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning EXACTNESS: events lands partitioned by
+    event_type, then an equality scan on the first (lexicographic)
+    type plans exactly that partition's files — asserted in-op
+    against the manifest (planned ⊂ total, every planned file carries
+    the matching tuple) — and the aggregate over the scanned rows
+    must equal the relational WHERE. Unlike footer-stats skipping,
+    the decision is per-file EXACT (one tuple per file), so it holds
+    even for columns whose stats are absent or truncated.
+
+    Scale: the prune decision is manifest-only — a predicate on the
+    partition column of a 100 TB table plans its scan without
+    listing, opening, or footer-reading any non-matching file."""
+    path = _fresh_table_dir("partprune", sf_dir)
+    base = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    lh.create(spark, path, base, key="event_id", partition_by=["event_type"])
+    et = base.agg(F.min("event_type")).collect()[0][0]
+    m = lh.read_manifest(path)
+    planned = lh.plan_files(path, point={"event_type": et})
+    assert planned and len(planned) < len(m["files"]), "no partition pruning"
+    assert all(f["partition"]["event_type"] == et for f in planned)
+    return (
+        lh.scan(spark, path, point={"event_type": et})
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@op(
+    "lake_replace_where",
+    oracle="""
+WITH t AS (SELECT MIN(event_type) AS et FROM events)
+SELECT event_id, event_type,
+       CASE WHEN event_type = (SELECT et FROM t) THEN value * 2 ELSE value END AS value
+FROM events
+""",
+    tags=("side_effect",),
+)
+def lake_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (Delta replaceWhere): the first
+    event_type partition is atomically swapped for a recomputed batch
+    (value doubled) in ONE versioned commit — the idempotent-backfill
+    verb every ingestion pipeline needs ("recompute yesterday" =
+    replace yesterday's partition). The head read must equal the
+    relational CASE — proving the swap dropped exactly the old
+    partition, kept every other partition by reference, and landed
+    the new rows once. In-op, the pre-swap snapshot is asserted
+    unchanged (time travel) and an out-of-region batch is asserted
+    REFUSED — the write cannot silently leak rows into partitions the
+    commit claims not to touch.
+
+    Scale: planning is manifest-only; the commit reads and rewrites
+    exactly one partition — the other N-1 partitions of a 100 TB
+    table carry by reference."""
+    path = _fresh_table_dir("replwhere", sf_dir)
+    base = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    lh.create(spark, path, base, key="event_id", partition_by=["event_type"])
+    et = base.agg(F.min("event_type")).collect()[0][0]
+    pred = f"event_type = '{et}'"
+    recomputed = base.filter(pred).withColumn("value", F.col("value") * 2)
+    try:
+        lh.replace_where(spark, path, pred, base.limit(50))  # region leak
+        raise AssertionError("out-of-region rows were accepted")
+    except ValueError:
+        pass
+    v = lh.replace_where(spark, path, pred, recomputed)
+    assert (
+        lh.read(spark, path, version=v - 1)
+        .filter(pred)
+        .agg(F.sum("value"))
+        .collect()[0][0]
+        == base.filter(pred).agg(F.sum("value")).collect()[0][0]
+    )  # pre-swap snapshot intact
+    return lh.read(spark, path)
+
+
+@op(
+    "lake_partition_evolution",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+""",
+    tags=("side_effect",),
+)
+def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: documents lands partitioned by lang,
+    then `repartition_table` re-lays it out by source as ONE
+    versioned commit. Afterwards pruning on the NEW column is exact
+    (asserted in-op), the OLD spec still resolves via time travel
+    (manifest v1 records partition_by=[lang]), and the head read-back
+    must be value-identical to the fixture — layout changed, data
+    bit-preserved. The rewrite form is honest about its cost
+    (O(table)); Iceberg's in-place spec evolution is the at-scale
+    refinement, and the manifest's per-file tuples already tolerate
+    the mixed state it produces.
+
+    Scale: evolution is the escape hatch for yesterday's layout
+    decision — the alternative (copy to a new table, repoint readers)
+    loses history and identity; here both survive."""
+    path = _fresh_table_dir("partevolve", sf_dir)
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    lh.create(spark, path, base, key="doc_id", partition_by=["lang"])
+    lh.repartition_table(spark, path, ["source"])
+    assert lh.read_manifest(path, 1)["partition_by"] == ["lang"]  # time travel
+    assert lh.read_manifest(path)["partition_by"] == ["source"]
+    src = base.agg(F.min("source")).collect()[0][0]
+    m = lh.read_manifest(path)
+    planned = lh.plan_files(path, point={"source": src})
+    assert planned and len(planned) < len(m["files"])
+    assert all(f["partition"]["source"] == src for f in planned)
+    return lh.read(spark, path)

@@ -915,3 +915,217 @@ def test_change_feed_refuses_restore_boundary(spark, tmp_path):
     v = lh.restore(spark, path, 1)
     with pytest.raises(ValueError):
         lh.read_changes(spark, path, v)
+
+
+# ---------------------------------------------------------------- partitioning
+
+
+def _mk_part(spark, tmp_path, n=100):
+    """A partitioned lake table: bucket = id % 4, tenant cycles
+    t0/t1/t2 with every 10th row NULL (the hive-default-partition
+    round-trip case)."""
+    path = str(tmp_path / "ptbl")
+    df = spark.range(n).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 4).alias("bucket"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 3).cast("string")))
+        .alias("tenant"),
+        (F.col("id") * 10).alias("val"),
+    )
+    assert lh.create(spark, path, df, key="id", partition_by=["bucket", "tenant"]) == 1
+    return path, df
+
+
+def test_partitioned_create_one_tuple_per_file_and_roundtrip(spark, tmp_path):
+    path, df = _mk_part(spark, tmp_path)
+    m = lh.read_manifest(path)
+    assert m["partition_by"] == ["bucket", "tenant"]
+    # every file carries exactly one typed partition tuple; the
+    # clustering shuffle caps it at one file per live tuple
+    tuples = [tuple(f["partition"][c] for c in ("bucket", "tenant")) for f in m["files"]]
+    assert len(tuples) == len(set(tuples))
+    assert all(isinstance(t[0], int) for t in tuples)  # typed, not '2'
+    assert any(t[1] is None for t in tuples)  # NULL partition round-trips
+    # full read-back: partition columns come from the DATA, not paths
+    got = sorted(r["id"] for r in lh.read(spark, path).collect())
+    assert got == list(range(100))
+    rows = {r["id"]: (r["bucket"], r["tenant"]) for r in lh.read(spark, path).collect()}
+    assert rows[20] == (0, None) and rows[7] == (3, "t1")
+
+
+def test_partition_pruning_exact_and_null_semantics(spark, tmp_path):
+    path, _ = _mk_part(spark, tmp_path)
+    m = lh.read_manifest(path)
+    planned = lh.plan_files(path, point={"bucket": 2})
+    assert planned and all(f["partition"]["bucket"] == 2 for f in planned)
+    assert len(planned) < len(m["files"])
+    # a bound on a partition column excludes NULL-valued partitions
+    # (SQL comparison semantics: NULL matches no range)
+    planned = lh.plan_files(path, predicates={"tenant": ("t0", "t2")})
+    assert planned and all(f["partition"]["tenant"] is not None for f in planned)
+    # values survive the pruning: scan == full-read filter
+    got = sorted(r["id"] for r in lh.scan(spark, path, point={"bucket": 2}).collect())
+    want = sorted(
+        r["id"] for r in lh.read(spark, path).filter("bucket = 2").collect()
+    )
+    assert got == want and got
+
+
+def test_partitions_listing_matches_data(spark, tmp_path):
+    path, df = _mk_part(spark, tmp_path)
+    parts = lh.partitions(path)
+    assert sum(p["rows"] for p in parts) == 100
+    want = {
+        (r["bucket"], r["tenant"]): r["n"]
+        for r in df.groupBy("bucket", "tenant").agg(F.count("*").alias("n")).collect()
+    }
+    got = {(p["bucket"], p["tenant"]): p["rows"] for p in parts}
+    assert got == want
+    flat = str(tmp_path / "flat")
+    lh.create(spark, flat, df.select("id", "val"), key="id")
+    with pytest.raises(ValueError):
+        lh.partitions(flat)  # unpartitioned table has no listing
+
+
+def test_replace_where_swaps_partitions_atomically(spark, tmp_path):
+    path, df = _mk_part(spark, tmp_path)
+    new = df.filter("bucket = 1").withColumn("val", F.col("val") * -1)
+    v = lh.replace_where(spark, path, "bucket = 1", new, track_changes=True)
+    r = lh.read(spark, path)
+    assert r.count() == 100
+    assert r.filter("bucket = 1 AND val >= 0").count() == 0
+    assert r.filter("bucket != 1 AND val < 0").count() == 0
+    # time travel: the pre-replace snapshot is intact
+    assert lh.read(spark, path, version=1).filter("val < 0").count() == 0
+    # change feed carries the swap as delete pre-images + inserts
+    ch = lh.read_changes(spark, path, v)
+    by_type = {r["_change_type"]: r["n"] for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"delete": 25, "insert": 25}
+    # untracked replace refuses the feed
+    v2 = lh.replace_where(spark, path, "bucket = 1", new)
+    with pytest.raises(ValueError):
+        lh.read_changes(spark, path, v2)
+
+
+def test_replace_where_refusals(spark, tmp_path):
+    path, df = _mk_part(spark, tmp_path)
+    # rows outside the replaced region
+    with pytest.raises(ValueError, match="do not satisfy"):
+        lh.replace_where(spark, path, "bucket = 1", df)
+    # predicate over a data (non-partition) column
+    with pytest.raises(ValueError, match="partition columns"):
+        lh.replace_where(spark, path, "val > 0", df)
+    # unpartitioned table
+    flat = str(tmp_path / "flat")
+    lh.create(spark, flat, spark.range(5).select("id", (F.col("id") * 2).alias("v")), key="id")
+    with pytest.raises(ValueError, match="partitioned"):
+        lh.replace_where(spark, flat, "id = 1", spark.range(1).select("id", (F.col("id") * 2).alias("v")))
+
+
+def test_replace_where_conflicts_with_racing_append_into_region(spark, tmp_path):
+    # A racing append INTO the replaced partition must not survive the
+    # overwrite: simulate the race by appending between replace_where's
+    # snapshot read and its commit via a monkeypatched _commit wrapper.
+    path, df = _mk_part(spark, tmp_path)
+    real_commit = lh._commit
+    raced = {"done": False}
+    extra_in_region = spark.createDataFrame(
+        [(500, 1, "t9", 5000)], "id long, bucket long, tenant string, val long"
+    )
+    # deterministic interleave: append in-region after snapshot, before commit
+    import unittest.mock as mock
+
+    def racing(p, build):
+        if not raced["done"]:
+            raced["done"] = True
+            lh.append(spark, p, extra_in_region)
+        return real_commit(p, build)
+
+    new = df.filter("bucket = 1").withColumn("val", F.col("val") * -1)
+    with mock.patch.object(lh, "_commit", side_effect=racing):
+        lh.replace_where(spark, path, "bucket = 1", new)
+    r = lh.read(spark, path)
+    # the raced-in row was inside the replaced region: the overwrite
+    # recomputed and it is GONE (replace_where wins, atomically)
+    assert r.filter("id = 500").count() == 0
+    assert r.count() == 100
+    assert r.filter("bucket = 1 AND val >= 0").count() == 0
+
+
+def test_repartition_table_evolves_spec_and_time_travels(spark, tmp_path):
+    path, _ = _mk_part(spark, tmp_path)
+    v = lh.repartition_table(spark, path, ["tenant"])
+    m = lh.read_manifest(path, v)
+    assert m["action"] == "repartition" and m["partition_by"] == ["tenant"]
+    assert all(list(f["partition"]) == ["tenant"] for f in m["files"])
+    assert lh.read(spark, path).count() == 100
+    # old spec still resolves via time travel
+    assert lh.read_manifest(path, 1)["partition_by"] == ["bucket", "tenant"]
+    # un-partition drops the spec entirely
+    v2 = lh.repartition_table(spark, path, None)
+    assert "partition_by" not in lh.read_manifest(path, v2)
+    with pytest.raises(ValueError):
+        lh.partitions(path)
+
+
+def test_partitioned_merge_delete_compact_preserve_layout(spark, tmp_path):
+    path, _ = _mk_part(spark, tmp_path)
+    ups = spark.createDataFrame(
+        [(5, 1, "t2", -99), (500, 0, "t0", 1)], "id long, bucket long, tenant string, val long"
+    )
+    lh.merge_upsert(spark, path, ups)
+    lh.delete_where(spark, path, "id >= 90 AND id < 100", prune="auto")
+    lh.compact(spark, path, num_files=2)
+    m = lh.read_manifest(path)
+    assert all("partition" in f for f in m["files"])  # layout survives rewrites
+    r = lh.read(spark, path)
+    assert r.count() == 91  # 100 + 1 insert - 10 deleted (update is net zero)
+    assert r.filter("id = 5").collect()[0]["val"] == -99
+    # pruning still exact after the rewrite chain
+    planned = lh.plan_files(path, point={"bucket": 2})
+    assert planned and all(f["partition"]["bucket"] == 2 for f in planned)
+
+
+def test_partitioned_vacuum_reclaims_nested_dirs(spark, tmp_path):
+    path, df = _mk_part(spark, tmp_path, n=40)
+    new = df.filter("bucket = 0").withColumn("val", F.col("val") + 1)
+    lh.replace_where(spark, path, "bucket = 0", new)
+    deleted = lh.vacuum(path, keep_last=1)
+    assert deleted  # v1's bucket-0 files physically reclaimed
+    assert lh.read(spark, path).count() == 40
+    # no orphaned uuid dirs without parquet anywhere beneath
+    data_root = os.path.join(path, "data")
+    for d in os.listdir(data_root):
+        full = os.path.join(data_root, d)
+        assert any(
+            n.endswith(".parquet") for _, _, names in os.walk(full) for n in names
+        ), f"empty dir survived vacuum: {full}"
+
+
+def test_partitioned_idempotent_append_preserves_layout(spark, tmp_path):
+    # The streaming-sink path (foreachBatch → append_idempotent) on a
+    # PARTITIONED table: batches land partition-routed, replays no-op,
+    # and the listing stays consistent — the combination a partitioned
+    # streaming ingest table exercises every micro-batch.
+    path = str(tmp_path / "psink")
+    seed = spark.createDataFrame([], "id long, bucket long, val long")
+    lh.create(spark, path, seed, key="id", partition_by=["bucket"])
+    batch = spark.range(30).select(
+        "id", (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    v = lh.append_idempotent(spark, path, batch, writer_id="w", batch_id=0)
+    # replay with the same (writer, batch) — total-checkpoint-loss case
+    assert lh.append_idempotent(spark, path, batch, writer_id="w", batch_id=0) == v
+    assert lh.current_version(path) == v
+    m = lh.read_manifest(path)
+    assert all("partition" in f for f in m["files"])
+    assert {p["bucket"]: p["rows"] for p in lh.partitions(path)} == {0: 10, 1: 10, 2: 10}
+    # next batch advances the ledger and stays partition-routed
+    b2 = spark.range(30, 40).select(
+        "id", (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    lh.append_idempotent(spark, path, b2, writer_id="w", batch_id=1)
+    assert lh.read(spark, path).count() == 40
+    planned = lh.plan_files(path, point={"bucket": 1})
+    assert planned and all(f["partition"]["bucket"] == 1 for f in planned)
