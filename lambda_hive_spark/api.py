@@ -125,6 +125,7 @@ class LakeTable:
         *,
         constraints: dict | None = None,
         partition_by: list | None = None,
+        generated: dict | None = None,
     ) -> int:
         return self._lh.create(
             self.spark,
@@ -133,7 +134,12 @@ class LakeTable:
             key,
             constraints=constraints,
             partition_by=partition_by,
+            generated=generated,
         )
+
+    def clone_to(self, target: str) -> int:
+        """Zero-copy shallow clone of this table's head at `target`."""
+        return self._lh.clone(self.spark, self.path, target)
 
     def append(self, df: DataFrame, *, merge_schema: bool = False) -> int:
         return self._lh.append(self.spark, self.path, df, merge_schema=merge_schema)

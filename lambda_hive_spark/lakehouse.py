@@ -346,6 +346,10 @@ def _commit(path: str, build_entry):
             entry["partition_by"] = head["partition_by"]
         if entry.get("partition_by") is None:
             entry.pop("partition_by", None)
+        if head is not None and "generated" not in entry and head.get("generated"):
+            entry["generated"] = head["generated"]
+        if entry.get("generated") is None:
+            entry.pop("generated", None)
         # Operation metrics, derived from the manifest diff alone (zero
         # data I/O — file row counts are footer stats already in hand):
         # net_rows is the commit's logical row delta (+batch for an
@@ -372,6 +376,40 @@ def _commit(path: str, build_entry):
             os.unlink(staged)  # lost the race — rebuild against new head
 
 
+def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
+    """Materialize generated columns on a write batch (Delta generated-
+    columns shape): a column the batch OMITS is computed from its
+    expression; a column the batch PROVIDES is validated against the
+    expression (one aggregation job over the bounded batch) — a
+    caller-supplied value that disagrees with the generation rule would
+    silently break partition routing, so it refuses whole."""
+    if not generated:
+        return df
+    mismatched = []
+    for col, expr in generated.items():
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            mismatched.append(col)
+    if mismatched:
+        aggs = [
+            F.sum(
+                F.when(
+                    F.expr(f"`{c}` IS DISTINCT FROM ({generated[c]})"), 1
+                ).otherwise(0)
+            ).alias(c)
+            for c in mismatched
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {c: int(row[c]) for c in mismatched if row[c]}
+        if bad:
+            raise ValueError(
+                "generated-column values disagree with their expressions: "
+                + ", ".join(f"{c} ({n} rows != {generated[c]})" for c, n in bad.items())
+            )
+    return df
+
+
 def create(
     spark: SparkSession,
     path: str,
@@ -380,6 +418,7 @@ def create(
     *,
     constraints: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Create a lake table at `path` (must not exist) keyed by `key`
     (the column MERGE prunes on). ``constraints`` maps name → SQL
@@ -394,9 +433,19 @@ def create(
     atomically. At 100 TB this is the first-order data layout decision:
     the classic spec is a low-cardinality ingest column (date, tenant,
     source), with Z-order handling the high-cardinality dimensions
-    WITHIN partitions."""
+    WITHIN partitions.
+
+    ``generated`` maps column → SQL expression (Delta generated
+    columns): a write batch that omits the column gets it COMPUTED
+    (e.g. ``{"day": "to_date(ts)"}`` — the events-by-day ingest
+    pattern, where callers never hand-maintain the partition key); a
+    batch that provides it is VALIDATED against the expression and
+    refused on disagreement. Generated columns compose with
+    ``partition_by``: partition on the generated day, prune on it
+    exactly."""
     if os.path.exists(_log_dir(path)) and current_version(path) > 0:
         raise FileExistsError(f"lake table already exists: {path}")
+    df = _apply_generated(df, generated or {})
     if constraints:
         _validate_constraints(df, constraints)
     files = _write_data_files(df, path, key, partition_by)
@@ -411,6 +460,8 @@ def create(
             entry["constraints"] = dict(constraints)
         if partition_by:
             entry["partition_by"] = list(partition_by)
+        if generated:
+            entry["generated"] = dict(generated)
         return entry
 
     return _commit(path, build)
@@ -428,6 +479,7 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     the same read-snapshot semantics Delta's invariants have)."""
     m = read_manifest(path)
     key = m["key"]
+    df = _apply_generated(df, m.get("generated") or {})
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -495,6 +547,7 @@ def append_idempotent(
     if m.get("txns", {}).get(writer_id, -1) >= batch_id:
         return current_version(path)
     key = m["key"]
+    df = _apply_generated(df, m.get("generated") or {})
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -1085,6 +1138,7 @@ def merge_upsert(
     while True:
         m = read_manifest(path)
         key = key or m["key"]
+        updates = _apply_generated(updates, m.get("generated") or {})
         _validate_constraints(updates, m.get("constraints") or {})
         # The same silent-drift contract append carries: an updates
         # batch with columns the table lacks refuses unless the caller
@@ -1350,6 +1404,7 @@ def replace_where(
                 "(create(partition_by=...) or repartition_table)"
             )
         key = m["key"]
+        df = _apply_generated(df, m.get("generated") or {})
         _validate_constraints(df, m.get("constraints") or {})
         head_schema = _manifest_schema(m)
         if head_schema is not None and [
@@ -1512,7 +1567,7 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
     CDC consumer, the one unforgivable failure of a change feed."""
     m = read_manifest(path, version)
     action = m.get("action")
-    if action in ("create", "append"):
+    if action in ("create", "append", "clone"):
         prev = (
             {f["path"] for f in read_manifest(path, version - 1)["files"]}
             if m.get("parent")
@@ -1829,6 +1884,47 @@ def optimize_small_files(
             _discard_orphans(new_files)
 
 
+def clone(spark: SparkSession, source: str, target: str) -> int:
+    """SHALLOW CLONE (Delta shape): a NEW table at `target` whose v1
+    manifest references the SOURCE's current data files by path — zero
+    data copied, O(1) data I/O at any table size. The clone is a full
+    peer from then on: its own commit log, its own versions; writes to
+    either table never touch the other (data files are immutable, and
+    a clone commit that rewrites rows writes into the CLONE's data
+    dir). Schema, key, partition spec, generated columns, and CHECK
+    constraints carry over; the txns ledger does NOT (the clone is a
+    new sink identity — inheriting the source's dedup ledger would
+    silently drop the first legitimate batch of any same-named
+    writer). The standing caveat every shallow clone has: vacuuming
+    the SOURCE can reap files the clone still references — vacuum's
+    ownership guard (it deletes only files under its OWN data dir)
+    protects the source from the clone, not the clone from the
+    source; deep-copy via compact() on the clone to cut the tie.
+
+    The dev/test verb at 100 TB: experiment against production data
+    this second, with production immutable to you."""
+    m = read_manifest(source)
+
+    def build(head):
+        if head is not None:
+            raise FileExistsError(f"lake table already exists: {target}")
+        entry = {
+            "action": "clone",
+            "cloned_from": os.path.abspath(source),
+            "clone_source_version": m["version"],
+            "key": m["key"],
+            "files": m["files"],
+            "schema": m.get("schema"),
+            "txns": {},
+        }
+        for carried in ("partition_by", "generated", "constraints"):
+            if m.get(carried):
+                entry[carried] = m[carried]
+        return entry
+
+    return _commit(target, build)
+
+
 def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced ONLY by manifests older
     than the last `keep_last` versions, then drop those manifests.
@@ -1845,12 +1941,21 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     for v in keep_versions:
         live.update(f["path"] for f in read_manifest(path, v)["files"])
     deleted = []
+    # Ownership guard: only files under THIS table's data dir are ever
+    # deleted — a shallow clone's manifests reference the source's
+    # files by path, and the clone vacuuming its own history must not
+    # reap data it does not own.
+    own_prefix = os.path.abspath(os.path.join(path, _DATA)) + os.sep
     for v in all_versions:
         if v in keep_versions:
             continue
         mv = read_manifest(path, v)
         for f in mv["files"]:
-            if f["path"] not in live and os.path.exists(f["path"]):
+            if (
+                f["path"] not in live
+                and os.path.abspath(f["path"]).startswith(own_prefix)
+                and os.path.exists(f["path"])
+            ):
                 os.remove(f["path"])
                 deleted.append(f["path"])
         # change-feed files are per-version, never shared: drop with it

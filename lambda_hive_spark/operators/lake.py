@@ -1146,3 +1146,107 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert planned and len(planned) < len(m["files"])
     assert all(f["partition"]["source"] == src for f in planned)
     return lh.read(spark, path)
+
+
+@op(
+    "lake_generated_partition",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+    tags=("side_effect",),
+)
+def lake_generated_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated partition columns (Delta generated-columns shape):
+    events lands partitioned by a `day` column the TABLE computes
+    (`to_date(ts)`) — the ingest-by-day pattern where no caller ever
+    hand-maintains the partition key. The create batch OMITS day (the
+    expression materializes it); a second batch PROVIDING a
+    disagreeing day is asserted REFUSED in-op (a wrong hand-supplied
+    value would silently misroute the partition); pruning on the
+    generated column is asserted exact. The per-day rollup must equal
+    the relational GROUP BY over raw ts — proving computation,
+    routing, and read-back agree end to end.
+
+    Scale: the generation rule lives in the manifest, so every writer
+    — batch jobs, streaming foreachBatch, MERGE — routes identically;
+    day-level retention (`replace_where "day = X"`) and day-pruned
+    scans follow for free on a 100 TB events table."""
+    path = _fresh_table_dir("genpart", sf_dir)
+    base = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    half = base.filter(F.col("event_id") % 2 == 0)
+    rest = base.filter(F.col("event_id") % 2 == 1)
+    lh.create(
+        spark, path, half, key="event_id",
+        partition_by=["day"], generated={"day": "to_date(ts)"},
+    )
+    lh.append(spark, path, rest)  # day computed here too
+    bad = rest.limit(5).withColumn("day", F.expr("DATE'1999-01-01'"))
+    try:
+        lh.append(spark, path, bad)
+        raise AssertionError("disagreeing generated value was accepted")
+    except ValueError:
+        pass
+    some_day = lh.partitions(path)[0]["day"]
+    planned = lh.plan_files(path, point={"day": some_day})
+    assert planned and all(f["partition"]["day"] == some_day for f in planned)
+    assert len(planned) < len(lh.read_manifest(path)["files"])
+    return (
+        lh.read(spark, path)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@op(
+    "lake_shallow_clone",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE: orders lands as a lake table, a clone
+    is taken (O(1) data I/O — the clone's v1 manifest references the
+    source's files by path, asserted verbatim in-op), then the CLONE
+    is mutated (every 10th price doubled via MERGE). The clone read
+    must equal the relational CASE while the SOURCE is asserted
+    bit-intact — divergence without interference, the property that
+    makes a clone safe to hand to an experiment. The clone's txn
+    ledger is asserted fresh (a new sink identity must not inherit
+    the source's exactly-once dedup state).
+
+    Scale: cloning a 100 TB table costs one manifest write; the
+    experiment pays only for the rows it changes (copy-on-write into
+    the clone's OWN data dir — vacuum's ownership guard keeps either
+    table's maintenance away from the other's files)."""
+    path = _fresh_table_dir("clonesrc", sf_dir)
+    clone_path = _fresh_table_dir("clonedst", sf_dir)
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lh.create(spark, path, base.repartitionByRange(4, "o_orderkey"), key="o_orderkey")
+    lh.clone(spark, path, clone_path)
+    m = lh.read_manifest(clone_path)
+    assert m["action"] == "clone" and m["txns"] == {}
+    assert {f["path"] for f in m["files"]} == {
+        f["path"] for f in lh.read_manifest(path)["files"]
+    }
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    lh.merge_upsert(spark, clone_path, updates)
+    # row-exact source check (not a float SUM, whose partition-order
+    # non-associativity would false-positive): multiset difference
+    # against the fixture must be empty both ways
+    src = lh.read(spark, path)
+    leaked = src.exceptAll(base).count() + base.exceptAll(src).count()
+    assert leaked == 0, "clone mutation leaked into the source"
+    return lh.read(spark, clone_path)

@@ -1129,3 +1129,90 @@ def test_partitioned_idempotent_append_preserves_layout(spark, tmp_path):
     assert lh.read(spark, path).count() == 40
     planned = lh.plan_files(path, point={"bucket": 1})
     assert planned and all(f["partition"]["bucket"] == 1 for f in planned)
+
+
+# ------------------------------------------------- generated columns & clone
+
+
+def test_generated_partition_column_computed_and_validated(spark, tmp_path):
+    # The events-by-day ingest pattern: partition on a GENERATED day
+    # column callers never hand-maintain.
+    path = str(tmp_path / "gen")
+    base = spark.range(40).select(
+        "id",
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)").alias("ts"),
+        (F.col("id") * 2).alias("val"),
+    )
+    lh.create(
+        spark, path, base, key="id",
+        partition_by=["day"], generated={"day": "to_date(ts)"},
+    )
+    m = lh.read_manifest(path)
+    assert m["generated"] == {"day": "to_date(ts)"}
+    # the computed column landed, typed, one tuple per file
+    assert {p["day"] for p in lh.partitions(path)} == {"2024-03-01", "2024-03-02"}
+    # a batch WITHOUT the column gets it computed on append
+    b2 = spark.range(100, 110).select(
+        "id", F.expr("timestamp'2024-03-03 05:00:00'").alias("ts"), F.lit(0).alias("val")
+    )
+    lh.append(spark, path, b2)
+    assert lh.read(spark, path).filter("day = DATE'2024-03-03'").count() == 10
+    # a batch PROVIDING a disagreeing value is refused whole
+    bad = b2.select("id", "ts", "val").withColumn("day", F.expr("DATE'1999-01-01'"))
+    with pytest.raises(ValueError, match="disagree"):
+        lh.append(spark, path, bad)
+    # pruning on the generated partition column is exact
+    planned = lh.plan_files(path, point={"day": "2024-03-02"})
+    assert planned and all(f["partition"]["day"] == "2024-03-02" for f in planned)
+    # merge computes it too (update one row, no day supplied)
+    up = spark.createDataFrame(
+        [(5, "2024-03-01 05:00:00", -1)], "id long, ts string, val long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lh.merge_upsert(spark, path, up)
+    row = lh.read(spark, path).filter("id = 5").collect()[0]
+    assert row["val"] == -1 and str(row["day"]) == "2024-03-01"
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    src = _mk(spark, tmp_path, n=50, files=3)
+    tgt = str(tmp_path / "clone")
+    assert lh.clone(spark, src, tgt) == 1
+    m = lh.read_manifest(tgt)
+    assert m["action"] == "clone" and m["clone_source_version"] == 1
+    # zero-copy: the clone's v1 references the SOURCE's files verbatim
+    assert {f["path"] for f in m["files"]} == {
+        f["path"] for f in lh.read_manifest(src)["files"]
+    }
+    assert _rows(lh.read(spark, tgt)) == _rows(lh.read(spark, src))
+    # divergence: writes to the clone never touch the source
+    lh.merge_upsert(spark, tgt, spark.createDataFrame([(0, -1)], "id long, val long"))
+    lh.delete_where(spark, tgt, "id >= 40", prune="auto")
+    assert dict(_rows(lh.read(spark, tgt)))[0] == -1
+    assert lh.read(spark, tgt).count() == 40
+    assert dict(_rows(lh.read(spark, src)))[0] == 0  # source intact
+    assert lh.read(spark, src).count() == 50
+    # fresh txn ledger: the clone is a new sink identity
+    assert lh.read_manifest(tgt)["txns"] == {}
+    # clone refuses to overwrite an existing table
+    with pytest.raises(FileExistsError):
+        lh.clone(spark, src, tgt)
+
+
+def test_clone_vacuum_ownership_guard(spark, tmp_path):
+    # The clone rewrote source-referenced files out of its head; its
+    # vacuum must reap ONLY its own rewrites, never the source's data.
+    src = _mk(spark, tmp_path, n=30, files=2)
+    tgt = str(tmp_path / "clone2")
+    lh.clone(spark, src, tgt)
+    lh.compact(spark, tgt, num_files=1)  # clone's own copy; source files now historical
+    deleted = lh.vacuum(tgt, keep_last=1)
+    # nothing under the SOURCE's data dir was deleted
+    assert all(not p.startswith(src) for p in deleted)
+    assert lh.read(spark, src).count() == 30  # source fully readable
+    assert lh.read(spark, tgt).count() == 30
+    # clone carries constraints/partition spec of a partitioned source
+    psrc, _ = _mk_part(spark, tmp_path)
+    ptgt = str(tmp_path / "pclone")
+    lh.clone(spark, psrc, ptgt)
+    assert lh.read_manifest(ptgt)["partition_by"] == ["bucket", "tenant"]
+    assert {p["bucket"] for p in lh.partitions(ptgt)} == {0, 1, 2, 3}

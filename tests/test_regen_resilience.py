@@ -108,6 +108,12 @@ LAKE_TARGETS = [
     "lake_schema_evolution", "lake_stats_pruned_scan",
     "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
     "stream_sink_lake", "lake_ivm_refresh", "lake_delete_where",
+    # r6 partitioning family: novel enum values become novel partition
+    # tuples (routing + pruning under unseen categories); NULL-injected
+    # event_type exercises the __HIVE_DEFAULT_PARTITION__ round-trip
+    "lake_partitioned_write", "lake_partition_pruned_scan",
+    "lake_replace_where", "lake_partition_evolution",
+    "lake_generated_partition", "lake_shallow_clone",
 ]
 
 
