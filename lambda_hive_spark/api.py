@@ -11,8 +11,10 @@ switches to:
     eng.stream_events(landing_dir)       # unbounded events source
     eng.dag()                            # workflow-DAG builder
     eng.lake(path)                       # ACID lake table handle
-    #   .create(df, key) .append(df) .merge_upsert(updates)
-    #   .read(version=N) .compact() .vacuum() .history()
+    #   .create(df, key, partition_by=[...], generated={...})
+    #   .append(df) .merge_upsert(updates) .replace_where(pred, df)
+    #   .read(version=N) .partitions() .repartition_table([...])
+    #   .clone_to(target) .compact() .vacuum() .history()
 
 Everything is a thin delegation to the modules that own the logic —
 the facade adds discoverability, not behavior.

@@ -231,19 +231,25 @@ _PDIR_PREFIX = "__p_"
 
 
 def _typed_partition_value(raw: str, spark_type_name: str):
-    """Cast a hive-style partition directory value (string) back to the
-    column's manifest-JSON-pure Python type. Directory names are the
+    """Cast a routing-directory value back to the column's
+    manifest-JSON-pure Python type. Directory names are the
     authoritative record of what the writer routed where (footer stats
     can be absent or truncated for long strings; the path cannot).
-    Dates/timestamps stay ISO strings — lexicographic order equals
-    chronological order, so range pruning on the string is sound."""
+    Values carry a one-char ``v`` prefix added at write time: Hive's
+    dir encoding maps BOTH NULL and the empty string to
+    ``__HIVE_DEFAULT_PARTITION__``, so an unprefixed '' partition
+    would silently become NULL — with the prefix, '' routes to its own
+    ``=v`` directory and only true NULLs hit the Hive marker. Dates
+    stay ISO strings — lexicographic order equals chronological order,
+    so range pruning on the string is sound."""
     if raw == _HIVE_NULL:
         return None
     raw = unquote(raw)
+    if not raw.startswith("v"):
+        raise ValueError(f"unprefixed partition dir value: {raw!r}")
+    raw = raw[1:]
     if spark_type_name in ("byte", "short", "integer", "long"):
         return int(raw)
-    if spark_type_name in ("float", "double") or spark_type_name.startswith("decimal"):
-        return float(raw)
     if spark_type_name == "boolean":
         return raw.lower() == "true"
     return raw
@@ -267,8 +273,37 @@ def _parse_partition_dirs(relpath: str, schema: StructType, partition_by: list[s
     return values
 
 
+# Partition columns must round-trip losslessly through a directory
+# name and a JSON manifest. Timestamps (Spark's dir encoding and
+# isoformat disagree on sub-second digits), decimals (float round-trip
+# loses scale), and floats are refused at spec time — partition on a
+# date/int/string DERIVATIVE instead (e.g. generated day=to_date(ts)),
+# which is also the sane layout at 100 TB.
+_PARTITIONABLE_TYPES = {"byte", "short", "integer", "long", "string", "boolean", "date"}
+
+
+def _check_partition_types(schema: StructType, partition_by: list[str]) -> None:
+    bad = {
+        c: schema[c].dataType.typeName()
+        for c in partition_by
+        if c in schema.fieldNames()
+        and schema[c].dataType.typeName() not in _PARTITIONABLE_TYPES
+    }
+    if bad:
+        raise ValueError(
+            f"unsupported partition column type(s) {bad}: partition values "
+            f"must round-trip a directory name losslessly — partition on a "
+            f"date/int/string derivative instead (e.g. generated "
+            f"day=to_date(ts))"
+        )
+
+
 def _write_data_files(
-    df: DataFrame, path: str, key: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    key: str,
+    partition_by: list[str] | None = None,
+    cluster: bool = True,
 ) -> list[dict]:
     """Materialize a DataFrame as immutable data files under a fresh
     uuid directory; returns their stats entries. With ``partition_by``,
@@ -294,11 +329,23 @@ def _write_data_files(
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in data: {missing}")
+    _check_partition_types(df.schema, list(partition_by))
     dup = [f"{_PDIR_PREFIX}{c}" for c in partition_by]
     staged = df
     for c, d in zip(partition_by, dup):
-        staged = staged.withColumn(d, F.col(c))
-    staged = staged.repartition(*[F.col(d) for d in dup])
+        # 'v'-prefixed string encoding (see _typed_partition_value):
+        # '' routes to its own dir instead of Hive's null marker; NULL
+        # stays NULL (concat propagates it) and takes the marker alone
+        staged = staged.withColumn(
+            d, F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+    if cluster:
+        # One clustering shuffle → one file per partition tuple per
+        # write. cluster=False preserves the caller's row placement
+        # (e.g. zorder's range partitioning — partitionBy still splits
+        # each task's rows into per-tuple files, so the z-order
+        # survives WITHIN partitions).
+        staged = staged.repartition(*[F.col(d) for d in dup])
     staged.write.mode("errorifexists").partitionBy(*dup).parquet(out)
     entries = []
     for root, _dirs, names in os.walk(out):
@@ -376,13 +423,19 @@ def _commit(path: str, build_entry):
             os.unlink(staged)  # lost the race — rebuild against new head
 
 
-def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
+def _apply_generated(
+    df: DataFrame, generated: dict[str, str], order: list[str] | None = None
+) -> DataFrame:
     """Materialize generated columns on a write batch (Delta generated-
     columns shape): a column the batch OMITS is computed from its
     expression; a column the batch PROVIDES is validated against the
     expression (one aggregation job over the bounded batch) — a
     caller-supplied value that disagrees with the generation rule would
-    silently break partition routing, so it refuses whole."""
+    silently break partition routing, so it refuses whole. ``order``
+    (the table schema's field names) re-orders the result so a
+    computed column lands in ITS schema position, not appended at the
+    end — append's order-sensitive drift check must not refuse a batch
+    this feature just completed."""
     if not generated:
         return df
     mismatched = []
@@ -407,6 +460,8 @@ def _apply_generated(df: DataFrame, generated: dict[str, str]) -> DataFrame:
                 "generated-column values disagree with their expressions: "
                 + ", ".join(f"{c} ({n} rows != {generated[c]})" for c, n in bad.items())
             )
+    if order and set(df.columns) == set(order):
+        df = df.select(*order)
     return df
 
 
@@ -479,7 +534,10 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     the same read-snapshot semantics Delta's invariants have)."""
     m = read_manifest(path)
     key = m["key"]
-    df = _apply_generated(df, m.get("generated") or {})
+    _schema = _manifest_schema(m)
+    df = _apply_generated(
+        df, m.get("generated") or {}, _schema.fieldNames() if _schema else None
+    )
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -547,7 +605,10 @@ def append_idempotent(
     if m.get("txns", {}).get(writer_id, -1) >= batch_id:
         return current_version(path)
     key = m["key"]
-    df = _apply_generated(df, m.get("generated") or {})
+    _schema = _manifest_schema(m)
+    df = _apply_generated(
+        df, m.get("generated") or {}, _schema.fieldNames() if _schema else None
+    )
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -1135,10 +1196,14 @@ def merge_upsert(
     and recorded in the manifest — `read_changes` serves them without
     diffing snapshots. Costs two extra broadcast joins against the
     bounded updates batch, nothing against the table."""
+    m0 = read_manifest(path)
+    _schema0 = _manifest_schema(m0)
+    updates = _apply_generated(
+        updates, m0.get("generated") or {}, _schema0.fieldNames() if _schema0 else None
+    )
     while True:
         m = read_manifest(path)
         key = key or m["key"]
-        updates = _apply_generated(updates, m.get("generated") or {})
         _validate_constraints(updates, m.get("constraints") or {})
         # The same silent-drift contract append carries: an updates
         # batch with columns the table lacks refuses unless the caller
@@ -1395,6 +1460,11 @@ def replace_where(
     feed. Scale: planning is manifest-only; the rewrite reads exactly
     the replaced partitions' files and writes the new region — the
     untouched 100 TB carries by reference."""
+    m0 = read_manifest(path)
+    _schema0 = _manifest_schema(m0)
+    df = _apply_generated(
+        df, m0.get("generated") or {}, _schema0.fieldNames() if _schema0 else None
+    )
     while True:
         m = read_manifest(path)
         pby = m.get("partition_by")
@@ -1404,7 +1474,6 @@ def replace_where(
                 "(create(partition_by=...) or repartition_table)"
             )
         key = m["key"]
-        df = _apply_generated(df, m.get("generated") or {})
         _validate_constraints(df, m.get("constraints") or {})
         head_schema = _manifest_schema(m)
         if head_schema is not None and [
@@ -1435,12 +1504,14 @@ def replace_where(
             for t in by_tuple
         ]
         pdf = spark.createDataFrame(rows, schema=fields)
+        from pyspark.errors import AnalysisException
+
         try:
             matched = pdf.filter(predicate).collect()
-        except Exception as e:  # unresolved column ⇒ not a partition column
+        except AnalysisException as e:  # unresolved name ⇒ not a partition column
             raise ValueError(
                 f"replace_where predicate must reference partition columns "
-                f"only {pby}: {e}"
+                f"only {pby} (and resolvable functions): {e}"
             ) from e
         replaced = {tuple(_json_pure(r[c]) for c in pby) for r in matched}
         doomed_paths = {
@@ -1657,7 +1728,9 @@ def zorder_cluster(
         df = _read_snapshot_files(spark, m, old_paths)
         z = _zvalue_expr(spark, df, cols)
         clustered = df.repartitionByRange(num_files, z.alias("_z"))
-        new_files = _write_data_files(clustered, path, m["key"], m.get("partition_by"))
+        new_files = _write_data_files(
+            clustered, path, m["key"], m.get("partition_by"), cluster=False
+        )
 
         def build(head):
             head_paths = {f["path"] for f in head["files"]}
@@ -1690,7 +1763,10 @@ def _discard_orphans(files: list[dict]) -> None:
 def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
     """Rewrite the current snapshot into `num_files` files as a
     normal commit; older versions still resolve to the old files
-    (time travel across compaction)."""
+    (time travel across compaction). On a PARTITIONED table the
+    clustering write supersedes `num_files`: the result is one file
+    per partition tuple — the densest layout the partition contract
+    allows."""
     while True:
         m = read_manifest(path)
         old_paths = {f["path"] for f in m["files"]}
@@ -1834,6 +1910,11 @@ def restore(spark: SparkSession, path: str, version: int) -> int:
             "schema": target.get("schema"),
             "txns": head.get("txns", {}),
             "bloom": target.get("bloom"),
+            # layout identity travels WITH the files: a head spec the
+            # restored files were never written under would break
+            # replace_where's row-exactness premise
+            "partition_by": target.get("partition_by"),
+            "generated": target.get("generated"),
         }
 
     return _commit(path, build)
@@ -1858,6 +1939,17 @@ def optimize_small_files(
     while True:
         m = read_manifest(path)
         small = [f for f in m["files"] if f["rows"] < target_rows]
+        pby = m.get("partition_by")
+        if pby:
+            # Partitioned convergence: a partition's single small file
+            # can never reach target_rows by rewriting — selecting it
+            # would commit an identical layout forever. Only tuples
+            # with ≥2 small files make progress (they merge to one).
+            groups: dict[tuple, list[dict]] = {}
+            for f in small:
+                t = tuple((f.get("partition") or {}).get(c) for c in pby)
+                groups.setdefault(t, []).append(f)
+            small = [f for fs in groups.values() if len(fs) >= 2 for f in fs]
         if len(small) <= 1:
             return m["version"]
         small_paths = {f["path"] for f in small}

@@ -1216,3 +1216,140 @@ def test_clone_vacuum_ownership_guard(spark, tmp_path):
     lh.clone(spark, psrc, ptgt)
     assert lh.read_manifest(ptgt)["partition_by"] == ["bucket", "tenant"]
     assert {p["bucket"] for p in lh.partitions(ptgt)} == {0, 1, 2, 3}
+
+
+# -------------------------------------------- partitioning edge-case fixes
+
+
+def test_empty_string_partition_distinct_from_null(spark, tmp_path):
+    # Hive's dir encoding maps BOTH '' and NULL to the same marker;
+    # footer stats must disambiguate so point scans on '' find their
+    # rows and NULL partitions stay NULL.
+    path = str(tmp_path / "empties")
+    df = spark.createDataFrame(
+        [(1, "", 10), (2, "", 20), (3, None, 30), (4, "x", 40)],
+        "id long, tenant string, val long",
+    )
+    lh.create(spark, path, df, key="id", partition_by=["tenant"])
+    m = lh.read_manifest(path)
+    vals = sorted(
+        (f["partition"]["tenant"] is None, f["partition"]["tenant"] or "∅")
+        for f in m["files"]
+    )
+    tenants = [f["partition"]["tenant"] for f in m["files"]]
+    assert "" in tenants and None in tenants and "x" in tenants
+    got = sorted(r["id"] for r in lh.scan(spark, path, point={"tenant": ""}).collect())
+    assert got == [1, 2]
+    planned = lh.plan_files(path, point={"tenant": ""})
+    assert all(f["partition"]["tenant"] == "" for f in planned)
+    # bounds exclude the NULL partition but admit ''
+    planned = lh.plan_files(path, predicates={"tenant": ("", "x")})
+    assert all(f["partition"]["tenant"] is not None for f in planned)
+
+
+def test_restore_restores_partition_spec(spark, tmp_path):
+    # The spec is file-layout identity: restoring v1's files must
+    # restore v1's spec, or replace_where would reason over tuples the
+    # files were never written under.
+    path, df = _mk_part(spark, tmp_path)
+    lh.repartition_table(spark, path, ["tenant"])
+    v = lh.restore(spark, path, 1)
+    m = lh.read_manifest(path, v)
+    assert m["partition_by"] == ["bucket", "tenant"]
+    assert all(
+        set(f["partition"]) == {"bucket", "tenant"} for f in m["files"]
+    )
+    # replace_where works against the restored spec
+    new = df.filter("bucket = 3").withColumn("val", F.col("val") * -1)
+    lh.replace_where(spark, path, "bucket = 3", new)
+    r = lh.read(spark, path)
+    assert r.count() == 100 and r.filter("bucket = 3 AND val >= 0").count() == 0
+
+
+def test_unpartitionable_column_types_refused(spark, tmp_path):
+    path = str(tmp_path / "badtype")
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "id long, ratio double"
+    ).withColumn("ts", F.expr("timestamp'2024-01-01 00:00:00.123'"))
+    for col in ("ratio", "ts"):
+        with pytest.raises(ValueError, match="unsupported partition column type"):
+            lh.create(spark, str(tmp_path / f"t_{col}"), df, key="id", partition_by=[col])
+    # date IS partitionable (the blessed derivative)
+    ok = df.withColumn("day", F.expr("to_date(ts)"))
+    lh.create(spark, path, ok, key="id", partition_by=["day"])
+    assert lh.partitions(path)[0]["day"] == "2024-01-01"
+
+
+def test_generated_column_midschema_append_accepted(spark, tmp_path):
+    # The generated column sits in the MIDDLE of the schema; a batch
+    # omitting it must still append (the computed column is re-ordered
+    # into its schema position, not tacked onto the end).
+    path = str(tmp_path / "genmid")
+    base = spark.createDataFrame(
+        [(1, "2024-03-01 01:00:00", 10)], "id long, ts string, val long"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "id", F.expr("to_date(ts)").alias("day"), "ts", "val"
+    )
+    lh.create(
+        spark, path, base, key="id",
+        partition_by=["day"], generated={"day": "to_date(ts)"},
+    )
+    batch = spark.createDataFrame(
+        [(2, "2024-03-02 01:00:00", 20)], "id long, ts string, val long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    lh.append(spark, path, batch)  # no day column: computed mid-schema
+    assert lh.read(spark, path).count() == 2
+    assert [f.name for f in lh.read(spark, path).schema.fields] == ["id", "day", "ts", "val"]
+
+
+def test_partitioned_optimize_converges(spark, tmp_path):
+    # One small file per tuple is already the densest layout: optimize
+    # must NO-OP (not rewrite the same bytes forever); tuples with ≥2
+    # small files merge to one.
+    path = str(tmp_path / "poptim")
+    df = spark.range(20).select(
+        "id", (F.col("id") % 2).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    lh.create(spark, path, df, key="id", partition_by=["bucket"])
+    v = lh.current_version(path)
+    assert lh.optimize_small_files(spark, path, target_rows=1000) == v  # no-op
+    assert lh.current_version(path) == v
+    # trickle two more small files into bucket 0 → that tuple merges
+    for i in (100, 200):
+        lh.append(spark, path, spark.createDataFrame(
+            [(i, 0, i)], "id long, bucket long, val long"
+        ))
+    v2 = lh.optimize_small_files(spark, path, target_rows=1000)
+    assert v2 > v
+    m = lh.read_manifest(path, v2)
+    per_tuple = {}
+    for f in m["files"]:
+        per_tuple.setdefault(f["partition"]["bucket"], []).append(f)
+    assert len(per_tuple[0]) == 1 and len(per_tuple[1]) == 1
+    # and a second optimize is a no-op again
+    assert lh.optimize_small_files(spark, path, target_rows=1000) == v2
+    assert lh.read(spark, path).count() == 22
+
+
+def test_partitioned_zorder_preserves_rows_and_layout(spark, tmp_path):
+    path = str(tmp_path / "pz")
+    df = spark.range(200).select(
+        "id", (F.col("id") % 2).alias("bucket"),
+        (F.col("id") * 7 % 50).alias("x"), (F.col("id") * 13 % 50).alias("y"),
+    )
+    lh.create(spark, path, df, key="id", partition_by=["bucket"])
+    v = lh.zorder_cluster(spark, path, ["x", "y"], num_files=4)
+    m = lh.read_manifest(path, v)
+    assert m["zorder_by"] == ["x", "y"]
+    assert all("partition" in f for f in m["files"])
+    # z-placement survives: >1 file per tuple (range buckets × tuples),
+    # i.e. the clustering shuffle did NOT flatten it to 1/tuple
+    per_tuple = {}
+    for f in m["files"]:
+        per_tuple.setdefault(f["partition"]["bucket"], 0)
+        per_tuple[f["partition"]["bucket"]] += 1
+    assert max(per_tuple.values()) > 1
+    assert lh.read(spark, path).count() == 200
+    # partition pruning still exact after the zorder rewrite
+    planned = lh.plan_files(path, point={"bucket": 1})
+    assert planned and all(f["partition"]["bucket"] == 1 for f in planned)

@@ -60,9 +60,19 @@ def main(correctness_path: str, round_key: str) -> None:
 
     ops = all_ops()
     hashes = manifest.setdefault("hashes", {})
+    # Prefer the OPHASHES.json snapshot (written at the round's final
+    # commit — the exact source the driver graded) over the current
+    # source hash: merging AFTER local edits must not stamp source the
+    # driver never saw (r5 advisor trust gap, closed for the manifest
+    # path too).
+    try:
+        with open(os.path.join(REPO, "OPHASHES.json")) as f:
+            snapshot = json.load(f)
+    except (OSError, ValueError):
+        snapshot = {}
     for name in graded_now:
         if name in ops:
-            hashes[name] = op_source_hash(ops[name])
+            hashes[name] = snapshot.get(name) or op_source_hash(ops[name])
 
     with open(GRADED, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
