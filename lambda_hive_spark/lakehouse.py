@@ -304,6 +304,7 @@ def _write_data_files(
     key: str,
     partition_by: list[str] | None = None,
     cluster: bool = True,
+    files_per_partition: int | None = None,
 ) -> list[dict]:
     """Materialize a DataFrame as immutable data files under a fresh
     uuid directory; returns their stats entries. With ``partition_by``,
@@ -344,8 +345,31 @@ def _write_data_files(
         # write. cluster=False preserves the caller's row placement
         # (e.g. zorder's range partitioning — partitionBy still splits
         # each task's rows into per-tuple files, so the z-order
-        # survives WITHIN partitions).
-        staged = staged.repartition(*[F.col(d) for d in dup])
+        # survives WITHIN partitions). The table's write_tuning
+        # files_per_partition (or the explicit create-time arg) salts
+        # the shuffle so a HUGE partition spreads across N writers/
+        # files instead of bottlenecking one task — the at-scale knob
+        # for skewed ingest (one hot day, one dominant tenant).
+        n = files_per_partition
+        if n is None:
+            try:
+                n = (read_manifest(path).get("write_tuning") or {}).get(
+                    "files_per_partition"
+                )
+            except (OSError, ValueError):
+                n = None
+        keys = [F.col(d) for d in dup]
+        if n and int(n) > 1:
+            keys.append(F.pmod(F.xxhash64(F.col(key)), F.lit(int(n))))
+            # explicit count: AQE's partition coalescing honors a
+            # user-specified number but would otherwise merge the
+            # salted tasks right back into one writer per tuple
+            shuffle_n = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            staged = staged.repartition(max(shuffle_n, int(n)), *keys)
+        else:
+            staged = staged.repartition(*keys)
     staged.write.mode("errorifexists").partitionBy(*dup).parquet(out)
     entries = []
     for root, _dirs, names in os.walk(out):
@@ -397,6 +421,10 @@ def _commit(path: str, build_entry):
             entry["generated"] = head["generated"]
         if entry.get("generated") is None:
             entry.pop("generated", None)
+        if head is not None and "write_tuning" not in entry and head.get("write_tuning"):
+            entry["write_tuning"] = head["write_tuning"]
+        if entry.get("write_tuning") is None:
+            entry.pop("write_tuning", None)
         # Operation metrics, derived from the manifest diff alone (zero
         # data I/O — file row counts are footer stats already in hand):
         # net_rows is the commit's logical row delta (+batch for an
@@ -474,6 +502,7 @@ def create(
     constraints: dict[str, str] | None = None,
     partition_by: list[str] | None = None,
     generated: dict[str, str] | None = None,
+    write_tuning: dict | None = None,
 ) -> int:
     """Create a lake table at `path` (must not exist) keyed by `key`
     (the column MERGE prunes on). ``constraints`` maps name → SQL
@@ -503,7 +532,13 @@ def create(
     df = _apply_generated(df, generated or {})
     if constraints:
         _validate_constraints(df, constraints)
-    files = _write_data_files(df, path, key, partition_by)
+    files = _write_data_files(
+        df,
+        path,
+        key,
+        partition_by,
+        files_per_partition=(write_tuning or {}).get("files_per_partition"),
+    )
 
     schema_json = df.schema.json()
 
@@ -517,6 +552,8 @@ def create(
             entry["partition_by"] = list(partition_by)
         if generated:
             entry["generated"] = dict(generated)
+        if write_tuning:
+            entry["write_tuning"] = dict(write_tuning)
         return entry
 
     return _commit(path, build)
@@ -2009,7 +2046,7 @@ def clone(spark: SparkSession, source: str, target: str) -> int:
             "schema": m.get("schema"),
             "txns": {},
         }
-        for carried in ("partition_by", "generated", "constraints"):
+        for carried in ("partition_by", "generated", "constraints", "write_tuning"):
             if m.get(carried):
                 entry[carried] = m[carried]
         return entry

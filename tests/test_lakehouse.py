@@ -1353,3 +1353,33 @@ def test_partitioned_zorder_preserves_rows_and_layout(spark, tmp_path):
     # partition pruning still exact after the zorder rewrite
     planned = lh.plan_files(path, point={"bucket": 1})
     assert planned and all(f["partition"]["bucket"] == 1 for f in planned)
+
+
+def test_files_per_partition_salting_spreads_hot_partitions(spark, tmp_path):
+    # A skewed ingest (one dominant tenant) must not bottleneck one
+    # writer task per partition: write_tuning.files_per_partition salts
+    # the clustering shuffle so the hot tuple spreads across N files,
+    # while pruning and row-exactness are untouched.
+    path = str(tmp_path / "salted")
+    df = spark.range(3000).select(
+        "id",
+        F.when(F.col("id") % 10 == 0, F.lit("cold")).otherwise(F.lit("hot")).alias("tenant"),
+        (F.col("id") * 2).alias("val"),
+    )
+    lh.create(
+        spark, path, df, key="id",
+        partition_by=["tenant"], write_tuning={"files_per_partition": 4},
+    )
+    per_tuple = {}
+    for f in lh.read_manifest(path)["files"]:
+        per_tuple.setdefault(f["partition"]["tenant"], 0)
+        per_tuple[f["partition"]["tenant"]] += 1
+    assert per_tuple["hot"] > 1  # spread
+    assert per_tuple["hot"] <= 4  # bounded by the knob
+    # appends inherit the tuning from the manifest
+    lh.append(spark, path, df.withColumn("id", F.col("id") + 10000))
+    planned = lh.plan_files(path, point={"tenant": "cold"})
+    assert planned and all(f["partition"]["tenant"] == "cold" for f in planned)
+    assert lh.read(spark, path).count() == 6000
+    got = lh.scan(spark, path, point={"tenant": "hot"}).count()
+    assert got == df.filter("tenant = 'hot'").count() * 2
