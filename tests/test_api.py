@@ -166,3 +166,39 @@ def test_engine_lake_facade_new_verbs(spark, tmp_path):
     assert t.read().count() == 50
     assert t.history()[-1]["action"] == "restore"
     assert t.history()[-1]["metrics"]["net_rows"] == 5
+
+
+def test_engine_lake_facade_partition_verbs(spark, tmp_path):
+    """One-touch coverage of the round-6 partitioning verbs through
+    the facade: partitioned+generated create, partitions listing,
+    replace_where, repartition_table, clone_to. Protocol depth lives
+    in test_lakehouse.py."""
+    from pyspark.sql import functions as F
+
+    from lambda_hive_spark.api import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.001", spark=spark)
+    t = eng.lake(str(tmp_path / "ptbl"))
+    df = spark.range(30).select(
+        "id",
+        F.expr(
+            "timestamp'2024-05-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)"
+        ).alias("ts"),
+        (F.col("id") * 3).alias("v"),
+    )
+    t.create(df, key="id", partition_by=["day"], generated={"day": "to_date(ts)"})
+    parts = t.partitions()
+    assert sum(p["rows"] for p in parts) == 30 and len(parts) == 2
+    day = parts[0]["day"]
+    new = t.read().filter(f"day = DATE'{day}'").withColumn("v", F.col("v") * -1)
+    t.replace_where(f"day = DATE'{day}'", new)
+    assert t.read().filter(f"day = DATE'{day}' AND v > 0").count() == 0
+    clone = eng.lake(str(tmp_path / "ptbl_clone"))
+    t.clone_to(clone.path)
+    assert clone.partitions() == t.partitions()
+    t.repartition_table(None)  # un-partition the source
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.partitions()
+    assert clone.read().count() == 30  # clone untouched by the rewrite
