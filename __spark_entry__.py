@@ -132,10 +132,14 @@ def _graded_names() -> set[str]:
 # Q11-SHAPED, not spec Q11) and quality_rule_audit_orders (renamed
 # from quality_rule_audit — never graded under either name).
 _BACKLOG_FIRST = (
-    # extended function surface (functions2.py) — 13
+    # extended function surface (functions2.py) — 7 of 13 this round;
+    # fn_timezone/rounding_modes/binary_codec/interval/conditional/
+    # like_family displaced to round 7 (family rank 7 queues them near
+    # the front of the residual order) to make room for the six
+    # partitioning/clone ops added this session — grading the NEW
+    # capability family beats six more scalar-function rows
     "fn_safe_arith", "fn_url", "fn_struct", "fn_regex", "fn_try_cast",
-    "fn_format", "fn_timezone", "fn_rounding_modes", "fn_binary_codec",
-    "fn_array_hof", "fn_interval", "fn_conditional", "fn_like_family",
+    "fn_format", "fn_array_hof",
     # LLM-curation tail (llm.py) — 10
     "dedup_apply_representative", "text_vocab_coverage",
     "cluster_kmeans_step", "text_collocation_lift",
@@ -171,8 +175,14 @@ _BACKLOG_FIRST = (
     "lake_schema_evolution", "lake_stats_pruned_scan",
     "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
     "stream_sink_lake", "lake_ivm_refresh",
-    # re-earners (edited this round)
-    "tpch_q11_important_stock",
+    # partitioning + clone, NEW this session — the round's
+    # distinguishing capability grades whole, not split across rounds
+    "lake_partitioned_write", "lake_partition_pruned_scan",
+    "lake_replace_where", "lake_partition_evolution",
+    "lake_generated_partition", "lake_shallow_clone",
+    # (tpch_q11_important_stock was pinned here as a re-earner, but
+    # the r05 driver artifact post-dates its docstring edit — it holds
+    # a fresh green row and needs no slot)
 )
 
 
