@@ -1383,3 +1383,58 @@ def test_files_per_partition_salting_spreads_hot_partitions(spark, tmp_path):
     assert lh.read(spark, path).count() == 6000
     got = lh.scan(spark, path, point={"tenant": "hot"}).count()
     assert got == df.filter("tenant = 'hot'").count() * 2
+
+
+def test_racing_replace_where_disjoint_partitions_both_land(spark, tmp_path):
+    # Two replace_where commits on DIFFERENT partitions race: neither
+    # dooms the other's files, both must land serially, each region
+    # reflects exactly its writer.
+    path, df = _mk_part(spark, tmp_path)
+    errs = []
+
+    def run(bucket):
+        try:
+            new = df.filter(f"bucket = {bucket}").withColumn(
+                "val", F.col("val") * -1 - bucket - 1
+            )
+            lh.replace_where(spark, path, f"bucket = {bucket}", new)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(0,))
+    t2 = threading.Thread(target=run, args=(1,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    r = lh.read(spark, path)
+    assert r.count() == 100
+    assert r.filter("bucket = 0 AND val >= 0").count() == 0
+    assert r.filter("bucket = 1 AND val >= 0").count() == 0
+    assert r.filter("bucket >= 2 AND val < 0").count() == 0  # untouched
+
+
+def test_racing_replace_where_same_partition_serializes(spark, tmp_path):
+    # Two replace_where commits on the SAME partition: the loser's
+    # doomed set is stale, it must conflict, recompute against the
+    # winner's head, and REPLACE the winner's output — last writer
+    # wins, atomically, with no row mixing from the two batches.
+    path, df = _mk_part(spark, tmp_path)
+    errs = []
+
+    def run(tag):
+        try:
+            new = df.filter("bucket = 2").withColumn("val", F.lit(tag))
+            lh.replace_where(spark, path, "bucket = 2", new)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(-111,))
+    t2 = threading.Thread(target=run, args=(-222,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    r = lh.read(spark, path)
+    assert r.count() == 100
+    vals = {row["val"] for row in r.filter("bucket = 2").collect()}
+    assert vals in ({-111}, {-222}), f"mixed outputs: {vals}"
+    # and history shows both commits (serialized, not lost)
+    actions = [h["action"] for h in lh.history(path)]
+    assert actions.count("replace_where") == 2
