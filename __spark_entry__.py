@@ -214,6 +214,8 @@ _FAMILY_RANK = {
     "maintenance": 19,
     "intervals": 20,
     "lake": 21,
+    "retrieval": 22,      # BM25 / boolean / phrase search (round 6)
+    "orchestration": 23,  # incremental / retry / resume DAG depth (round 6)
 }
 _FAMILY_DEFAULT = len(_FAMILY_RANK)
 

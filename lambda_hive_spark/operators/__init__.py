@@ -41,4 +41,6 @@ from lambda_hive_spark.operators import (  # noqa: F401
     graph,
     spark4,
     lake,
+    retrieval,
+    orchestration,
 )

@@ -477,3 +477,29 @@ def test_headline_plans_stay_jvm_pure(spark):
             continue
         for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
             assert node not in plan, f"{name}: {node} in the hot path"
+
+
+def test_bm25_plan_shape(spark):
+    """BM25's 100 TB claims: postings pruned by a BROADCAST join on the
+    query terms (never a shuffled join against the bounded query set),
+    top-k as a rank-limited window (WindowGroupLimit), and zero Python
+    in the pipeline."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan, "rank<=k should push into the window"
+    assert "BatchEvalPython" not in plan, "no row-at-a-time Python"
+
+
+def test_phrase_search_is_shuffle_free(spark):
+    """Phrase matching is array HOFs over the token array: a scan +
+    filter + union, embarrassingly parallel — any Exchange here would
+    be a plan regression."""
+    plan = _plan(spark, "text_phrase_search")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boolean_search_broadcasts_query_set(spark):
+    plan = _plan(spark, "text_boolean_search")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan, "tf aggregation should be map-side partial"
