@@ -555,3 +555,143 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@op(
+    "pipeline_epoch_shuffle",
+    oracle="""
+WITH perm AS (
+  SELECT e.epoch, d.doc_id,
+         row_number() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) - 1 AS rk
+  FROM documents d CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e
+),
+assign AS (
+  SELECT epoch, doc_id, rk % 16 AS shard FROM perm
+)
+SELECT a.epoch, CAST(a.shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(a.doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(CASE WHEN a.shard = e0.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_as_epoch0
+FROM assign a
+JOIN (SELECT doc_id, shard FROM assign WHERE epoch = 0) e0 USING (doc_id)
+GROUP BY a.epoch, a.shard
+""",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle: the data-loading
+    contract of multi-epoch training — every epoch must present the
+    corpus in a DIFFERENT order, yet each epoch's order must be
+    reproducible after a restart. Permutation key = md5(epoch|doc_id):
+    no RNG state, identical hex on both engines, and changing the
+    epoch re-keys every doc (epochs are decorrelated by construction).
+    The audit reports per-(epoch, shard) counts (balanced ±1 by the
+    round-robin stripe) plus n_same_as_epoch0 — how many of the
+    shard's docs sat in the same shard in epoch 0 (≈ n_docs/16 for
+    epoch 1: the decorrelation a same-seed-every-epoch bug would push
+    to 100%).
+
+    Scale note (same honesty as pipeline_shard_assignment): the exact
+    global rank is one total-order sort per epoch — verifiable by the
+    oracle; a 100 TB loader stripes on md5 prefix buckets instead
+    (no global sort, same balance/decorrelation in expectation)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    perm = d.crossJoin(F.broadcast(epochs))
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit("|"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(key, F.col("doc_id"))
+    assign = perm.select(
+        "epoch", "doc_id", ((F.row_number().over(w) - 1) % 16).alias("shard")
+    )
+    e0 = assign.filter(F.col("epoch") == 0).select(
+        "doc_id", F.col("shard").alias("shard0")
+    )
+    return (
+        assign.join(e0, "doc_id")
+        .groupBy("epoch", F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum(
+                F.when(F.col("shard") == F.col("shard0"), 1).otherwise(0)
+            ).cast("long").alias("n_same_as_epoch0"),
+        )
+    )
+
+
+@op(
+    "pipeline_curriculum_order",
+    oracle="""
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+  FROM documents
+),
+shuffled AS (
+  SELECT stage, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY stage
+           ORDER BY md5('curriculum|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM staged
+)
+SELECT CAST(stage AS INT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END, ','
+                  ORDER BY rn) AS head_docs
+FROM shuffled GROUP BY stage
+""",
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling: stage the corpus easy→hard (n_chars as
+    the difficulty proxy — swap in any scored column), 4 stages via
+    ntile so stage sizes are balanced regardless of the difficulty
+    distribution, then a deterministic md5 shuffle WITHIN each stage
+    (curriculum orders between stages, decorrelates inside them — the
+    standard shuffled-curriculum compromise). Audit: per-stage sizes,
+    difficulty range, and the first 3 docs of the within-stage order
+    (capped BEFORE the collect, the inverted-index idiom).
+
+    The ntile is one global sort of (n_chars, doc_id) pairs — 16
+    bytes/row at any corpus size; the within-stage shuffle is
+    stage-partitioned (16-way parallel at 4 stages × shards)."""
+    d = table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    )
+    key = F.md5(F.concat(F.lit("curriculum|"), F.col("doc_id").cast("string")))
+    ws = Window.partitionBy("stage").orderBy(key, F.col("doc_id"))
+    shuffled = staged.withColumn("rn", F.row_number().over(ws))
+    return (
+        shuffled.groupBy(F.col("stage").cast("int").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= 3,
+                                F.struct("rn", F.col("doc_id").cast("string").alias("d")),
+                            )
+                        )
+                    ),
+                    lambda x: x.d,
+                ),
+                ",",
+            ).alias("head_docs"),
+        )
+    )

@@ -191,3 +191,34 @@ def test_novel_enum_variant(spark):
 @pytest.mark.parametrize("variant", ["nulled_heavy", "colshuffle"])
 def test_lake_layer_variants(spark, variant):
     assert _sweep(spark, variant, LAKE_TARGETS) == []
+
+
+# round-6 retrieval + data-loading ops: text-derived, so the hostile
+# variants are empty/one-token docs (sequence(start>stop) branches in
+# phrase matching, ['']-token postings in BM25/boolean) and multibyte
+# text (byte-vs-char tokenization drift); the md5-keyed loaders join
+# the shuffled sweep because their whole contract is row-order
+# independence.
+RETRIEVAL_TARGETS = [
+    "text_bm25_topk", "text_boolean_search", "text_phrase_search",
+    "pipeline_epoch_shuffle", "pipeline_curriculum_order",
+]
+
+# orchestration scenario ops: aggregate lineitem/orders/customer, so
+# NULL-injected money columns must flow through the decimal-exact sums
+# on both engines; colshuffle exercises the read-back-by-name path of
+# their materialized checkpoints.
+ORCHESTRATION_TARGETS = [
+    "orchestrate_incremental", "orchestrate_retry_idempotent",
+    "orchestrate_resume_checkpoint",
+]
+
+
+@pytest.mark.parametrize("variant", ["shuffled", "empty_text", "unicode"])
+def test_retrieval_variants(spark, variant):
+    assert _sweep(spark, variant, RETRIEVAL_TARGETS) == []
+
+
+@pytest.mark.parametrize("variant", ["nulled", "colshuffle"])
+def test_orchestration_variants(spark, variant):
+    assert _sweep(spark, variant, ORCHESTRATION_TARGETS) == []
