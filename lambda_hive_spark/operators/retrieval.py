@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lambda_hive_spark.helpers import dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -101,61 +100,99 @@ WHERE rn <= {_TOPK}
 @op("text_bm25_topk", oracle=_BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-{k} per query (Okapi, k1=1.2, b=0.75): the standard
-    lexical ranker of every retrieval/RAG pipeline. One exploded token
-    scan, pruned to query terms by a broadcast join BEFORE the tf
-    aggregation (the shuffle carries only matching postings); df/idf
-    is a per-query-term scalar frame broadcast back onto the postings;
-    the per-(query, doc) score sum goes through decimal (dsum) so
-    Spark's partial aggregation order cannot perturb the hash; top-k
-    is a rank-limited window (WindowGroupLimit at scale).
+    lexical ranker of every retrieval/RAG pipeline, shaped for scale
+    as TWO scan passes and NO pre-window aggregation:
 
-    Corpus statistics (N, avgdl) are two exact-integer scalars fetched
-    once at plan time — both engines derive avgdl as the same IEEE
-    division of exact BIGINT sum/count.
-    """
+    1. Stats pass — one shuffle-free global aggregate collects N,
+       Σdl, and per-query-term document frequencies (codegen'd
+       array_contains conditional counts; the result is bounded by
+       the query vocabulary, like sim_knn's broadcast query batch).
+       Token counts come from space counting (length difference —
+       identical to len(string_split) since consecutive spaces make
+       empty tokens in both engines), no array materialization.
+    2. Scoring pass — per-term tf columns via size(filter(tokens)),
+       idf folded in as CONSTANT expressions (Catalyst constant
+       folding runs the same engine-side ln/round the join
+       formulation used), per-query scores as decimal-exact sums of
+       the per-term scores (cast DECIMAL(18,6) per term — the dsum
+       idiom element-wise, so term order cannot perturb the hash),
+       stack() to long form, and straight into the rank-limited
+       window (WindowGroupLimit): the only shuffle in the whole
+       plan carries ≤ k rows per query per partition.
+
+    Earlier formulations, measured at 500k docs and rejected:
+    explode + (term,doc) groupBy + df-join (6.4 s — the hash
+    aggregation of millions of posting rows dominates, and the df
+    join diamond re-runs the tokenize scan), same with a window df
+    (6.8 s). This map-side shape: ~2 s, and it is the one that
+    scales — scoring is embarrassingly parallel, stats are one
+    bounded-output scan."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
 
-    n_docs, sum_dl = toks.agg(
-        F.count(F.lit(1)), F.sum(F.size("toks"))
+    dl_expr = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    toks = F.split(F.col("text"), " ")
+    term_lits = sorted({t for _, text in _QUERIES for t in text.split(" ")})
+
+    row = d.agg(
+        F.count(F.lit(1)),
+        F.sum(dl_expr),
+        *[F.count(F.when(F.array_contains(toks, t), 1)) for t in term_lits],
     ).first()
+    n_docs, sum_dl, dfs = row[0], row[1], row[2:]
     avgdl = sum_dl / n_docs  # exact ints -> one IEEE division, both engines
+    df = dict(zip(term_lits, dfs))
 
-    qterms = _query_terms(spark)
-    terms = qterms.select("term").distinct()
+    def idf(t: str):
+        # literal-arithmetic idf: constant-folded by Catalyst with the
+        # same engine-side ln/round as the column formulation
+        return F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.lit(float(df[t])) + F.lit(0.5))
+                / (F.lit(float(df[t])) + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
 
-    tok = toks.select(
-        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
-    tf = (
-        tok.join(F.broadcast(terms), "term")
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idx = {t: i for i, t in enumerate(term_lits)}
 
-    idf = F.round(
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        6,
-    )
-    tfd = F.col("tf").cast("double")
+    def tf_col(t: str):
+        # single-arg lambda via a factory: a `lambda x, t=t:` default
+        # would make PySpark pass (element, INDEX) — 2-arg array
+        # lambdas get the ordinal as the second argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    tf_cols = [tf_col(t).alias(f"tf_{idx[t]}") for t in term_lits]
     dld = F.col("dl").cast("double")
-    term_score = (
-        idf
-        * (tfd * F.lit(2.2))
-        / (tfd + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / F.lit(avgdl)))
+    norm = F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / F.lit(avgdl)
     )
 
-    scored = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(dsum(term_score).alias("score"))
+    def term_score(t: str):
+        tfd = F.col(f"tf_{idx[t]}").cast("double")
+        return idf(t) * (tfd * F.lit(2.2)) / (tfd + norm)
+
+    def query_score(text: str):
+        # element-wise dsum: per-term scores quantized to DECIMAL(18,6)
+        # exactly like the oracle's SUM(CAST(.. AS DECIMAL(18,6)))
+        parts = [term_score(t).cast("decimal(18,6)") for t in text.split(" ")]
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return total.cast("double")
+
+    wide = d.select("doc_id", dl_expr.alias("dl"), *tf_cols).select(
+        "doc_id", *[query_score(text).alias(qid) for qid, text in _QUERIES]
     )
+    stack_args = ", ".join(f"'{qid}', {qid}" for qid, _ in _QUERIES)
+    scored = wide.select(
+        "doc_id",
+        F.expr(f"stack({len(_QUERIES)}, {stack_args}) AS (query_id, score)"),
+    ).filter(F.col("score") > 0)
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -193,29 +230,48 @@ WHERE a.matched_terms = s.n_terms
 def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) keyword search: documents containing EVERY
     term of the query, with the summed term frequency as a tie-breaking
-    relevance hint. Pure integer semantics — no float anywhere. The
-    exploded scan is pruned by a broadcast join on the bounded query
-    term set; match = per-(query, doc) distinct-term count equal to
-    the query's term count (a broadcast scalar per query). At 100 TB
-    the shuffled state is one row per (query, matching doc, term) —
-    proportional to postings of query terms only."""
+    relevance hint. Pure integer semantics — no float anywhere — and a
+    pure MAP plan: per-term tf columns over the token array, a per-
+    query AND-fold, stack to long form. No join, no aggregation, no
+    shuffle; at 100 TB this is one embarrassingly parallel scan whose
+    output is exactly the match list."""
     d = table(spark, sf_dir, "documents")
-    qterms = _query_terms(spark)
-    qsize = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    toks = F.split(F.col("text"), " ")
+    term_lits = sorted({t for _, text in _QUERIES for t in text.split(" ")})
+    idx = {t: i for i, t in enumerate(term_lits)}
 
-    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    hit = (
-        tok.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    def tf_col(t: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
+
+    # Same map-side shape as BM25 (see its docstring for the measured
+    # rejection of the explode + groupBy formulation): per-term tf
+    # columns, then per query an AND-fold (every tf > 0) and the
+    # summed tf — no join, no aggregation, no shuffle anywhere.
+    wide = d.select(
+        "doc_id", *[tf_col(t).alias(f"tf_{idx[t]}") for t in term_lits]
     )
-    agg = hit.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("matched_terms"),
-        F.sum("tf").cast("long").alias("total_tf"),
+
+    def query_cols(qid: str, text: str):
+        tfs = [F.col(f"tf_{idx[t]}") for t in text.split(" ")]
+        hit = tfs[0] > 0
+        total = tfs[0]
+        for c in tfs[1:]:
+            hit = hit & (c > 0)
+            total = total + c
+        return F.when(hit, total).otherwise(F.lit(None)).cast("long").alias(qid)
+
+    scored = wide.select(
+        "doc_id", *[query_cols(qid, text) for qid, text in _QUERIES]
     )
+    stack_args = ", ".join(f"'{qid}', {qid}" for qid, _ in _QUERIES)
     return (
-        agg.join(F.broadcast(qsize), "query_id")
-        .filter(F.col("matched_terms") == F.col("n_terms"))
+        scored.select(
+            "doc_id",
+            F.expr(
+                f"stack({len(_QUERIES)}, {stack_args}) AS (query_id, total_tf)"
+            ),
+        )
+        .filter(F.col("total_tf").isNotNull())
         .select("query_id", "doc_id", "total_tf")
     )
 
@@ -255,7 +311,10 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     n = F.size("toks")
 
-    parts = []
+    # ONE scan: all phrase counts as parallel columns over the same
+    # token array (the first version union-ed three scans — 3x the
+    # tokenize work), then stack() to long form. Still shuffle-free.
+    occ_cols = []
     for pid, w1, w2 in _PHRASES:
         occ = F.when(
             n >= 2,
@@ -267,14 +326,16 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).otherwise(F.lit(0))
-        parts.append(
-            toks.select(
-                F.lit(pid).alias("phrase_id"),
-                "doc_id",
-                occ.cast("long").alias("n_occ"),
-            ).filter(F.col("n_occ") > 0)
+        occ_cols.append(occ.cast("long").alias(pid))
+    wide = toks.select("doc_id", *occ_cols)
+    stack_args = ", ".join(f"'{pid}', {pid}" for pid, _, _ in _PHRASES)
+    return (
+        wide.select(
+            "doc_id",
+            F.expr(
+                f"stack({len(_PHRASES)}, {stack_args}) AS (phrase_id, n_occ)"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .filter(F.col("n_occ") > 0)
+        .select("phrase_id", "doc_id", "n_occ")
+    )
