@@ -1439,3 +1439,95 @@ def part_price_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.crossJoin(F.broadcast(overall)).select(
         "p_type", "n", F.round(prem, 8).alias("price_premium")
     )
+
+
+_BASKET_MIN_SUPPORT = 5  # min co-occurring orders for a pair to report
+
+
+@op(
+    "basket_pair_lift",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+item_freq AS (
+  SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(fa.n_item AS BIGINT) AS n_a,
+       CAST(fb.n_item AS BIGINT) AS n_b,
+       CAST(p.n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+         / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)) AS lift
+FROM pairs p
+JOIN item_freq fa ON fa.l_partkey = p.part_a
+JOIN item_freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.n_both >= {_BASKET_MIN_SUPPORT}
+""",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining with lift: part pairs co-purchased in
+    >= {min_support} orders, scored by lift = P(a,b) / (P(a)·P(b)) —
+    the association-rule primitive behind co-occurrence features and
+    recommendation candidates.
+
+    Scale shape: ONE shuffle of the item set by order key, then pair
+    expansion MAP-SIDE from each order's collected item array (HOF
+    double loop over the sorted array) — pairs per order is
+    (basket size choose 2), bounded by real basket sizes, and the
+    quadratic term never crosses the wire unaggregated: the map-side
+    partial aggregation collapses pairs before the (part_a, part_b)
+    shuffle. A self-join formulation would shuffle the item set twice
+    and build join hash tables; the array form is the standard
+    FP-growth-adjacent co-occurrence pass. Per-item frequencies ride
+    the same base (broadcast back at query-vocabulary size); lift is
+    exact-integer counts in one IEEE multiply/divide per output row."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_SUPPORT)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    fa = freq.withColumnsRenamed({"l_partkey": "part_a", "n_item": "n_a"})
+    fb = freq.withColumnsRenamed({"l_partkey": "part_b", "n_item": "n_b"})
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_both").cast("double") * F.lit(float(n_orders))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -319,3 +319,102 @@ def test_scan_where_equals_full_filter(spark_h, tmp_path_factory, a, b, v, op):
         r["id"] for r in lh.read(spark_h, _SW_PATH).filter(pred).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 retrieval / loader ops: independent PYTHON reference checks —
+# stronger than the DuckDB oracle alone, because the oracle mirrors the
+# op's formulation while these recompute the semantics from scratch.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Recompute BM25 end-to-end in Python (math.log + Decimal
+    quantization replicating Spark's round/decimal-cast semantics) and
+    require the same ranked doc ids and scores within one micro-unit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lambda_hive_spark.operators.retrieval import _QUERIES, _TOPK
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    n = len(docs)
+    dls = {d: len(t.split(" ")) for d, t in docs.items()}
+    avgdl = sum(dls.values()) / n
+
+    def idf(term):
+        df = sum(1 for t in docs.values() if term in t.split(" "))
+        x = (n - df + 0.5) / (df + 0.5) + 1.0
+        # Spark round(_, 6): HALF_UP over the shortest decimal repr
+        return float(Decimal(repr(math.log(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    expected = {}
+    for qid, qtext in _QUERIES:
+        scores = {}
+        for d, t in docs.items():
+            toks = t.split(" ")
+            total = Decimal(0)
+            for term in qtext.split(" "):
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                ts = idf(term) * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dls[d] / avgdl))
+                # decimal(18,6) cast: nearest decimal of the exact double
+                total += Decimal(ts).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+            if total > 0:
+                scores[d] = float(total)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK]
+        expected[qid] = ranked
+
+    got = OPS["text_bm25_topk"].fn(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert set(by_q) == set(expected)
+    for qid in expected:
+        assert [d for d, _ in by_q[qid]] == [d for d, _ in expected[qid]], qid
+        for (d1, s1), (d2, s2) in zip(by_q[qid], expected[qid]):
+            assert abs(s1 - s2) <= 1e-6, (qid, d1, s1, s2)
+
+
+def test_epoch_shuffle_is_balanced_decorrelated_permutation(spark):
+    rows = OPS["pipeline_epoch_shuffle"].fn(spark, SF_SMALL).collect()
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    for epoch in (0, 1):
+        per = [r for r in rows if r.epoch == epoch]
+        assert sum(r.n_docs for r in per) == n_docs  # a permutation, nothing lost
+        sizes = [r.n_docs for r in per]
+        assert max(sizes) - min(sizes) <= 1  # round-robin stripe balance
+    e1 = [r for r in rows if r.epoch == 1]
+    same = sum(r.n_same_as_epoch0 for r in e1)
+    # a same-seed-every-epoch bug gives same == n_docs; true reshuffle
+    # concentrates near n_docs/16
+    assert same < n_docs * 0.5
+    e0 = [r for r in rows if r.epoch == 0]
+    assert all(r.n_same_as_epoch0 == r.n_docs for r in e0)
+
+
+def test_curriculum_stages_partition_and_order(spark):
+    rows = sorted(
+        OPS["pipeline_curriculum_order"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.stage,
+    )
+    n_docs = table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.min_chars >= lo.max_chars or hi.min_chars >= lo.min_chars
+        # easy->hard: later stages never start below the prior floor
+        assert hi.min_chars >= lo.min_chars
+
+
+def test_basket_pairs_canonical_and_bounded(spark):
+    rows = OPS["basket_pair_lift"].fn(spark, SF_SMALL).collect()
+    assert rows, "sf0.001 should still produce frequent pairs"
+    for r in rows:
+        assert r.part_a < r.part_b  # canonical orientation, no dupes
+        assert r.n_both <= min(r.n_a, r.n_b)  # co-occurrence bound
+        assert r.lift > 0
