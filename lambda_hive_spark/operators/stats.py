@@ -439,3 +439,192 @@ def vec_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l2").alias("min_l2"),
         F.max("l2").alias("max_l2"),
     )
+
+
+_PQ_CODES_SQL = f"""
+sub AS (
+  SELECT vec_id, s.s AS s, k.k AS k,
+         list_reduce(list_transform(range(1, {_PQ_DIM} + 1),
+           d -> POW(CAST(embedding[s.s * {_PQ_DIM} + d] AS DOUBLE)
+                - CAST(((s.s * 131 + k.k * 17 + (d - 1) * 7) % 21 - 10) AS DOUBLE) / 10.0, 2)),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings,
+       (SELECT unnest(range(0, {_PQ_SUB})) AS s) s,
+       (SELECT unnest(range(0, {_PQ_K})) AS k) k
+),
+best AS (
+  SELECT vec_id, s, k,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+  FROM sub
+),
+codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1)
+"""
+
+
+@op(
+    "vec_pq_recall_eval",
+    oracle=f"""
+WITH {_PQ_CODES_SQL},
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+adc_sub AS (
+  SELECT q.vec_id AS query_id, codes.vec_id AS neighbor_id, codes.s,
+         list_reduce(list_transform(range(1, {_PQ_DIM} + 1),
+           d -> POW(CAST(q.embedding[codes.s * {_PQ_DIM} + d] AS DOUBLE)
+                - CAST(((codes.s * 131 + codes.k * 17 + (d - 1) * 7) % 21 - 10) AS DOUBLE) / 10.0, 2)),
+           (acc, x) -> acc + x) AS dsub
+  FROM q JOIN codes ON codes.vec_id <> q.vec_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list(dsub ORDER BY s), (a, b) -> a + b) AS adc
+  FROM adc_sub GROUP BY query_id, neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+        FROM adc)
+  WHERE rn <= 5
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, len(q.embedding) + 1),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+           (acc, x) -> acc + x) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= 5
+),
+hits AS (
+  SELECT e.query_id AS qid, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+),
+truth AS (SELECT query_id AS qid, COUNT(*) AS n_truth FROM exact GROUP BY query_id),
+per_q AS (
+  SELECT CAST(t.qid AS VARCHAR) AS query,
+         CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         CAST(t.n_truth AS BIGINT) AS n_truth,
+         CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_truth AS recall
+  FROM truth t LEFT JOIN hits h ON h.qid = t.qid
+)
+SELECT query, n_hits, n_truth, recall FROM per_q
+UNION ALL
+SELECT 'ALL', CAST(SUM(n_hits) AS BIGINT), CAST(SUM(n_truth) AS BIGINT),
+       CAST(SUM(n_hits) AS DOUBLE) / SUM(n_truth)
+FROM per_q
+""",
+)
+def vec_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ asymmetric-distance search (ADC: full-precision
+    query against 4-byte PQ codes — the FAISS IVF-PQ probe shape)
+    versus the exact brute-force top-5: the quality gate that decides
+    whether 16x compression (vec_pq_encode) is usable for retrieval,
+    the PQ twin of sim_recall_eval's RP-LSH gate.
+
+    Plan shape: the corpus is PQ-encoded once (per-row argmin over the
+    arithmetic codebook, the offline index build); each broadcast
+    query then scores corpus CODES (4 subspace folds against the
+    code's centroid — at real scale against a 16-entry lookup table
+    per subspace, here the same arithmetic formula both engines
+    evaluate identically). Per-query top-5 is a rank-limited window;
+    recall is a semi-join of two 5-row sets per query. The sum over
+    subspaces is an ORDERED fold (s ascending) on both engines —
+    aggregation-order float drift cannot touch the ranking.
+
+    The fixture embeddings are isotropic (worst case for coarse
+    quantizers — see sim_knn_ivf's note), so recall here is the
+    conservative floor, and the driver hash-gates the exact recall
+    numbers, not just the shape."""
+    from lambda_hive_spark.operators.llm import sim_knn_exact
+
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def enc_dist(s: int, k: int):
+        def step(acc, d):
+            x = F.element_at(emb, d + F.lit(s * _PQ_DIM + 1)).cast("double")
+            c = ((F.lit(s * 131 + k * 17) + d * F.lit(7)) % 21 - 10).cast("double") / 10.0
+            diff = x - c
+            return acc + diff * diff
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step)
+
+    code_cols = []
+    for s in range(_PQ_SUB):
+        dists = [
+            F.struct(enc_dist(s, k).alias("dist"), F.lit(k).alias("k"))
+            for k in range(_PQ_K)
+        ]
+        code_cols.append(F.array_min(F.array(*dists)).getField("k").alias(f"k{s}"))
+    codes = e.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def adc_sub(s: int):
+        kcol = F.col(f"k{s}")
+
+        def step(acc, d):
+            x = F.element_at(F.col("q_emb"), d + F.lit(s * _PQ_DIM + 1)).cast("double")
+            c = ((F.lit(s * 131) + kcol * F.lit(17) + d * F.lit(7)) % 21 - 10).cast(
+                "double"
+            ) / 10.0
+            diff = x - c
+            return acc + diff * diff
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step)
+
+    adc = adc_sub(0)
+    for s in range(1, _PQ_SUB):
+        adc = adc + adc_sub(s)  # ordered fold, s ascending — matches oracle
+    pairs = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("n_approx"))
+    )
+
+    exact = sim_knn_exact(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("n_exact")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id) & (exact.n_exact == approx.n_approx),
+        )
+        .groupBy(exact.query_id.alias("qid"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    truth = exact.groupBy(F.col("query_id").alias("qid")).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    per_q = truth.join(hits, "qid", "left").select(
+        F.col("qid").cast("string").alias("query"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_truth")).alias("recall"),
+    )
+    overall = per_q.agg(
+        F.lit("ALL").alias("query"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+        F.sum("n_truth").cast("long").alias("n_truth"),
+        (F.sum("n_hits").cast("double") / F.sum("n_truth")).alias("recall"),
+    )
+    return per_q.unionByName(overall)
