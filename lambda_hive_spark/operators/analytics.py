@@ -1492,7 +1492,12 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer counts in one IEEE multiply/divide per output row."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().count()
+    # n_orders as a broadcast 1-row aggregate (the oracle's CROSS JOIN
+    # n), not an eager .count(): keeps the op lazy — no Spark job at
+    # plan-construction time — and lets the scalar ride the plan
+    n_tot = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders_d")
+    )
 
     baskets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_partkey")).alias("parts")
@@ -1519,6 +1524,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "part_a")
         .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_tot))
         .select(
             "part_a",
             "part_b",
@@ -1526,7 +1532,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
             (
-                F.col("n_both").cast("double") * F.lit(float(n_orders))
+                F.col("n_both").cast("double") * F.col("n_orders_d")
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )

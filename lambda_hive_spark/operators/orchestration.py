@@ -35,7 +35,6 @@ Reference file:line: N/A — empty reference dir (SURVEY.md §0).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,20 +42,18 @@ from pyspark.sql import functions as F
 from lambda_hive_spark.helpers import dsum, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.orchestrator import Dag
-from lambda_hive_spark.operators.scans import _scratch, mark_scratch_fresh, scratch_stale
+from lambda_hive_spark.operators.scans import (
+    _scratch,
+    clear_scratch,
+    mark_scratch_fresh,
+    scratch_stale,
+)
 from lambda_hive_spark.registry import op
 
-
-def _reset(path: str) -> None:
-    """Clear a scratch node dir AND its freshness stamp so each op
-    invocation demonstrates the full build→skip cycle deterministically
-    (a leftover stamp from a prior invocation would make run 1 a skip
-    and fail the self-assertion)."""
-    shutil.rmtree(path, ignore_errors=True)
-    try:
-        os.remove(path.rstrip("/") + ".stamp")
-    except OSError:
-        pass
+# Each op invocation clears its node dir + stamp up front
+# (clear_scratch) so it demonstrates the full build→skip cycle
+# deterministically — a leftover stamp from a prior invocation would
+# make run 1 a skip and fail the self-assertion.
 
 
 @op(
@@ -84,7 +81,7 @@ def orchestrate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = _scratch(f"orch_incr_{sf_tag}")
     fixture = os.path.join(sf_dir, "lineitem.parquet")
-    _reset(out)
+    clear_scratch(out)
 
     builds = 0
     for _request in range(2):
@@ -137,7 +134,7 @@ def orchestrate_retry_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted == 2 and emitted as an oracle-checked column."""
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     out = _scratch(f"orch_retry_{sf_tag}")
-    _reset(out)
+    clear_scratch(out)
 
     state = {"attempt": 0}
 
@@ -198,7 +195,7 @@ def orchestrate_resume_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         os.path.join(sf_dir, "orders.parquet"),
         os.path.join(sf_dir, "customer.parquet"),
     )
-    _reset(ckpt)
+    clear_scratch(ckpt)
 
     state = {"upstream_builds": 0, "fail_downstream": True}
 
@@ -234,6 +231,10 @@ def orchestrate_resume_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         .add("downstream", downstream, deps=("upstream",))
     )
     run1 = dag.run(spark)
+    if "upstream" in run1.failed:
+        # a REAL upstream failure (not the staged downstream one) must
+        # surface itself, not a misleading scenario-contract error
+        raise run1.failed["upstream"]
     if "downstream" not in run1.failed:
         raise RuntimeError("run 1 should have failed downstream")
 

@@ -36,16 +36,37 @@ _QUERIES: tuple[tuple[str, str], ...] = (
     ("q_window", "window merge batch"),
     ("q_vector", "vector data stream"),
 )
-_K1, _B, _TOPK = 1.2, 0.75, 10
+# BM25 parameters k1=1.2 / b=0.75 appear as literals in the Spark
+# expressions AND the oracle SQL strings below (an f-string constant
+# would obscure the oracle text the driver hashes); change them in
+# both places together.
+_TOPK = 10
+
+# The distinct query vocabulary + tokenizer, shared by every op here:
+# a tokenization change (e.g. lowercasing) must flow through BM25 and
+# boolean search identically or their postings silently diverge.
+_TERM_LITS: tuple[str, ...] = tuple(
+    sorted({t for _, text in _QUERIES for t in text.split(" ")})
+)
+_TERM_IDX = {t: i for i, t in enumerate(_TERM_LITS)}
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+def _tf_col(t: str):
+    """Per-document term frequency as a map-side column: count of
+    exact matches inside the token array. Single-arg lambda via this
+    factory — a `lambda x, t=t:` default would make PySpark pass
+    (element, INDEX): 2-arg array lambdas get the ordinal as the
+    second argument."""
+    return F.size(F.filter(_toks(), lambda x: x == F.lit(t)))
+
 
 _QUERY_VALUES = ", ".join(
     f"('{qid}', '{term}')" for qid, text in _QUERIES for term in text.split(" ")
 )
-
-
-def _query_terms(spark: SparkSession) -> DataFrame:
-    rows = [(qid, term) for qid, text in _QUERIES for term in text.split(" ")]
-    return spark.createDataFrame(rows, "query_id string, term string")
 
 
 _BM25_ORACLE = f"""
@@ -133,17 +154,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
         + F.lit(1)
     )
-    toks = F.split(F.col("text"), " ")
-    term_lits = sorted({t for _, text in _QUERIES for t in text.split(" ")})
 
     row = d.agg(
         F.count(F.lit(1)),
         F.sum(dl_expr),
-        *[F.count(F.when(F.array_contains(toks, t), 1)) for t in term_lits],
+        *[F.count(F.when(F.array_contains(_toks(), t), 1)) for t in _TERM_LITS],
     ).first()
     n_docs, sum_dl, dfs = row[0], row[1], row[2:]
+    if not n_docs:
+        # empty corpus: no stats to rank against — return the empty
+        # result with the contract schema (the oracle also yields 0
+        # rows), instead of a None/0 division crash
+        return spark.createDataFrame(
+            [], "query_id string, doc_id bigint, rnk int, score double"
+        )
     avgdl = sum_dl / n_docs  # exact ints -> one IEEE division, both engines
-    df = dict(zip(term_lits, dfs))
+    df = dict(zip(_TERM_LITS, dfs))
 
     def idf(t: str):
         # literal-arithmetic idf: constant-folded by Catalyst with the
@@ -157,22 +183,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    idx = {t: i for i, t in enumerate(term_lits)}
-
-    def tf_col(t: str):
-        # single-arg lambda via a factory: a `lambda x, t=t:` default
-        # would make PySpark pass (element, INDEX) — 2-arg array
-        # lambdas get the ordinal as the second argument
-        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
-
-    tf_cols = [tf_col(t).alias(f"tf_{idx[t]}") for t in term_lits]
+    tf_cols = [_tf_col(t).alias(f"tf_{_TERM_IDX[t]}") for t in _TERM_LITS]
     dld = F.col("dl").cast("double")
     norm = F.lit(1.2) * (
         F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * dld / F.lit(avgdl)
     )
 
     def term_score(t: str):
-        tfd = F.col(f"tf_{idx[t]}").cast("double")
+        tfd = F.col(f"tf_{_TERM_IDX[t]}").cast("double")
         return idf(t) * (tfd * F.lit(2.2)) / (tfd + norm)
 
     def query_score(text: str):
@@ -236,23 +254,17 @@ def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; at 100 TB this is one embarrassingly parallel scan whose
     output is exactly the match list."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    term_lits = sorted({t for _, text in _QUERIES for t in text.split(" ")})
-    idx = {t: i for i, t in enumerate(term_lits)}
-
-    def tf_col(t: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(t)))
 
     # Same map-side shape as BM25 (see its docstring for the measured
-    # rejection of the explode + groupBy formulation): per-term tf
-    # columns, then per query an AND-fold (every tf > 0) and the
-    # summed tf — no join, no aggregation, no shuffle anywhere.
+    # rejection of the explode + groupBy formulation): the shared
+    # per-term tf columns, then per query an AND-fold (every tf > 0)
+    # and the summed tf — no join, no aggregation, no shuffle anywhere.
     wide = d.select(
-        "doc_id", *[tf_col(t).alias(f"tf_{idx[t]}") for t in term_lits]
+        "doc_id", *[_tf_col(t).alias(f"tf_{_TERM_IDX[t]}") for t in _TERM_LITS]
     )
 
     def query_cols(qid: str, text: str):
-        tfs = [F.col(f"tf_{idx[t]}") for t in text.split(" ")]
+        tfs = [F.col(f"tf_{_TERM_IDX[t]}") for t in text.split(" ")]
         hit = tfs[0] > 0
         total = tfs[0]
         for c in tfs[1:]:

@@ -37,6 +37,26 @@ def _fixture_stamp(*fixtures: str) -> list[list]:
     return [[f, os.path.getsize(f), os.path.getmtime(f)] for f in sorted(fixtures)]
 
 
+def _stamp_path(scratch_dir: str) -> str:
+    """The single definition of where a scratch dir's freshness stamp
+    lives — shared by scratch_stale / mark_scratch_fresh / clear_scratch
+    so no caller re-derives the naming convention."""
+    return scratch_dir.rstrip("/") + ".stamp"
+
+
+def clear_scratch(scratch_dir: str) -> None:
+    """Remove a scratch derivation AND its stamp, so the next
+    scratch_stale() is guaranteed True (used by ops that must
+    demonstrate a full build→skip cycle per invocation)."""
+    import shutil
+
+    shutil.rmtree(scratch_dir, ignore_errors=True)
+    try:
+        os.remove(_stamp_path(scratch_dir))
+    except OSError:
+        pass
+
+
 def scratch_stale(scratch_dir: str, *fixtures: str) -> bool:
     """True when a cached scratch derivation of `fixtures` must be
     rebuilt: the dir is missing/empty, or any source fixture's
@@ -49,7 +69,7 @@ def scratch_stale(scratch_dir: str, *fixtures: str) -> bool:
     import json
 
     try:
-        with open(scratch_dir.rstrip("/") + ".stamp") as fh:
+        with open(_stamp_path(scratch_dir)) as fh:
             return not (
                 json.load(fh) == _fixture_stamp(*fixtures)
                 and os.path.isdir(scratch_dir)
@@ -64,7 +84,7 @@ def mark_scratch_fresh(scratch_dir: str, *fixtures: str) -> None:
     rebuild that dies midway leaves no stamp → retried next call)."""
     import json
 
-    with open(scratch_dir.rstrip("/") + ".stamp", "w") as fh:
+    with open(_stamp_path(scratch_dir), "w") as fh:
         json.dump(_fixture_stamp(*fixtures), fh)
 
 

@@ -263,10 +263,12 @@ def _pq_centroid(s: int, k: int, d: int) -> float:
     return ((s * 131 + k * 17 + d * 7) % 21 - 10) / 10.0
 
 
-@op(
-    "vec_pq_encode",
-    oracle=f"""
-WITH sub AS (
+# The ONE SQL definition of the PQ encoder (codebook distances +
+# argmin tie-break), shared by vec_pq_encode's oracle and
+# vec_pq_recall_eval's oracle so the recall gate provably evaluates
+# the same codes the encoder emits.
+_PQ_CODES_SQL = f"""
+sub AS (
   SELECT vec_id, s.s AS s, k.k AS k,
          list_reduce(list_transform(range(1, {_PQ_DIM} + 1),
            d -> POW(CAST(embedding[s.s * {_PQ_DIM} + d] AS DOUBLE)
@@ -280,10 +282,48 @@ best AS (
   SELECT vec_id, s, k,
          row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
   FROM sub
-)
+),
+codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1)
+"""
+
+
+def _pq_code_cols(emb) -> list:
+    """Spark twin of _PQ_CODES_SQL: the per-subspace argmin code
+    columns, in s order — shared by vec_pq_encode (index build) and
+    vec_pq_recall_eval (ADC probe) so the two ops cannot drift."""
+
+    def dist(s: int, k: int):
+        def step(acc, d):
+            x = F.element_at(emb, d + F.lit(s * _PQ_DIM + 1)).cast("double")
+            c = ((F.lit(s * 131 + k * 17) + d * F.lit(7)) % 21 - 10).cast(
+                "double"
+            ) / 10.0
+            diff = x - c
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step
+        )
+
+    cols = []
+    for s in range(_PQ_SUB):
+        dists = [
+            F.struct(dist(s, k).alias("dist"), F.lit(k).alias("k"))
+            for k in range(_PQ_K)
+        ]
+        # argmin via array_min over (dist, k) structs: struct ordering
+        # compares dist first, then k — the deterministic tie-break.
+        cols.append(F.array_min(F.array(*dists)).getField("k"))
+    return cols
+
+
+@op(
+    "vec_pq_encode",
+    oracle=f"""
+WITH {_PQ_CODES_SQL}
 SELECT vec_id,
        array_to_string(list(CAST(k AS VARCHAR) ORDER BY s), ',') AS pq_code
-FROM best WHERE rn = 1
+FROM codes
 GROUP BY vec_id
 """,
 )
@@ -311,34 +351,7 @@ def vec_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself OOMed (caught by a 320-op sweep; same lesson as
     sim_knn_exact's rejected unroll, BASELINE.md §7)."""
     e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-
-    def dist(s: int, k: int):
-        # fold d = 0..DIM-1: acc + (emb[s*DIM+d] - c(s,k,d))², with
-        # c(s,k,d) = ((s*131 + k*17 + d*7) % 21 - 10)/10 computed on
-        # the fly — identical double sequence to the old unrolled form.
-        def step(acc, d):
-            x = F.element_at(emb, d + F.lit(s * _PQ_DIM + 1)).cast("double")
-            c = ((F.lit(s * 131 + k * 17) + d * F.lit(7)) % 21 - 10).cast(
-                "double"
-            ) / 10.0
-            diff = x - c
-            return acc + diff * diff
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step
-        )
-
-    codes = []
-    for s in range(_PQ_SUB):
-        dists = [
-            F.struct(dist(s, k).alias("dist"), F.lit(k).alias("k"))
-            for k in range(_PQ_K)
-        ]
-        # argmin via array_min over (dist, k) structs: struct ordering
-        # compares dist first, then k — the deterministic tie-break.
-        best = F.array_min(F.array(*dists)).getField("k")
-        codes.append(best.cast("string"))
+    codes = [c.cast("string") for c in _pq_code_cols(F.col("embedding"))]
     return e.select("vec_id", F.concat_ws(",", *codes).alias("pq_code"))
 
 
@@ -441,26 +454,6 @@ def vec_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_CODES_SQL = f"""
-sub AS (
-  SELECT vec_id, s.s AS s, k.k AS k,
-         list_reduce(list_transform(range(1, {_PQ_DIM} + 1),
-           d -> POW(CAST(embedding[s.s * {_PQ_DIM} + d] AS DOUBLE)
-                - CAST(((s.s * 131 + k.k * 17 + (d - 1) * 7) % 21 - 10) AS DOUBLE) / 10.0, 2)),
-           (acc, x) -> acc + x) AS dist
-  FROM embeddings,
-       (SELECT unnest(range(0, {_PQ_SUB})) AS s) s,
-       (SELECT unnest(range(0, {_PQ_K})) AS k) k
-),
-best AS (
-  SELECT vec_id, s, k,
-         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) AS rn
-  FROM sub
-),
-codes AS (SELECT vec_id, s, k FROM best WHERE rn = 1)
-"""
-
-
 @op(
     "vec_pq_recall_eval",
     oracle=f"""
@@ -545,24 +538,9 @@ def vec_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lambda_hive_spark.operators.llm import sim_knn_exact
 
     e = table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-
-    def enc_dist(s: int, k: int):
-        def step(acc, d):
-            x = F.element_at(emb, d + F.lit(s * _PQ_DIM + 1)).cast("double")
-            c = ((F.lit(s * 131 + k * 17) + d * F.lit(7)) % 21 - 10).cast("double") / 10.0
-            diff = x - c
-            return acc + diff * diff
-
-        return F.aggregate(F.sequence(F.lit(0), F.lit(_PQ_DIM - 1)), F.lit(0.0), step)
-
-    code_cols = []
-    for s in range(_PQ_SUB):
-        dists = [
-            F.struct(enc_dist(s, k).alias("dist"), F.lit(k).alias("k"))
-            for k in range(_PQ_K)
-        ]
-        code_cols.append(F.array_min(F.array(*dists)).getField("k").alias(f"k{s}"))
+    code_cols = [
+        c.alias(f"k{s}") for s, c in enumerate(_pq_code_cols(F.col("embedding")))
+    ]
     codes = e.select(F.col("vec_id").alias("neighbor_id"), *code_cols)
 
     q = e.filter(F.col("vec_id") < 10).select(
