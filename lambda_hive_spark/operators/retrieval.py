@@ -351,3 +351,120 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") > 0)
         .select("phrase_id", "doc_id", "n_occ")
     )
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+_RRF_ORACLE = f"""
+WITH q(query_id, term) AS (VALUES {_QUERY_VALUES}),
+lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(dl) / COUNT(*) AS avgdl
+  FROM lens
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY term, doc_id
+),
+dfq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(SUM(CAST(
+           round(ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0), 6)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(lens.dl AS DOUBLE) / corpus.avgdl))
+         AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN lens USING (doc_id)
+  JOIN q ON q.term = tf.term
+  CROSS JOIN corpus
+  GROUP BY q.query_id, tf.doc_id
+),
+bm25 AS (
+  SELECT query_id, doc_id, rn AS r_bm25
+  FROM (SELECT query_id, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= {_TOPK}
+),
+prior AS (
+  SELECT b.query_id, b.doc_id, b.r_bm25,
+         row_number() OVER (
+           PARTITION BY b.query_id ORDER BY d.n_chars DESC, b.doc_id ASC
+         ) AS r_prior
+  FROM bm25 b JOIN documents d USING (doc_id)
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_prior AS BIGINT) AS r_prior,
+         1.0 / ({_RRF_K} + r_bm25) + 1.0 / ({_RRF_K} + r_prior) AS rrf
+  FROM prior
+)
+SELECT query_id, doc_id, r_bm25, r_prior, rrf, CAST(rn AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+      FROM fused)
+WHERE rn <= 5
+"""
+
+
+@op("retrieval_rrf_fusion", oracle=_RRF_ORACLE)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60): combine the BM25 lexical ranking
+    with a document-length prior ranking into one list — the standard
+    multi-signal composition of every retrieval stack (lexical +
+    semantic + priors), done on RANKS so incomparable score scales
+    never need calibration. Fusion runs WITHIN the BM25 top-{k} per
+    query, so the second ranking costs one window over ≤{k} rows per
+    query — at 100 TB the candidate generation (BM25) pays the scan,
+    the fusion is free. Float surface: 1/(60+r) over small integer
+    ranks, one two-term IEEE add per row — identical on both engines
+    by construction.
+
+    The prior here is doc length (n_chars desc — a stand-in any real
+    deployment swaps for an embedding-similarity or quality-model
+    ranking); the doc_id tie-break keeps every rank total-ordered."""
+    bm25 = text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").cast("long").alias("r_bm25")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    # documents scan probes the BROADCAST 30-row candidate list (the
+    # bm25 subtree appears exactly once — a bm25-side join would
+    # execute the scoring plan twice)
+    prior = (
+        d.join(F.broadcast(bm25), "doc_id")
+        .withColumn("r_prior", F.row_number().over(wp).cast("long"))
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_bm25"))
+        + F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r_prior"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        prior.select("query_id", "doc_id", "r_bm25", "r_prior", rrf.alias("rrf"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "doc_id", "r_bm25", "r_prior", "rrf",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )

@@ -136,6 +136,15 @@ def test_mid_build_death_leaves_no_stamp(spark, tmp_path):
     assert scratch_stale(node, fixture)
     mark_scratch_fresh(node, fixture)
     assert not scratch_stale(node, fixture)
+    # clear_scratch must remove BOTH dir and stamp (shared _stamp_path
+    # convention — the orchestration ops' per-invocation reset)
+    from lambda_hive_spark.operators.scans import clear_scratch
+
+    clear_scratch(node)
+    assert scratch_stale(node, fixture)
+    import os as _os
+
+    assert not _os.path.exists(node) and not _os.path.exists(node + ".stamp")
 
 
 def test_resume_op_skips_upstream_on_second_dag_run(spark):
