@@ -284,3 +284,75 @@ def graph_component_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.join(cedges, "cluster_id").select(
         "cluster_id", "n_nodes", "n_edges", density.alias("density")
     )
+
+
+@op(
+    "graph_bfs_levels",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SIM_EDGES},
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sim
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM sim
+),
+seed AS (SELECT MIN(src) AS s FROM und),
+bfs(node, lvl) AS (
+  SELECT s, 0 FROM seed WHERE s IS NOT NULL
+  UNION
+  SELECT u.dst, b.lvl + 1
+  FROM bfs b JOIN und u ON u.src = b.node
+  WHERE b.lvl < 8
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(lvl) AS BIGINT) AS lvl
+FROM bfs GROUP BY node
+""",
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop levels from a deterministic seed (the smallest
+    node in the similarity graph), radius-capped at 8 hops — the
+    neighborhood-expansion primitive behind 'find everything
+    transitively similar to this document, and how far'. Iterative
+    frontier expansion: each round joins the FRONTIER (not the visited
+    set) against the checkpointed edge set, anti-joins already-visited
+    nodes, and stops early when the frontier empties (per-round driver
+    check is a scalar count — the BFS twin of dedup_clusters'
+    convergence checksum). First-discovery level IS the shortest
+    distance, so no per-node min is ever recomputed.
+
+    The oracle replays the search as a recursive CTE — the one oracle
+    in the registry exercising WITH RECURSIVE parity — with the same
+    radius cap making the recursion finite. At 100 TB the loop is the
+    standard distributed BFS (frontier joins edge partitions, visited
+    set stays partitioned by node); the 8-hop cap bounds rounds the
+    way every production neighborhood query does."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # materialize edges once — every BFS round joins against them
+    # (dedup_clusters' measured 79 s -> 11 s lesson)
+    und = und.localCheckpoint(eager=True)
+
+    seed_row = und.agg(F.min("src")).collect()[0][0]  # scalar only
+    if seed_row is None:
+        return spark.createDataFrame([], "node bigint, lvl bigint")
+
+    frontier = spark.createDataFrame([(int(seed_row), 0)], "node bigint, lvl bigint")
+    visited = frontier.localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, 9):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("lvl", F.lit(lvl).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:  # scalar only — frontier drained
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
