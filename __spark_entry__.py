@@ -121,68 +121,70 @@ def _graded_names() -> set[str]:
     return names
 
 
-# Round-6 priority queue for the driver's bounded grading window
-# (VERDICT r5 item 1): after merging r05 into GRADED.json, 83 registry
-# ops still have no driver CORRECTNESS row and the window grades
-# ~50/round, so the first ~50 here are the highest-traffic ungraded
-# families (extended scalar functions, the LLM-curation tail, quality
-# gates, analytics rollups, graph, vector stats); the remainder queue
-# behind them via the family rank and drain in round 7. Two edited
-# ops re-earn: tpch_q11_important_stock (docstring now marks it
-# Q11-SHAPED, not spec Q11) and quality_rule_audit_orders (renamed
-# from quality_rule_audit — never graded under either name).
+# Round-7 priority queue for the driver's bounded grading window
+# (VERDICT r6 item 1): after absorbing CORRECTNESS_r06, 76 registry
+# ops lack a trusted driver row — 73 never graded plus 3 re-earners
+# whose source changed after their grading round (text_ngram,
+# dedup_clusters, sim_pairs_rp_lsh). The window grades ~50/round, so
+# the first ~50 pinned here are the capability families with ZERO
+# driver evidence (lake tail, retrieval, orchestration, intervals,
+# sql/spark4, multimodal, joins tail, udx tail, vector stats, graph,
+# timeseries tail) — exactly the families the r6 verdict named for
+# this round; the scalar-function/pipeline tail and the 3 re-earners
+# queue behind them and drain in round 8. Any op ADDED this round is
+# unpinned, so it queues after all 76 via the family rank — the
+# backlog drains before new work consumes window slots.
 _BACKLOG_FIRST = (
-    # extended function surface (functions2.py) — 7 of 13 this round;
-    # fn_timezone/rounding_modes/binary_codec/interval/conditional/
-    # like_family displaced to round 7 (family rank 7 queues them near
-    # the front of the residual order) to make room for the six
-    # partitioning/clone ops added this session — grading the NEW
-    # capability family beats six more scalar-function rows
-    "fn_safe_arith", "fn_url", "fn_struct", "fn_regex", "fn_try_cast",
-    "fn_format", "fn_array_hof",
-    # LLM-curation tail (llm.py) — 10
-    "dedup_apply_representative", "text_vocab_coverage",
-    "cluster_kmeans_step", "text_collocation_lift",
-    "dedup_threshold_sweep", "text_keywords_topk", "text_novelty_score",
-    "text_lang_divergence_tv", "text_hapax_ratio", "eval_langid_confusion",
-    # quality gates (quality.py) — 9
-    "doc_repetition", "sample_weighted", "winsorize_cap",
-    "k_anonymity_audit", "text_unigram_logprob", "pipeline_mix_temperature",
-    "text_clean_normalize", "quality_rule_audit_orders", "quality_key_gaps",
-    # analytics rollups (analytics.py) — 6
-    "session_depth_distribution", "events_heatmap_hour_dow",
-    "lineitem_band_crosstab", "customer_balance_deciles",
-    "retention_day_n", "part_price_premium",
-    # graph (graph.py) — first 2; pagerank, link_prediction and
-    # component_density queue via the family rank (6 — near the top of
-    # the residual order) and drain in round 7; pagerank gave up its
-    # slot to the IVM op so the lake family grades complete
-    "graph_degree", "graph_triangles",
-    # vector stats (stats.py) queue via family rank (displaced for the
-    # change-data-feed op — completing the lake capability this round)
-    # lakehouse table layer + streaming sink (lake.py / streams.py,
-    # NEW round 6) — the ACID gap the r5 verdict ranked top residual;
-    # grade the WHOLE capability this round: commit log + OCC, time
-    # travel, pruned MERGE, compaction, schema evolution, stats-pruned
-    # scan, incremental read, Z-order, exactly-once streaming sink,
-    # and change-feed-driven incremental view maintenance.
-    # Pinned over (a) re-earning ops that already hold r5 driver
-    # evidence (a docstring-only fingerprint drop does not erase the
-    # judge's r5 green row) and (b) three standard ops displaced to
-    # round 7 — a never-graded capability family has no evidence at
-    # all, and these nine are this round's distinguishing feature.
-    "lake_merge_upsert", "lake_time_travel", "lake_compact_audit",
-    "lake_schema_evolution", "lake_stats_pruned_scan",
-    "lake_incremental_read", "lake_zorder_audit", "lake_cdf_read",
-    "stream_sink_lake", "lake_ivm_refresh",
-    # partitioning + clone, NEW this session — the round's
-    # distinguishing capability grades whole, not split across rounds
-    "lake_partitioned_write", "lake_partition_pruned_scan",
-    "lake_replace_where", "lake_partition_evolution",
-    "lake_generated_partition", "lake_shallow_clone",
-    # (tpch_q11_important_stock was pinned here as a re-earner, but
-    # the r05 driver artifact post-dates its docstring edit — it holds
-    # a fresh green row and needs no slot)
+    # lakehouse maintenance tail (lake.py) — 7
+    "lake_delete_where", "lake_bloom_pruned_scan", "lake_restore_version",
+    "lake_vacuum_audit", "lake_constraint_audit", "lake_history_metrics",
+    "lake_optimize_small_files",
+    # retrieval (retrieval.py) — 4
+    "text_bm25_topk", "text_boolean_search", "text_phrase_search",
+    "retrieval_rrf_fusion",
+    # orchestration depth (orchestration.py) — 3
+    "orchestrate_incremental", "orchestrate_retry_idempotent",
+    "orchestrate_resume_checkpoint",
+    # interval algebra (intervals.py) — 3
+    "join_interval_overlap", "interval_islands_merge",
+    "interval_max_concurrent",
+    # Spark-4 SQL surface (spark4.py) — 5
+    "sql_parameterized", "sql_pivot_clause", "sql_window_clause",
+    "source_python_datasource", "fn_collation",
+    # multimodal tail (multimodal.py) — 3
+    "mm_arrow_checksum", "mm_chunk_manifest", "mm_block_dedup_savings",
+    # join tail (joins.py) — 4
+    "join_lateral_topn", "join_null_safe", "join_shuffle_hash_hint",
+    "join_runtime_bloom",
+    # udx tail (udx.py) — 3
+    "udf_scalar_iter", "udaf_cogrouped", "udtf_arrow",
+    # vector / stats (stats.py) — 6
+    "vec_pca_power_iter", "vec_pq_encode", "vec_pq_recall_eval",
+    "vec_norm_audit", "stats_chi2_independence", "sim_label_centroids",
+    # graph tail (graph.py) — 4
+    "graph_pagerank", "graph_link_prediction", "graph_component_density",
+    "graph_bfs_levels",
+    # timeseries tail (timeseries.py) — 2
+    "ts_rate_changepoint", "ts_spine_recursive",
+    # streaming upsert + cache reuse — 2
+    "stream_upsert_foreachbatch", "maintenance_cache_reuse",
+    # extended scalar functions (functions2.py) — first 4 of 7;
+    # window boundary falls here (46 capability rows + these 4 = 50)
+    "fn_timezone", "fn_rounding_modes", "fn_binary_codec", "fn_interval",
+    # ---- round-8 residue (positions 51+): scalar/pipeline tail ----
+    "fn_conditional", "fn_like_family", "fn_xml",
+    "agg_corr_covar", "agg_mode_tiebreak", "agg_weighted",
+    "agg_listagg_ordered", "agg_filter_clause",
+    "doc_chunk_sliding", "dedup_chunk_exact", "pipeline_domain_cap",
+    "text_bpe_merge_step", "pipeline_shard_assignment",
+    "pipeline_epoch_shuffle", "pipeline_curriculum_order",
+    "pipeline_observe_metrics", "dedup_url_canonicalize",
+    "pipeline_incremental_ingest", "pipeline_dataset_card",
+    "pipeline_dedup_report",
+    "dedup_semantic_cluster", "text_inverted_index", "basket_pair_lift",
+    # re-earners (edited after their grading round; green rows expired
+    # via the GRADED.json hash guard)
+    "text_ngram", "dedup_clusters", "sim_pairs_rp_lsh",
 )
 
 

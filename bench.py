@@ -355,27 +355,64 @@ def main() -> None:
         }
 
     total = round(sum(queries.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf),
-                "duckdb_sec": duck,
-                "duckdb_total_sec": round(sum(duck.values()), 4),
-                "scale": scale,
-                "scale100": scale100,
-                "scale1000": scale1000,
-                "config": {
-                    "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "duckdb_sec": duck,
+        "duckdb_total_sec": round(sum(duck.values()), 4),
+        "scale": scale,
+        "scale100": scale100,
+        "scale1000": scale1000,
+        "config": {
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    # The driver records only the LAST 2000 chars of stdout plus the
+    # parse of the final line (BENCH_r06's `tail` truncated the full
+    # object and `parsed` came back null — VERDICT r6 item 8). So the
+    # full metrics object goes to a sidecar file + an EARLIER stdout
+    # line, and the LAST line is a compact summary guaranteed to fit
+    # the tail window: contract fields (metric/value/unit/queries/sf)
+    # plus per-tier totals and the ratio that acceptance is graded on.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))  # full object, not the final line
+
+    def _tier(d: dict | None) -> dict | None:
+        if d is None:
+            return None
+        return {
+            "value": d["value"],
+            "duckdb_total_sec": d["duckdb_total_sec"],
+            "ratio": round(d["value"] / d["duckdb_total_sec"], 3)
+            if d["duckdb_total_sec"]
+            else None,
+        }
+
+    compact = {
+        "metric": "headline_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "duckdb_total_sec": round(sum(duck.values()), 4),
+        "ratio_vs_duckdb": round(total / sum(duck.values()), 3) if duck else None,
+        "scale": _tier(scale),
+        "scale100": _tier(scale100),
+        "scale1000": _tier(scale1000),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
+        compact["queries"] = {"total_only": total}
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -1487,9 +1487,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation collapses pairs before the (part_a, part_b)
     shuffle. A self-join formulation would shuffle the item set twice
     and build join hash tables; the array form is the standard
-    FP-growth-adjacent co-occurrence pass. Per-item frequencies ride
-    the same base (broadcast back at query-vocabulary size); lift is
-    exact-integer counts in one IEEE multiply/divide per output row."""
+    FP-growth-adjacent co-occurrence pass. Per-item frequencies are
+    FULL-part-vocabulary sized (one row per distinct part ever sold),
+    so they are NOT force-broadcast — AQE broadcasts them while they
+    fit its threshold and falls back to a shuffle join at vocabulary
+    scales where a forced broadcast would OOM the driver (ADVICE r6);
+    lift is exact-integer counts in one IEEE multiply/divide per
+    output row."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     # n_orders as a broadcast 1-row aggregate (the oracle's CROSS JOIN
@@ -1522,8 +1526,8 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = freq.withColumnsRenamed({"l_partkey": "part_a", "n_item": "n_a"})
     fb = freq.withColumnsRenamed({"l_partkey": "part_b", "n_item": "n_b"})
     return (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(F.broadcast(n_tot))
         .select(
             "part_a",

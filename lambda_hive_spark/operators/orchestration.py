@@ -54,6 +54,17 @@ from lambda_hive_spark.registry import op
 # (clear_scratch) so it demonstrates the full build→skip cycle
 # deterministically — a leftover stamp from a prior invocation would
 # make run 1 a skip and fail the self-assertion.
+#
+# CONSUMER CONTRACT (ADVICE r6): because of that up-front clear, the
+# DataFrame an op returns reads lazily from the scratch dir that the
+# NEXT invocation of the same op deletes. Collect (or copy) the result
+# BEFORE re-invoking the op; a plan held across invocations fails with
+# FILE_NOT_FOUND when finally executed. The driver's verify loop and
+# every test in tests/test_orchestrator.py already follow this
+# collect-before-reinvoke discipline, and it matches real schedulers:
+# a node's output location is owned by the node and is overwritten by
+# its next run — downstream readers pin a version (lakehouse.py) if
+# they need stability across runs.
 
 
 @op(

@@ -161,10 +161,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.count(F.when(F.array_contains(_toks(), t), 1)) for t in _TERM_LITS],
     ).first()
     n_docs, sum_dl, dfs = row[0], row[1], row[2:]
-    if not n_docs:
-        # empty corpus: no stats to rank against — return the empty
-        # result with the contract schema (the oracle also yields 0
-        # rows), instead of a None/0 division crash
+    if not n_docs or sum_dl is None:
+        # empty corpus, or a non-empty corpus whose every text is NULL
+        # (SUM over all-NULL comes back None — ADVICE r6): no stats to
+        # rank against — return the empty result with the contract
+        # schema (the oracle also yields 0 rows), instead of a None/0
+        # division crash
         return spark.createDataFrame(
             [], "query_id string, doc_id bigint, rnk int, score double"
         )
