@@ -1438,3 +1438,70 @@ def test_racing_replace_where_same_partition_serializes(spark, tmp_path):
     # and history shows both commits (serialized, not lost)
     actions = [h["action"] for h in lh.history(path)]
     assert actions.count("replace_where") == 2
+
+
+def test_ann_index_incremental_maintenance_is_o_delta(spark, tmp_path):
+    """Persisted-ANN protocol (VERDICT r6 item 2): the inverted-list
+    lake table is maintained from the manifest diff across MULTIPLE
+    append cycles — each cycle touches only the appended rows, every
+    cell probe plans a strict file subset, and after every cycle the
+    persisted lists equal a from-scratch reassignment of the head
+    corpus against the (fixed) centroids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lambda_hive_spark import lakehouse as lh
+    from lambda_hive_spark.helpers import dot
+
+    base = str(tmp_path / "corpus")
+    lists = str(tmp_path / "lists")
+
+    # toy corpus: 2-dim vectors in two obvious cells
+    rows = [(i, [float(i % 7 + 1), 0.0] if i % 2 == 0 else [0.0, float(i % 5 + 1)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, centroid array<double>"
+    )
+
+    def assign(vectors):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cdot").desc(), F.col("cell").asc()
+        )
+        return (
+            vectors.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id", "embedding", "cell",
+                dot(F.col("embedding").cast("array<double>"), F.col("centroid")).alias("cdot"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    lh.create(spark, base, df, key="vec_id")
+    lh.create(spark, lists, assign(df), key="vec_id", partition_by=["cell"])
+
+    next_id = 40
+    for cycle in range(2):
+        batch = spark.createDataFrame(
+            [(next_id + j, [3.0, float(cycle)]) for j in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+        next_id += 5
+        v0 = lh.current_version(base)
+        v1 = lh.append(spark, base, batch)
+        inc = lh.read_incremental(spark, base, v0, v1)
+        assert inc.count() == 5  # O(delta): only the batch re-delivers
+        lh.append(spark, lists, assign(inc))
+
+        # probe plans prune: each cell's point plan is a strict subset
+        total = len(lh.plan_files(lists))
+        for c in (0, 1):
+            plan = lh.plan_files(lists, point={"cell": c})
+            assert 0 < len(plan) < total
+
+        persisted = lh.read(spark, lists).select("vec_id", "cell")
+        rebuilt = assign(lh.read(spark, base)).select("vec_id", "cell")
+        drift = persisted.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(persisted))
+        assert drift.count() == 0
