@@ -103,6 +103,11 @@ SCALE100_HEADLINE = (
     "agg_hash",
     "agg_partial_final",
     "join_multiway",
+    # the zero-exchange alternative to join_multiway's fact-fact
+    # shuffle (VERDICT r6 item 4): bucketed layout built once in the
+    # warm-up run, timed runs pay only the co-located SMJ — the
+    # steady-state cost after ingest-time bucketing
+    "join_bucket_colocated_read",
     "join_asof",
     "win_topk_per_group",
     "agg_pivot",
@@ -111,6 +116,19 @@ SCALE100_HEADLINE = (
     "text_tf_idf",
 )
 SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
+
+# join_bucket_colocated_read groups by o_orderkey → ~15M output rows at
+# the 100× tier. Spark materializes them with a noop write; DuckDB's
+# fetchall() would spend most of its wall moving 15M tuples into
+# Python, timing the transfer instead of the join. The wrap collapses
+# the transfer while still executing the full join+aggregate — strictly
+# LESS DuckDB work, so the recorded ratio is conservative against us.
+SCALE100_DUCK_WRAP = {
+    "join_bucket_colocated_read": (
+        "SELECT COUNT(*) AS n, SUM(n_items) AS s_items, SUM(order_value) AS s_val "
+        "FROM ({sql})"
+    ),
+}
 
 # 1000× tier: lineitem 600M rows / orders 150M / events 100M /
 # embeddings 2M (~sf100-equivalent, ~4.9 GB parquet, ~40 s one-time
@@ -310,7 +328,10 @@ def main() -> None:
                 _time_spark(op_.fn, spark, s100_dir, SCALE100_RUNS), 4
             )
             if op_.oracle:
-                x_duck[name] = round(_time_duck(s100_con, op_.oracle, SCALE100_RUNS), 4)
+                sql = op_.oracle
+                if name in SCALE100_DUCK_WRAP:
+                    sql = SCALE100_DUCK_WRAP[name].format(sql=sql)
+                x_duck[name] = round(_time_duck(s100_con, sql, SCALE100_RUNS), 4)
                 x_ratio[name] = round(x_queries[name] / x_duck[name], 3)
         s100_con.close()
         scale100 = {

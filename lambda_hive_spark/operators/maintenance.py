@@ -66,6 +66,60 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_bucket_colocated_read",
+    oracle=f"""
+SELECT o_orderkey, COUNT(*) AS n_items, {sql_dsum("l_extendedprice")} AS order_value
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey
+""",
+    tags=("side_effect",),
+)
+def join_bucket_colocated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READ path of the bucketed co-located join: identical query to
+    join_bucket_colocated, but the bucketed layout is built at most
+    once per (session, source fingerprint) and every later call pays
+    ONLY the zero-exchange SortMergeJoin — the steady-state cost a
+    100 TB warehouse actually sees, where the bucket shuffle was paid
+    at ingest and thousands of queries amortize it. The build twin
+    times write+read together (honest for a one-shot); this twin is
+    what the scale bench records as the fact-fact alternative to the
+    shuffle join (VERDICT r6 item 4). Freshness = (size, mtime) stamp
+    of the source parquet, same contract as the bench scale corpus."""
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        base = (
+            os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+        )
+        name = f"{tbl}_bro_{base}"
+        names[tbl] = name
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+        )
+        # rebuild when the source changed OR this session's catalog has
+        # no binding (a surviving dir without catalog metadata cannot be
+        # re-attached with its bucket spec intact — rebuild is the only
+        # path that preserves the zero-exchange guarantee)
+        if scratch_stale(loc, src) or not spark.catalog.tableExists(name):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(loc, ignore_errors=True)
+            table(spark, sf_dir, tbl).write.bucketBy(_N_BUCKETS, key).sortBy(
+                key
+            ).mode("overwrite").format("parquet").saveAsTable(name)
+            mark_scratch_fresh(loc, src)
+    o = spark.table(names["orders"]).hint("merge")
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("order_value"),
+        )
+    )
+
+
+@op(
     "merge_upsert",
     oracle="""
 WITH updates AS (

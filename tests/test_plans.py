@@ -503,3 +503,23 @@ def test_boolean_search_is_map_only(spark):
     plan = _plan(spark, "text_boolean_search")
     assert "Exchange" not in plan, "AND-search must not shuffle"
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bucketed_read_twin_reuses_layout_with_no_exchange(spark):
+    """join_bucket_colocated_read: zero-exchange SMJ like its build
+    twin, AND the second invocation reuses the bucketed layout (the
+    steady-state path the 100x bench times) instead of rewriting it."""
+    import os
+
+    plan = _plan(spark, "join_bucket_colocated_read")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 0, "bucketed read twin should not shuffle"
+    # reuse proof: the table files' mtimes survive a second invocation
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        "orders_bro_" + os.path.basename(SF_DIR.rstrip("/")).replace(".", "_"),
+    )
+    before = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+    OPS["join_bucket_colocated_read"].fn(spark, SF_DIR).collect()
+    after = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
+    assert before == after, "second invocation rewrote the bucketed layout"

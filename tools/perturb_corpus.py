@@ -179,6 +179,47 @@ def _inject_unicode(tbl: pa.Table) -> pa.Table:
     return tbl.set_column(idx, tbl.field(idx), pa.array(out, type=pa.string()))
 
 
+ZIPF_HOT_MOD = 10
+ZIPF_HOT_LT = 3  # md5 % 10 < 3 → ~30% of rows carry the hot key
+
+
+def _inject_zipf(tbl: pa.Table, name: str) -> pa.Table:
+    """Zipfian hot-key variant (VERDICT r6 item 3): ~30% of events
+    collapse onto ONE existing user_id (and one timestamp → one hot
+    date), and ~30% of lineitems onto ONE existing l_orderkey. The
+    skewed column values are EXISTING domain values, so FK semantics
+    hold (the hot order still exists in orders; the hot user is a
+    real user) — only the distribution changes. Every shuffle keyed
+    on user_id / l_orderkey now has a partition carrying ~30% of the
+    table: the top real-world scale-killer. Ops must stay
+    Spark↔DuckDB parity-green under it (both engines read the same
+    perturbed parquet), and must not OOM or stall on the hot key —
+    the mechanism tests (salting, AQE skew split) get their A/B in
+    tools/skew_ab.py."""
+    hot_cols = {
+        "events": [("user_id", True), ("ts", False)],
+        "lineitem": [("l_orderkey", True)],
+    }.get(name)
+    if not hot_cols:
+        return tbl
+    n = tbl.num_rows
+    mask = pa.array(
+        [
+            int(hashlib.md5(f"zipf|{name}|{i}".encode()).hexdigest(), 16)
+            % ZIPF_HOT_MOD < ZIPF_HOT_LT
+            for i in range(n)
+        ]
+    )
+    for col, _is_key in hot_cols:
+        idx = tbl.column_names.index(col)
+        arr = tbl.column(idx).combine_chunks()
+        hot = pc.min(arr)  # an existing domain value, deterministic
+        tbl = tbl.set_column(
+            idx, tbl.field(idx), pc.if_else(mask, hot, arr)
+        )
+    return tbl
+
+
 def _inject_empty_text(tbl: pa.Table) -> pa.Table:
     """Replace every 7th document's text with '' and every 11th with a
     single token (deterministic by row ordinal). Targets the
@@ -232,6 +273,8 @@ def build(sf_dir: str, variant: str, out_root: str | None = None) -> str:
             tbl = _inject_novel_enum(tbl, ENUM_COLS.get(name, []))
         if variant == "empty_text" and name == "documents":
             tbl = _inject_empty_text(tbl)
+        if variant == "zipf":
+            tbl = _inject_zipf(tbl, name)
         if variant == "colshuffle":
             # Reverse the physical column order (schema-compatible: same
             # names/types). Ops select by NAME on both engines, so a
