@@ -84,7 +84,33 @@ def join_bucket_colocated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     times write+read together (honest for a one-shot); this twin is
     what the scale bench records as the fact-fact alternative to the
     shuffle join (VERDICT r6 item 4). Freshness = (size, mtime) stamp
-    of the source parquet, same contract as the bench scale corpus."""
+    of the source parquet, same contract as the bench scale corpus.
+
+    Bucket count is SIZE-AWARE (identical on both sides — required for
+    co-location): one bucket per ~16 MB of compressed source, clamped
+    to [8, 64]. A fixed 8 was measured 10.8 s at the 100x tier (60M
+    lineitem rows in 8 tasks on 32 cores — bucketing capped the
+    parallelism it was supposed to buy); 16 MB compressed is ~2-3M
+    lineitem rows ≈ the 64-128 MB in-memory task sizing the classic
+    guidance targets (the clone-replicated bench corpus compresses
+    ~4x better than organic data, so a 64 MB rule under-buckets it).
+    On a real cluster the same rule scales bucket count with the
+    table — the standard warehouse sizing discipline."""
+
+    def _src_bytes(path: str) -> int:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith("_") and not f.startswith(".")
+            )
+        return os.path.getsize(path)
+
+    biggest = max(
+        _src_bytes(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in ("orders", "lineitem")
+    )
+    n_buckets = int(min(64, max(_N_BUCKETS, biggest // (16 << 20))))
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         base = (
@@ -103,7 +129,7 @@ def join_bucket_colocated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         if scratch_stale(loc, src) or not spark.catalog.tableExists(name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(loc, ignore_errors=True)
-            table(spark, sf_dir, tbl).write.bucketBy(_N_BUCKETS, key).sortBy(
+            table(spark, sf_dir, tbl).write.bucketBy(n_buckets, key).sortBy(
                 key
             ).mode("overwrite").format("parquet").saveAsTable(name)
             mark_scratch_fresh(loc, src)
