@@ -1440,7 +1440,14 @@ def lake_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ANN_NPROBE)
         .select("query_id", "qe", "cell")
     )
-    probed = sorted(r[0] for r in qcells.select("cell").distinct().collect())
+    # A NULL cell (a corpus with NULL labels trains a NULL-label
+    # centroid) can reach the probe set, but `a.cell = qc.cell` never
+    # matches NULL on either engine — the oracle yields no candidates
+    # from it, so skipping its scan is value-identical (and sorted()
+    # cannot order None against ints — caught by the nulled variant).
+    probed = sorted(
+        r[0] for r in qcells.select("cell").distinct().collect() if r[0] is not None
+    )
     n_files_total = len(lh.plan_files(lists_path))
     scans = []
     for c in probed:
@@ -1687,7 +1694,9 @@ def lake_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _ANN_NPROBE)
         .select("query_id", "qe", "cell")
     )
-    probed = sorted(r[0] for r in qcells.select("cell").distinct().collect())
+    probed = sorted(  # NULL cells never join candidates — see raw-lists twin
+        r[0] for r in qcells.select("cell").distinct().collect() if r[0] is not None
+    )
     n_files_total = len(lh.plan_files(codes_path))
     scans = []
     for c in probed:
