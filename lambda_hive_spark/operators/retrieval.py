@@ -470,3 +470,116 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+# Hybrid lexical+semantic fusion: the BM25 chain re-embeds as a CTE.
+# _BM25_ORACLE is "WITH <ctes> SELECT <final>"; splitting at its final
+# projection turns the whole ranking into `bm25 AS (...)` verbatim —
+# the fused oracle provably ranks over the exact rows the graded BM25
+# formulation emits.
+_BM25_SPLIT_AT = "SELECT query_id, doc_id, CAST(rn AS INT) AS rnk, score"
+_BM25_CTES, _BM25_FINAL = _BM25_ORACLE.split(_BM25_SPLIT_AT, 1)
+_QMAP = {qid: i for i, (qid, _) in enumerate(_QUERIES)}
+_QMAP_VALUES = ", ".join(f"('{qid}', {v})" for qid, v in _QMAP.items())
+
+_HYBRID_ORACLE = f"""{_BM25_CTES.rstrip().rstrip(',')},
+bm25 AS ({_BM25_SPLIT_AT}{_BM25_FINAL}),
+qmap(query_id, qvec) AS (VALUES {_QMAP_VALUES}),
+vec AS (
+  SELECT b.query_id, b.doc_id,
+         list_reduce(list_transform(range(1, len(qe.embedding) + 1),
+           i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)),
+           (acc, x) -> acc + x) AS cosine
+  FROM bm25 b
+  JOIN qmap m ON m.query_id = b.query_id
+  JOIN embeddings qe ON qe.vec_id = m.qvec
+  JOIN embeddings ce ON ce.vec_id = b.doc_id
+),
+ranked AS (
+  SELECT v.query_id, v.doc_id,
+         CAST(b.rnk AS BIGINT) AS r_bm25,
+         CAST(row_number() OVER (PARTITION BY v.query_id
+              ORDER BY v.cosine DESC, v.doc_id ASC) AS BIGINT) AS r_vec
+  FROM vec v JOIN bm25 b ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+),
+fused AS (
+  SELECT query_id, doc_id, r_bm25, r_vec,
+         1.0 / (60.0 + r_bm25) + 1.0 / (60.0 + r_vec) AS rrf
+  FROM ranked
+)
+SELECT query_id, doc_id, r_bm25, r_vec, rrf, CAST(rn AS INT) AS rnk
+FROM (
+  SELECT query_id, doc_id, r_bm25, r_vec, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+  FROM fused
+)
+WHERE rn <= 5
+"""
+
+
+@op("retrieval_hybrid_text_vector", oracle=_HYBRID_ORACLE)
+def retrieval_hybrid_text_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — lexical BM25 fused with embedding cosine via
+    reciprocal-rank fusion (k=60): the composition every modern RAG /
+    search stack serves (sparse + dense, fused on RANKS so the
+    incomparable score scales never need calibration). Candidate
+    generation is the BM25 top-10 (pays the corpus scan once); the
+    dense signal re-ranks ONLY those candidates — per query that is
+    ≤10 embedding lookups and dot products, so at 100 TB the semantic
+    stage costs nothing beyond the lexical stage regardless of corpus
+    size (the persisted-index serving twin lives in
+    lake_text_index_probe / lake_ann_index_probe, lake.py).
+
+    Each query's dense vector is the fixture embedding whose vec_id is
+    the query's ordinal (the synthetic corpus aligns doc_id and vec_id
+    as the same entity, verified 0..N at every sf); candidates join
+    their embeddings BY document id — a realigned corpus drops
+    missing pairs identically on both engines (inner-join semantics).
+    Float surface: the proven left-fold dot (helpers.dot idiom) plus
+    1/(60+rank) over small integers — one two-term IEEE add per row."""
+    from lambda_hive_spark.helpers import dot
+
+    bm25 = text_bm25_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rnk").cast("long").alias("r_bm25")
+    )
+    qmap = spark.createDataFrame(
+        list(_QMAP.items()), "query_id string, qvec long"
+    )
+    e = table(spark, sf_dir, "embeddings")
+    qe = (
+        e.join(F.broadcast(qmap), e.vec_id == F.col("qvec"))
+        .select("query_id", F.col("embedding").alias("q_emb"))
+    )
+    cand = (
+        e.join(F.broadcast(bm25), e.vec_id == bm25.doc_id)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "r_bm25",
+            dot(
+                F.col("q_emb").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    ranked = cand.withColumn("r_vec", F.row_number().over(wv).cast("long"))
+    rrf = (
+        F.lit(1.0) / (F.lit(60.0) + F.col("r_bm25"))
+        + F.lit(1.0) / (F.lit(60.0) + F.col("r_vec"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.select("query_id", "doc_id", "r_bm25", "r_vec", rrf.alias("rrf"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "doc_id", "r_bm25", "r_vec", "rrf",
+            F.col("rn").cast("int").alias("rnk"),
+        )
+    )
