@@ -743,14 +743,22 @@ def classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = ex.groupBy("label", "pos").agg(F.avg("val").alias("c")).collect()
     if not cent_rows:
         return spark.createDataFrame([], "vec_id bigint, pred_label bigint")
-    labels = sorted({int(r["label"]) for r in cent_rows})
+    # A corpus with NULL labels trains a NULL-label centroid (the
+    # oracle's GROUP BY keeps it). It is a valid class: a vector whose
+    # argmax lands on it predicts NULL. Tie-break parity: non-null
+    # labels ascending, NULL LAST — DuckDB's `ORDER BY label ASC` is
+    # NULLS LAST, and np.argmax takes the FIRST maximum over that row
+    # order (caught by the nulled perturbation sweep, round 7).
+    labels = sorted({int(r["label"]) for r in cent_rows if r["label"] is not None})
+    has_null = any(r["label"] is None for r in cent_rows)
+    out_labels = labels + ([None] if has_null else [])
     dim = max(int(r["pos"]) for r in cent_rows) + 1
-    lab_idx = {l: j for j, l in enumerate(labels)}
-    C = np.zeros((len(labels), dim), dtype=np.float64)
+    lab_idx = {l: j for j, l in enumerate(out_labels)}
+    C = np.zeros((len(out_labels), dim), dtype=np.float64)
     for r in cent_rows:
-        C[lab_idx[int(r["label"])], int(r["pos"])] = float(r["c"])
-    lab_arr = np.array(labels, dtype=np.int64)
-    nl = len(labels)
+        key = None if r["label"] is None else int(r["label"])
+        C[lab_idx[key], int(r["pos"])] = float(r["c"])
+    nl = len(out_labels)
 
     def score(batches):
         import pandas as pd
@@ -763,7 +771,8 @@ def classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = np.zeros((len(ids), nl), dtype=np.float64)
             for k in range(X.shape[1]):
                 acc += X[:, k : k + 1] * C[None, :, k]
-            pred = lab_arr[np.argmax(acc, axis=1)]
+            idx = np.argmax(acc, axis=1)
+            pred = pd.array([out_labels[j] for j in idx], dtype="Int64")
             yield pd.DataFrame({"vec_id": ids, "pred_label": pred})
 
     return e.select("vec_id", "embedding").mapInPandas(
