@@ -129,9 +129,18 @@ def join_bucket_colocated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         if scratch_stale(loc, src) or not spark.catalog.tableExists(name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(loc, ignore_errors=True)
-            table(spark, sf_dir, tbl).write.bucketBy(n_buckets, key).sortBy(
-                key
-            ).mode("overwrite").format("parquet").saveAsTable(name)
+            # Repartition by the bucket key BEFORE the bucketed write:
+            # Spark's bucket id and repartition both use Murmur3, so
+            # each write task receives exactly one bucket and holds ONE
+            # spillable sorter + ONE open writer. Without this, every
+            # source task sorts rows for ALL buckets concurrently —
+            # 32 tasks x 20 buckets of sorter pages exhausted the
+            # execution-memory pool mid-bench at the 100x tier
+            # (UNABLE_TO_ACQUIRE_MEMORY). This is also the honest
+            # ingest story: the build step IS the paid-once shuffle.
+            table(spark, sf_dir, tbl).repartition(n_buckets, F.col(key)).write.bucketBy(
+                n_buckets, key
+            ).sortBy(key).mode("overwrite").format("parquet").saveAsTable(name)
             mark_scratch_fresh(loc, src)
     o = spark.table(names["orders"]).hint("merge")
     li = spark.table(names["lineitem"])
