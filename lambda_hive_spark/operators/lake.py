@@ -1980,3 +1980,206 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = persisted.exceptAll(head_posts).unionAll(head_posts.exceptAll(persisted))
     assert drift.count() == 0, "incremental postings drifted from full rebuild"
     return result
+
+
+def _ivf_assign_cells(inc: DataFrame, cent_t: DataFrame) -> DataFrame:
+    """Assign a vector batch to its nearest persisted centroid —
+    the O(batch) maintenance kernel shared by the append-path op
+    (lake_ann_index_probe) and the streaming maintenance op below."""
+    from pyspark.sql.window import Window
+
+    from lambda_hive_spark.helpers import dot
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    return (
+        inc.crossJoin(F.broadcast(cent_t))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            dot(F.col("embedding").cast("array<double>"), F.col("centroid")).alias(
+                "cdot"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def _ivf_probe_lists(
+    spark: SparkSession, queries: DataFrame, cent_t: DataFrame, lists_path: str
+) -> DataFrame:
+    """Probe the persisted inverted lists: nprobe cells per query via
+    the centroid table, one partition-pruned point scan per probed
+    cell (each plan asserted a strict subset of the table's files),
+    exact scoring within the candidates, top-k."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    from lambda_hive_spark.helpers import dot
+
+    qcells = (
+        queries.crossJoin(F.broadcast(cent_t))
+        .select(
+            "query_id",
+            "qe",
+            "cell",
+            dot(F.col("qe").cast("array<double>"), F.col("centroid")).alias("cdot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cdot").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _ANN_NPROBE)
+        .select("query_id", "qe", "cell")
+    )
+    probed = sorted(
+        r[0] for r in qcells.select("cell").distinct().collect() if r[0] is not None
+    )
+    n_files_total = len(lh.plan_files(lists_path))
+    scans = []
+    for c in probed:
+        plan = lh.plan_files(lists_path, point={"cell": c})
+        assert 0 < len(plan) < n_files_total, (
+            "cell probe did not prune at the manifest layer"
+        )
+        scans.append(lh.scan(spark, lists_path, point={"cell": c}))
+    lists_scan = reduce(DataFrame.unionByName, scans)
+    scored = (
+        lists_scan.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(
+                F.col("qe").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w_rank).cast("long")).filter(
+        F.col("rank") <= _ANN_K
+    )
+
+
+@op(
+    "stream_ann_index_maintenance",
+    oracle=_ANN_ORACLE.format(nprobe=_ANN_NPROBE, k=_ANN_K, dotxy=_ANN_DOTXY),
+    tags=("side_effect",),
+)
+def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the persisted ANN index — the last
+    unconnected pair (streaming → index) joined up: the SAME append
+    batch lake_ann_index_probe applies in one shot here arrives as a
+    FILE STREAM in two micro-batches, and each foreachBatch commits
+    the corpus rows AND their cell assignments into the two lake
+    tables via append_idempotent — exactly-once for the index, not
+    just the data (the stream_sink_lake ledger contract, now also
+    covering derived index state). After the drain the whole stream
+    REPLAYS from a fresh checkpoint — total checkpoint loss, every
+    batch redelivered — and both tables' versions are asserted
+    unchanged: a duplicated micro-batch cannot double-insert postings
+    into the inverted lists. The probe then serves from the persisted
+    index exactly as the batch op does, and the oracle is the SAME
+    train-on-base/assign-the-union replay — streamed maintenance must
+    be value-indistinguishable from batch maintenance.
+
+    Scale: per-micro-batch work is O(batch) (assignment against the
+    broadcast centroid table, one append per table); index freshness
+    lags ingest by one trigger — the standard streaming-ANN shape
+    (FAISS-style systems rebuild nightly; this maintains on arrival)."""
+    import shutil as _shutil
+
+    from lambda_hive_spark.operators.extras import ivf_index
+
+    base_path = _fresh_table_dir("sann_base", sf_dir)
+    cent_path = _fresh_table_dir("sann_cent", sf_dir)
+    lists_path = _fresh_table_dir("sann_lists", sf_dir)
+    land = _fresh_table_dir("sann_landing", sf_dir)
+    os.makedirs(land, exist_ok=True)
+
+    e = table(spark, sf_dir, "embeddings")
+    lh.create(spark, base_path, e.repartition(4), key="vec_id")
+    cent, lists = ivf_index(spark, sf_dir)
+    lh.create(spark, cent_path, cent, key="cell")
+    lh.create(
+        spark,
+        lists_path,
+        lists.select("vec_id", "embedding", "cell"),
+        key="vec_id",
+        partition_by=["cell"],
+    )
+    cent_t = lh.read(spark, cent_path)
+
+    # the same %37 re-keyed delta as the batch twin, landed as TWO
+    # parquet files so the stream runs two real micro-batches
+    shift = e.agg(F.max("vec_id") + 1).collect()[0][0]
+    delta = e.filter(F.col("vec_id") % 37 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(shift)
+    )
+    half = delta.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0]
+    delta.filter(F.col("vec_id") <= half).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "b0"))
+    delta.filter(F.col("vec_id") > half).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(land, "b1"))
+
+    def maintain(batch: DataFrame, bid: int) -> None:
+        s = batch.sparkSession
+        rows = batch.cache()
+        lh.append_idempotent(s, base_path, rows, writer_id="sann", batch_id=bid)
+        lh.append_idempotent(
+            s,
+            lists_path,
+            _ivf_assign_cells(rows, cent_t),
+            writer_id="sann",
+            batch_id=bid,
+        )
+        rows.unpersist()
+
+    def run_pass() -> None:
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(land, "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", os.path.join(land, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ann maintenance stream did not drain in 300s")
+
+    run_pass()
+    v_base, v_lists = lh.current_version(base_path), lh.current_version(lists_path)
+    assert v_lists >= 3, "expected at least two streamed index appends"
+    _shutil.rmtree(os.path.join(land, "_ckpt"), ignore_errors=True)
+    run_pass()  # fresh checkpoint: full redelivery — every batch must no-op
+    assert lh.current_version(base_path) == v_base, "replay re-landed corpus rows"
+    assert lh.current_version(lists_path) == v_lists, "replay re-landed index rows"
+
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    result = _ivf_probe_lists(spark, q, cent_t, lists_path)
+
+    persisted = lh.read(spark, lists_path).select("vec_id", "cell")
+    rebuilt = _ivf_assign_cells(lh.read(spark, base_path), cent_t).select(
+        "vec_id", "cell"
+    )
+    drift = persisted.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(persisted))
+    assert drift.count() == 0, "streamed index drifted from full rebuild"
+    return result
