@@ -1927,6 +1927,13 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert len(plan) < n_files_total, "term probe did not prune"
         if plan:
             scans.append(lh.scan(spark, post_path, point={"term": t}))
+    if not scans:
+        # no query term has a postings partition (e.g. a regenerated
+        # corpus whose vocabulary lost every query term): the oracle
+        # scores nothing — return the empty contract frame
+        return spark.createDataFrame(
+            [], "query_id string, doc_id bigint, rnk int, score double"
+        )
     postings = reduce(DataFrame.unionByName, scans)
     df_rows = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     df = {r["term"]: r["df"] for r in df_rows}
