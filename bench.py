@@ -103,11 +103,6 @@ SCALE100_HEADLINE = (
     "agg_hash",
     "agg_partial_final",
     "join_multiway",
-    # the zero-exchange alternative to join_multiway's fact-fact
-    # shuffle (VERDICT r6 item 4): bucketed layout built once in the
-    # warm-up run, timed runs pay only the co-located SMJ — the
-    # steady-state cost after ingest-time bucketing
-    "join_bucket_colocated_read",
     "join_asof",
     "win_topk_per_group",
     "agg_pivot",
@@ -117,18 +112,21 @@ SCALE100_HEADLINE = (
 )
 SCALE100_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE100_RUNS", "3"))
 
-# join_bucket_colocated_read groups by o_orderkey → ~15M output rows at
-# the 100× tier. Spark materializes them with a noop write; DuckDB's
-# fetchall() would spend most of its wall moving 15M tuples into
-# Python, timing the transfer instead of the join. The wrap collapses
-# the transfer while still executing the full join+aggregate — strictly
-# LESS DuckDB work, so the recorded ratio is conservative against us.
-SCALE100_DUCK_WRAP = {
-    "join_bucket_colocated_read": (
-        "SELECT COUNT(*) AS n, SUM(n_items) AS s_items, SUM(order_value) AS s_val "
-        "FROM ({sql})"
-    ),
-}
+# Dedicated bucketed-vs-shuffle section (VERDICT r6 item 4): the
+# fact-fact core (orders⋈lineitem + groupBy on the join key, ~15M
+# output groups at 100×) measured three ways — the bucketed READ path
+# (layout built once in the warm-up, timed runs pay only the
+# zero-exchange SMJ), the SAME query through a plain shuffle join
+# (the honest in-engine twin), and DuckDB with the 15M-row transfer
+# collapsed (COUNT/SUM wrap: strictly LESS DuckDB work, ratio
+# conservative against Spark — fetchall of 15M tuples would time the
+# Python transfer, not the join). Kept OUT of SCALE100_HEADLINE so
+# the tier total stays comparable round-over-round; this workload
+# class (mass per-key output) is reported on its own.
+_BUCKETED_DUCK_WRAP = (
+    "SELECT COUNT(*) AS n, SUM(n_items) AS s_items, SUM(order_value) AS s_val "
+    "FROM ({sql})"
+)
 
 # 1000× tier: lineitem 600M rows / orders 150M / events 100M /
 # embeddings 2M (~sf100-equivalent, ~4.9 GB parquet, ~40 s one-time
@@ -267,6 +265,12 @@ def _time_duck(con, sql: str, runs: int = N_RUNS) -> float:
 
 
 def main() -> None:
+    # The bucketed-build sort at the 100x tier runs 20 concurrent
+    # full-width sorters; at the stock 8g driver heap the execution
+    # pool sits at a cliff (one of three runs died with
+    # UNABLE_TO_ACQUIRE_MEMORY). 12g on this 128 GiB single-JVM box
+    # clears it with margin; an explicit env still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
@@ -328,11 +332,62 @@ def main() -> None:
                 _time_spark(op_.fn, spark, s100_dir, SCALE100_RUNS), 4
             )
             if op_.oracle:
-                sql = op_.oracle
-                if name in SCALE100_DUCK_WRAP:
-                    sql = SCALE100_DUCK_WRAP[name].format(sql=sql)
-                x_duck[name] = round(_time_duck(s100_con, sql, SCALE100_RUNS), 4)
+                x_duck[name] = round(
+                    _time_duck(s100_con, op_.oracle, SCALE100_RUNS), 4
+                )
                 x_ratio[name] = round(x_queries[name] / x_duck[name], 3)
+
+        # bucketed-vs-shuffle fact-fact section (see comment at
+        # _BUCKETED_DUCK_WRAP); shuffle twin built inline so both
+        # formulations read the identical scale corpus
+        from pyspark.sql import functions as _F
+
+        from lambda_hive_spark.helpers import dsum as _dsum
+        from lambda_hive_spark.io import table as _table
+
+        bk_op = ops["join_bucket_colocated_read"]
+        try:
+            bk_spark = round(
+                _time_spark(bk_op.fn, spark, s100_dir, SCALE100_RUNS), 4
+            )
+            _o = _table(spark, s100_dir, "orders")
+            _li = _table(spark, s100_dir, "lineitem")
+            shuffle_twin = (
+                _o.join(_li, _o.o_orderkey == _li.l_orderkey)
+                .groupBy("o_orderkey")
+                .agg(
+                    _F.count(_F.lit(1)).alias("n_items"),
+                    _dsum("l_extendedprice").alias("order_value"),
+                )
+            )
+            bk_shuffle = round(
+                _time_spark(
+                    lambda _s, _d: shuffle_twin, spark, s100_dir, SCALE100_RUNS
+                ),
+                4,
+            )
+            bk_duck = round(
+                _time_duck(
+                    s100_con,
+                    _BUCKETED_DUCK_WRAP.format(sql=bk_op.oracle),
+                    SCALE100_RUNS,
+                ),
+                4,
+            )
+            bucketed = {
+                "metric": "scale100_bucketed_factfact_sec",
+                "bucketed_read_sec": bk_spark,
+                "same_query_shuffle_sec": bk_shuffle,
+                "duckdb_wrapped_sec": bk_duck,
+                "bucketed_vs_shuffle": round(bk_spark / bk_shuffle, 3)
+                if bk_shuffle
+                else None,
+            }
+        except Exception as ex:  # never let the side study kill the artifact
+            bucketed = {
+                "metric": "scale100_bucketed_factfact_sec",
+                "error": f"{type(ex).__name__}: {ex}"[:300],
+            }
         s100_con.close()
         scale100 = {
             "metric": "scale100_crossover_total_wall_sec",
@@ -343,6 +398,7 @@ def main() -> None:
             "ratio_vs_duckdb": x_ratio,
             "copies": {t: c for t, (_, c) in SCALE100_TABLES.items()},
             "runs": SCALE100_RUNS,
+            "bucketed": bucketed,
         }
 
     # 1000× crossover section. Skippable via SPARK_GRAFT_BENCH_SCALE1000=0.
