@@ -1505,3 +1505,75 @@ def test_ann_index_incremental_maintenance_is_o_delta(spark, tmp_path):
         rebuilt = assign(lh.read(spark, base)).select("vec_id", "cell")
         drift = persisted.exceptAll(rebuilt).unionAll(rebuilt.exceptAll(persisted))
         assert drift.count() == 0
+
+
+def test_ivf_probe_helper_full_probe_equals_brute_force(spark, tmp_path):
+    """The persisted-index probe kernel (_ivf_probe_lists) with every
+    cell probed must reproduce exact brute-force top-k — the classic
+    IVF invariant, here asserted against the LAKE-backed path the
+    serving ops share (extras tests cover the per-query-rebuild twin)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lambda_hive_spark import lakehouse as lh
+    from lambda_hive_spark.helpers import dot
+    from lambda_hive_spark.operators.lake import (
+        _ANN_K,
+        _ivf_assign_cells,
+        _ivf_probe_lists,
+    )
+
+    # toy corpus: 30 vectors in 3 well-separated 3-dim cells
+    rows = []
+    for i in range(30):
+        base = [0.0, 0.0, 0.0]
+        base[i % 3] = 1.0
+        base[(i + 1) % 3] = round(0.1 + (i % 7) * 0.05, 2)
+        rows.append((i, [float(x) for x in base]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "cell int, centroid array<double>",
+    )
+    lists_path = str(tmp_path / "lists")
+    lh.create(
+        spark,
+        lists_path,
+        _ivf_assign_cells(e, cent),
+        key="vec_id",
+        partition_by=["cell"],
+    )
+
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # probe EVERY cell: monkeypatch-free — nprobe in the kernel is the
+    # module constant (3), and the toy corpus has exactly 3 cells, so
+    # the full probe IS the default probe here
+    got = _ivf_probe_lists(spark, q, cent, lists_path)
+
+    brute = (
+        e.crossJoin(q.withColumnsRenamed({"qe": "qe2"}))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(
+                F.col("qe2").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+            ).alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _ANN_K)
+    )
+    drift = got.exceptAll(brute).unionAll(brute.exceptAll(got))
+    assert drift.count() == 0, "full-probe lake path diverged from brute force"
