@@ -242,6 +242,29 @@ def _scale_corpus(
     return out_dir
 
 
+def _proc_stat_sample() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line — sampled at tier boundaries so BENCH_DETAIL records how much
+    hypervisor steal each tier's wall-clock absorbed (VERDICT r7
+    item 8: raw seconds swing ±30% with VM weather; a per-tier steal%
+    lets ratio-vs-seconds arguments cite contention without a
+    dedicated interleaved A/B session)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:]]
+    except (OSError, ValueError):
+        return None
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before, after) -> float | None:
+    if before is None or after is None or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def _time_spark(fn, spark, sf_dir: str, runs: int = N_RUNS) -> float:
     times = []
     for i in range(runs + 1):
@@ -284,11 +307,13 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     duck: dict[str, float] = {}
+    _st0 = _proc_stat_sample()
     for name in HEADLINE:
         op_ = ops[name]
         queries[name] = round(_time_spark(op_.fn, spark, sf_dir), 4)
         if op_.oracle:
             duck[name] = round(_time_duck(con, op_.oracle), 4)
+    headline_steal = _steal_pct(_st0, _proc_stat_sample())
 
     # Multi-rowgroup section (skippable via SPARK_GRAFT_BENCH_SCALE=0
     # for quick iteration loops).
@@ -298,6 +323,7 @@ def main() -> None:
         scale_con = duck_connection(scale_dir)
         s_queries: dict[str, float] = {}
         s_duck: dict[str, float] = {}
+        _st0 = _proc_stat_sample()
         for name in SCALE_HEADLINE:
             op_ = ops[name]
             s_queries[name] = round(_time_spark(op_.fn, spark, scale_dir, SCALE_RUNS), 4)
@@ -312,6 +338,7 @@ def main() -> None:
             "duckdb_total_sec": round(sum(s_duck.values()), 4),
             "copies": {t: c for t, (_, c) in SCALE_TABLES.items()},
             "runs": SCALE_RUNS,
+            "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
         }
 
     # 100× crossover section (VERDICT r5 item 3): per-query ratios for
@@ -326,6 +353,7 @@ def main() -> None:
         x_queries: dict[str, float] = {}
         x_duck: dict[str, float] = {}
         x_ratio: dict[str, float] = {}
+        _st0 = _proc_stat_sample()
         for name in SCALE100_HEADLINE:
             op_ = ops[name]
             x_queries[name] = round(
@@ -399,6 +427,7 @@ def main() -> None:
             "copies": {t: c for t, (_, c) in SCALE100_TABLES.items()},
             "runs": SCALE100_RUNS,
             "bucketed": bucketed,
+            "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
         }
 
     # 1000× crossover section. Skippable via SPARK_GRAFT_BENCH_SCALE1000=0.
@@ -411,6 +440,7 @@ def main() -> None:
         k_queries: dict[str, float] = {}
         k_duck: dict[str, float] = {}
         k_ratio: dict[str, float] = {}
+        _st0 = _proc_stat_sample()
         for name in SCALE1000_HEADLINE:
             op_ = ops[name]
             k_queries[name] = round(
@@ -429,6 +459,7 @@ def main() -> None:
             "ratio_vs_duckdb": k_ratio,
             "copies": {t: c for t, (_, c) in SCALE1000_TABLES.items()},
             "runs": SCALE1000_RUNS,
+            "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
         }
 
     total = round(sum(queries.values()), 4)
@@ -443,6 +474,7 @@ def main() -> None:
         "scale": scale,
         "scale100": scale100,
         "scale1000": scale1000,
+        "steal_pct": headline_steal,
         "config": {
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
@@ -470,6 +502,7 @@ def main() -> None:
             "ratio": round(d["value"] / d["duckdb_total_sec"], 3)
             if d["duckdb_total_sec"]
             else None,
+            "steal_pct": d.get("steal_pct"),
         }
 
     compact = {
@@ -480,6 +513,7 @@ def main() -> None:
         "sf": float(sf),
         "duckdb_total_sec": round(sum(duck.values()), 4),
         "ratio_vs_duckdb": round(total / sum(duck.values()), 3) if duck else None,
+        "steal_pct": headline_steal,
         "scale": _tier(scale),
         "scale100": _tier(scale100),
         "scale1000": _tier(scale1000),

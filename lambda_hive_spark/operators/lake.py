@@ -1399,7 +1399,7 @@ def lake_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent_t = lh.read(spark, cent_path)
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cdot").desc(), F.col("cell").asc()
+        F.col("cdot").desc(), F.col("cell").asc_nulls_last()
     )
     assigned = (
         inc.crossJoin(F.broadcast(cent_t))
@@ -1433,7 +1433,7 @@ def lake_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.col("cdot").desc(), F.col("cell").asc()
+                    F.col("cdot").desc(), F.col("cell").asc_nulls_last()
                 )
             ),
         )
@@ -1653,7 +1653,7 @@ def lake_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cent_t = lh.read(spark, cent_path)
     w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cdot").desc(), F.col("cell").asc()
+        F.col("cdot").desc(), F.col("cell").asc_nulls_last()
     )
     assigned = (
         inc.crossJoin(F.broadcast(cent_t))
@@ -1687,7 +1687,7 @@ def lake_ann_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.col("cdot").desc(), F.col("cell").asc()
+                    F.col("cdot").desc(), F.col("cell").asc_nulls_last()
                 )
             ),
         )
@@ -1823,6 +1823,20 @@ WHERE rn <= {_TOPK}
 """
 
 
+_N_TERM_SHARDS = 32  # bounded postings layout: files/manifest grow with
+# shard count, not vocabulary (ADVICE r7 — raw-term partitioning made
+# both linear in |vocab|)
+
+
+def _term_shard(t: str) -> int:
+    """Python twin of the Spark-side shard expression in to_postings
+    (md5 first 8 hex chars mod _N_TERM_SHARDS) so the probe can compute
+    a query term's partition without touching data."""
+    import hashlib
+
+    return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % _N_TERM_SHARDS
+
+
 @op(
     "lake_text_index_probe",
     oracle=_text_index_oracle(),
@@ -1837,10 +1851,13 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Layout and lifecycle:
     - `docs` lake table (doc_id, text) — the corpus;
-    - `postings` lake table (term, doc_id, tf, dl), FULL vocabulary,
-      PARTITIONED BY term: a query term's postings list is a
-      partition-pruned point scan (every probe plan is asserted a
-      strict subset of the table's files);
+    - `postings` lake table (term, shard, doc_id, tf, dl), FULL
+      vocabulary, PARTITIONED BY a bounded term shard (md5(term) mod
+      32 — ADVICE r7: raw-term partitioning grew files and manifest
+      linearly with vocabulary): a query term's postings list is a
+      partition-pruned point scan of its shard plus an in-scan term
+      filter (probe plans asserted strict subsets of the table's
+      files);
     - `stats` lake table (n_docs, sum_dl as exact longs, 1 row):
       merged — not rebuilt — on every append;
     - append batch (every 23rd doc re-keyed past max) maintained from
@@ -1872,13 +1889,17 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def to_postings(docs: DataFrame) -> DataFrame:
         toks = F.split(F.col("text"), " ")
+        shard = (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+            % _N_TERM_SHARDS
+        ).cast("int")
         return (
             docs.select(
                 "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term")
             )
             .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .select("term", "doc_id", "tf", "dl")
+            .select("term", shard.alias("shard"), "doc_id", "tf", "dl")
         )
 
     def doc_stats(docs: DataFrame) -> DataFrame:
@@ -1888,7 +1909,7 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("sum_dl"),
         )
 
-    lh.create(spark, post_path, to_postings(d), key="doc_id", partition_by=["term"])
+    lh.create(spark, post_path, to_postings(d), key="doc_id", partition_by=["shard"])
     lh.create(spark, stats_path, doc_stats(d), key="stat_id")
 
     # --- append + O(delta) maintenance ---
@@ -1906,7 +1927,7 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)), F.sum(F.size(F.split(F.col("text"), " ")))
     ).collect()[0]
     merged = spark.createDataFrame(
-        [(0, cur["n_docs"] + d_n, cur["sum_dl"] + (d_dl or 0))],
+        [(0, cur["n_docs"] + d_n, (cur["sum_dl"] or 0) + (d_dl or 0))],
         "stat_id long, n_docs long, sum_dl long",
     )
     lh.merge_upsert(spark, stats_path, merged)
@@ -1914,27 +1935,41 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- probe the persisted index: pruned per-term postings scans ---
     st = lh.read(spark, stats_path).collect()[0]
     n_docs, sum_dl = st["n_docs"], st["sum_dl"]
-    if not n_docs or sum_dl is None:
+    # `not sum_dl` also covers the all-NULL-text corpus, where the
+    # NULL-safe maintenance merge above persists 0 rather than NULL:
+    # avgdl would be a zero denominator, and BM25 scores nothing.
+    if not n_docs or not sum_dl:
         return spark.createDataFrame(
             [], "query_id string, doc_id bigint, rnk int, score double"
         )
     avgdl = sum_dl / n_docs  # exact longs -> one IEEE division, both engines
 
     n_files_total = len(lh.plan_files(post_path))
-    scans = []
+    by_shard: dict[int, list[str]] = {}
     for t in _TERM_LITS:
-        plan = lh.plan_files(post_path, point={"term": t})
-        assert len(plan) < n_files_total, "term probe did not prune"
+        by_shard.setdefault(_term_shard(t), []).append(t)
+    scans = []
+    for s, terms in sorted(by_shard.items()):
+        plan = lh.plan_files(post_path, point={"shard": s})
+        # strict-subset proof per probed shard; degenerate single-file
+        # tables (e.g. a perturbed corpus whose vocabulary collapsed
+        # into one shard) have nothing left to prune
+        if n_files_total > 1:
+            assert len(plan) < n_files_total, "shard probe did not prune"
         if plan:
-            scans.append(lh.scan(spark, post_path, point={"term": t}))
+            scans.append(
+                lh.scan(spark, post_path, point={"shard": s}).filter(
+                    F.col("term").isin(terms)
+                )
+            )
     if not scans:
-        # no query term has a postings partition (e.g. a regenerated
-        # corpus whose vocabulary lost every query term): the oracle
-        # scores nothing — return the empty contract frame
+        # no query term's shard has a postings partition (e.g. a
+        # regenerated corpus whose vocabulary lost every query term):
+        # the oracle scores nothing — return the empty contract frame
         return spark.createDataFrame(
             [], "query_id string, doc_id bigint, rnk int, score double"
         )
-    postings = reduce(DataFrame.unionByName, scans)
+    postings = reduce(DataFrame.unionByName, scans).drop("shard")
     df_rows = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     df = {r["term"]: r["df"] for r in df_rows}
 
@@ -1997,7 +2032,7 @@ def _ivf_assign_cells(inc: DataFrame, cent_t: DataFrame) -> DataFrame:
 
     from lambda_hive_spark.helpers import dot
 
-    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc())
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cell").asc_nulls_last())
     return (
         inc.crossJoin(F.broadcast(cent_t))
         .select(
@@ -2039,7 +2074,7 @@ def _ivf_probe_lists(
             "rn",
             F.row_number().over(
                 Window.partitionBy("query_id").orderBy(
-                    F.col("cdot").desc(), F.col("cell").asc()
+                    F.col("cdot").desc(), F.col("cell").asc_nulls_last()
                 )
             ),
         )

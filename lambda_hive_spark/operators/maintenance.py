@@ -25,6 +25,14 @@ from lambda_hive_spark.registry import op
 _N_BUCKETS = 8
 
 
+def sf_slug(sf_dir: str) -> str:
+    """Catalog-safe slug of an sf_dir basename (shared with
+    tests/test_plans.py so the table-name derivation cannot drift —
+    ADVICE r7: the test's inline reconstruction missed the dash
+    replacement and broke on dash-named corpora)."""
+    return os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+
+
 @op(
     "join_bucket_colocated",
     oracle=f"""
@@ -113,10 +121,7 @@ def join_bucket_colocated_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = int(min(64, max(_N_BUCKETS, biggest // (16 << 20))))
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        base = (
-            os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-        )
-        name = f"{tbl}_bro_{base}"
+        name = f"{tbl}_bro_{sf_slug(sf_dir)}"
         names[tbl] = name
         src = os.path.join(sf_dir, f"{tbl}.parquet")
         loc = os.path.join(

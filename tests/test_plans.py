@@ -511,13 +511,17 @@ def test_bucketed_read_twin_reuses_layout_with_no_exchange(spark):
     steady-state path the 100x bench times) instead of rewriting it."""
     import os
 
+    from lambda_hive_spark.operators.maintenance import sf_slug
+
     plan = _plan(spark, "join_bucket_colocated_read")
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 0, "bucketed read twin should not shuffle"
     # reuse proof: the table files' mtimes survive a second invocation
+    # (table name via the op's own sf_slug helper so test and op
+    # cannot drift — ADVICE r7)
     loc = os.path.join(
         spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
-        "orders_bro_" + os.path.basename(SF_DIR.rstrip("/")).replace(".", "_"),
+        "orders_bro_" + sf_slug(SF_DIR),
     )
     before = {f: os.path.getmtime(os.path.join(loc, f)) for f in os.listdir(loc)}
     OPS["join_bucket_colocated_read"].fn(spark, SF_DIR).collect()
