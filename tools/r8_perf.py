@@ -91,6 +91,19 @@ def main():
         )
         print(f"distinct.hash_only_lb      {hash_only:7.3f} s  (no collision resolution — "
               "lower bound of ANY hash-first scheme)")
+        # the complete two-phase realization: group on the hash,
+        # collect_set(struct) resolves collisions exactly, explode —
+        # measured 2026-08-16: 3.66 s vs 1.76 s value distinct (2x
+        # SLOWER: the set insert re-hashes and re-compares the struct
+        # per row on top of the long-key probe). REJECTED; with the
+        # hash-only lower bound itself at 3.4x DuckDB, no hash-first
+        # scheme can close the gap — the committed partial+final
+        # distinct stands as the engine-constant floor.
+        two = (li.select(F.xxhash64(*cols).alias("h"), F.struct(*cols).alias("s"))
+                 .groupBy("h").agg(F.collect_set("s").alias("ss"))
+                 .select(F.explode("ss").alias("s")).select("s.*"))
+        tp = _med(lambda: _noop(two))
+        print(f"distinct.two_phase_full    {tp:7.3f} s  (collect_set collision resolution)")
         duck = _med(lambda: con.execute(ops["distinct_rows"].oracle).fetchall())
         print(f"distinct.duckdb            {duck:7.3f} s  ratio_cur={cur/duck:.2f}")
 
@@ -123,10 +136,13 @@ def main():
         duck = _med(lambda: con.execute(ops["agg_partial_final"].oracle).fetchall())
         print(f"partial.duckdb             {duck:7.3f} s  ratio_cur={cur/duck:.2f} "
               f"ratio_single={sl/duck:.2f}")
-        # value parity of the single-level candidate vs committed
-        a = sorted(map(tuple, hier_exact_agg(
-            li, ["l_suppkey"], sums=[("total_qty", "l_quantity")],
-            count_star="n_items").collect()))
+        # value parity of the single-level candidate vs committed —
+        # compare on ALIGNED column order (hier returns key, sums,
+        # count; the first run of this script compared positionally
+        # and reported a spurious DRIFT)
+        h = hier_exact_agg(li, ["l_suppkey"], sums=[("total_qty", "l_quantity")],
+                           count_star="n_items")
+        a = sorted(map(tuple, h.select("l_suppkey", "n_items", "total_qty").collect()))
         b = sorted(map(tuple, single.select("l_suppkey", "n_items", "total_qty").collect()))
         print(f"partial.single_parity      {'EXACT' if a == b else 'DRIFT'}")
 
@@ -135,25 +151,48 @@ def main():
         cur = _med(lambda: _noop(op_.fn(spark, s100)))
         print(f"bloom.multiway_committed   {cur:7.3f} s  (size-aware SHJ)")
 
+        # NOTE (r8 findings): InjectRuntimeFilter only engages with
+        # autoBroadcastJoinThreshold=-1 at planning time (explicit
+        # F.broadcast hints keep the dims broadcast), and the variant
+        # must be built INLINE — op_.fn goes through the registry
+        # wrapper, whose tune_runtime() re-pins autoBroadcastJoin-
+        # Threshold (killing injection) and whose plan cache would
+        # serve the committed plan. Measured 2026-08-16 interleaved:
+        # committed med 3.76 s vs bloom med 4.19 s (0.897x — a LOSS;
+        # the o_orderdate filter keeps ~half of orders, so the bloom
+        # build on 6M keys + 60M might_contain probes exceeds the
+        # shuffle savings). REJECTED per the >1.2x adoption bar.
         def bloom_variant():
-            saved = {k: spark.conf.get(k, None) for k in (
-                "spark.sql.optimizer.runtime.bloomFilter.enabled",
-                "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            )}
+            from lambda_hive_spark.helpers import hier_exact_agg
+            from lambda_hive_spark.io import table_bytes
+            from lambda_hive_spark.session import _BROADCAST_THRESHOLD
+
+            saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "8GB")
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             try:
-                spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-                spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
-                spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
-                df = op_.fn(spark, s100)
+                r = table(spark, s100, "region")
+                n = table(spark, s100, "nation")
+                c = table(spark, s100, "customer")
+                o = table(spark, s100, "orders").filter(
+                    F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                li = table(spark, s100, "lineitem")
+                if table_bytes(s100, "orders") > int(_BROADCAST_THRESHOLD):
+                    o = o.hint("shuffle_hash")
+                if table_bytes(s100, "customer") > int(_BROADCAST_THRESHOLD):
+                    c = c.hint("shuffle_hash")
+                joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+                          .join(c, o.o_custkey == c.c_custkey)
+                          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+                df = hier_exact_agg(joined, ["r_name", "n_name"],
+                                    sums=[("revenue", "l_extendedprice * (1 - l_discount)")])
                 df._jdf.queryExecution().executedPlan()  # plan under confs
                 return df
             finally:
-                for k, v in saved.items():
-                    if v is None:
-                        spark.conf.unset(k)
-                    else:
-                        spark.conf.set(k, v)
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
         probe = bloom_variant()
         plan = probe._jdf.queryExecution().executedPlan().toString()
