@@ -193,11 +193,20 @@ class LakeTable:
         *,
         prune: dict | str | None = "auto",
         track_changes: bool = False,
+        deletion_vectors: bool = False,
     ) -> int:
-        """Copy-on-write DELETE; pruning bounds compile from the
-        predicate by default (prune="auto")."""
+        """DELETE; pruning bounds compile from the predicate by
+        default (prune="auto"). ``deletion_vectors=True`` switches
+        from copy-on-write to merge-on-read (positions recorded in a
+        log sidecar, zero data files rewritten — the trickle-delete
+        path; compact()/optimize() materializes later)."""
         return self._lh.delete_where(
-            self.spark, self.path, predicate, prune=prune, track_changes=track_changes
+            self.spark,
+            self.path,
+            predicate,
+            prune=prune,
+            track_changes=track_changes,
+            deletion_vectors=deletion_vectors,
         )
 
     def restore(self, version: int) -> int:

@@ -150,16 +150,51 @@ def _manifest_schema(m: dict) -> StructType | None:
     return StructType.fromJson(json.loads(s)) if s else None
 
 
-def _read_snapshot_files(spark: SparkSession, m: dict, paths) -> DataFrame:
+def _read_snapshot_files(
+    spark: SparkSession, m: dict, paths, apply_dv: bool = True
+) -> DataFrame:
     """Scan a file set under the manifest's schema: files written
     before a column evolved in null-fill it (Spark's parquet reader
     resolves an explicit read schema by name, absent columns → NULL).
-    No footer merge — schema authority is the log, O(1) per query."""
+    No footer merge — schema authority is the log, O(1) per query.
+
+    MERGE-ON-READ: entries carrying a deletion vector (``dv`` — see
+    delete_where(deletion_vectors=True)) have their deleted row
+    positions subtracted here, via ONE left-anti join against the
+    referenced sidecars on (_metadata.file_path, _metadata.row_index).
+    This is the single choke point every verb reads through (scan,
+    merge, COW delete, compact, zorder, optimize, restore-validate,
+    clone), so a DV'd row is invisible everywhere at once, and any
+    rewriting verb MATERIALIZES the deletes for the files it rewrites
+    as a side effect (its outputs are scanned post-DV; the new entries
+    carry no dv). Tables with no DV'd entry take the original
+    zero-overhead path. The DV side is broadcast: deletion vectors
+    are trickle-delete deltas by design — a table whose DVs rival its
+    data wants compact()/optimize(), which resets them.
+
+    ``apply_dv=False`` serves the physical rows (bloom_index: its
+    input_file_name() attribution is scan-scoped and breaks under the
+    anti-join; a bloom that still admits deleted keys is conservative
+    — pruning keeps a file the probe then finds empty, never the
+    reverse)."""
     reader = spark.read
     schema = _manifest_schema(m)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*sorted(paths))
+    pset = set(paths)
+    dv_dirs = sorted(
+        {f["dv"]["sidecar"] for f in m["files"] if f.get("dv") and f["path"] in pset}
+    ) if apply_dv else []
+    if not dv_dirs:
+        return reader.parquet(*sorted(paths))
+    df = reader.parquet(*sorted(paths)).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    dv = spark.read.parquet(*dv_dirs).select("_dv_file", "_dv_pos")
+    keep = [c for c in df.columns if c not in ("_dv_file", "_dv_pos")]
+    return df.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti").select(*keep)
 
 
 def _log_dir(path: str) -> str:
@@ -440,6 +475,19 @@ def _commit(path: str, build_entry):
         entry["metrics"]["net_rows"] = (
             entry["metrics"]["rows_added"] - entry["metrics"]["rows_removed"]
         )
+        # Deletion vectors shift rows logically without moving files:
+        # count the dv-deleted delta into net_rows so a DV delete reads
+        # -k and a later compaction (physical -k, dv -k) reads 0 — the
+        # same logical-delta contract every other action keeps.
+        dv_delta = sum(
+            (f.get("dv") or {}).get("deleted", 0) for f in entry.get("files", [])
+        ) - sum(
+            (f.get("dv") or {}).get("deleted", 0)
+            for f in (head or {}).get("files", [])
+        )
+        if dv_delta:
+            entry["metrics"]["rows_dv_deleted"] = dv_delta
+            entry["metrics"]["net_rows"] -= dv_delta
         staged = os.path.join(_log_dir(path), f".tmp-{uuid.uuid4().hex}.json")
         with open(staged, "w") as fh:
             json.dump(entry, fh, indent=1, sort_keys=True)
@@ -760,7 +808,7 @@ def bloom_index(
     max_rows = max(f["rows"] for f in files)
     m_bits = 1 << max(13, int(max_rows * bits_per_row - 1).bit_length())
 
-    df = _read_snapshot_files(spark, m, [f["path"] for f in files])
+    df = _read_snapshot_files(spark, m, [f["path"] for f in files], apply_dv=False)
     # No distinct and no position explode: setting a bit twice is
     # idempotent, so deduplication buys nothing and costs a full
     # row-shuffle; materializing k positions per row would shuffle
@@ -1336,6 +1384,158 @@ def merge_upsert(
                     os.remove(p)
 
 
+_DV_PREFIX = "dv-"
+
+
+def _read_files_with_pos(spark: SparkSession, m: dict, paths) -> DataFrame:
+    """Live rows of a file set WITH their physical address columns
+    (`_dv_file` = Spark's _metadata.file_path URI, `_dv_pos` =
+    _metadata.row_index) — the DV write path's input. Rows already
+    covered by an entry's deletion vector are subtracted, so a repeat
+    delete records only NEWLY deleted positions. Addresses stay in
+    Spark's own URI rendering end-to-end (sidecar rows are compared
+    only against _metadata.file_path produced by the same scanner),
+    so no path/URI normalization is ever trusted for row identity;
+    the driver-side manifest mapping goes through _plain_path exactly
+    like the bloom index's input_file_name attribution."""
+    reader = spark.read
+    schema = _manifest_schema(m)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*sorted(paths)).select(
+        "*",
+        F.col("_metadata.file_path").alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    pset = set(paths)
+    dv_dirs = sorted(
+        {f["dv"]["sidecar"] for f in m["files"] if f.get("dv") and f["path"] in pset}
+    )
+    if dv_dirs:
+        dv = spark.read.parquet(*dv_dirs).select("_dv_file", "_dv_pos")
+        df = df.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti")
+    return df
+
+
+def _delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    prune: dict | None,
+    track_changes: bool,
+) -> int:
+    """Merge-on-read DELETE (Delta deletion-vector shape): matched row
+    POSITIONS are recorded in a parquet sidecar under the log and the
+    touched manifest entries gain/extend a ``dv`` field — zero data
+    files rewritten. At 100 TB with trickle deletes (GDPR erasure, a
+    bad producer's rows) this turns per-delete write amplification
+    from O(touched files) into O(deleted rows); reads subtract the
+    positions in _read_snapshot_files' single anti-join, and any
+    rewrite verb (compact/optimize/zorder/merge/COW-delete)
+    materializes the deletes for the files it touches. An entry whose
+    deletions reach its row count is dropped outright (the physical
+    file stays for time travel until vacuum). Repeat deletes merge:
+    the new sidecar carries old ∪ new positions for the files it
+    updates, so a reader consults exactly ONE sidecar per entry."""
+    while True:
+        m = read_manifest(path)
+        cand = (
+            plan_files(path, predicates=prune, version=m["version"])
+            if prune
+            else m["files"]
+        )
+        cand_paths = sorted({f["path"] for f in cand})
+        dv_at_read = {f["path"]: f.get("dv") for f in m["files"]}
+        rows_by_path = {f["path"]: f["rows"] for f in m["files"]}
+        new_dv: dict[str, dict] = {}
+        full_drop: set[str] = set()
+        sidecar_dir: str | None = None
+        change_files: list[str] = []
+        if cand_paths:
+            live = _read_files_with_pos(spark, m, cand_paths)
+            doomed = live.filter(f"coalesce(({predicate}), false)")
+            counts = {
+                r["_dv_file"]: r["n"]
+                for r in doomed.groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per touched FILE
+            }
+            if counts:
+                plain = {u: _plain_path(u) for u in counts}
+                updated = set(plain.values())
+                prior_dirs = sorted(
+                    {
+                        dv_at_read[p]["sidecar"]
+                        for p in updated
+                        if dv_at_read.get(p)
+                    }
+                )
+                merged = doomed.select("_dv_file", "_dv_pos")
+                if prior_dirs:
+                    # fold the updated files' OLD positions into the new
+                    # sidecar; files sharing those old sidecars but not
+                    # updated here keep referencing them unchanged
+                    merged = merged.unionByName(
+                        spark.read.parquet(*prior_dirs)
+                        .select("_dv_file", "_dv_pos")
+                        .filter(F.col("_dv_file").isin(list(counts)))
+                    )
+                sidecar_dir = os.path.join(
+                    _log_dir(path), f"{_DV_PREFIX}{uuid.uuid4().hex}"
+                )
+                merged.write.mode("errorifexists").parquet(sidecar_dir)
+                for u, n in counts.items():
+                    p = plain[u]
+                    total = ((dv_at_read.get(p) or {}).get("deleted", 0)) + n
+                    if total >= rows_by_path.get(p, 0):
+                        full_drop.add(p)
+                    else:
+                        new_dv[p] = {"sidecar": sidecar_dir, "deleted": total}
+                if track_changes:
+                    change_files = _write_change_files(
+                        doomed.drop("_dv_file", "_dv_pos").withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        path,
+                    )
+
+        def build(head):
+            by_path = {f["path"]: f for f in head["files"]}
+            for p in set(new_dv) | full_drop:
+                h = by_path.get(p)
+                # conflict if a racing commit rewrote the file or moved
+                # its DV under us — merging would lose their positions
+                if h is None or h.get("dv") != dv_at_read.get(p):
+                    raise CommitConflict
+            files = []
+            for f in head["files"]:
+                p = f["path"]
+                if p in full_drop:
+                    continue
+                if p in new_dv:
+                    f = {**f, "dv": new_dv[p]}
+                files.append(f)
+            entry = {
+                "action": "delete_dv",
+                "key": head["key"],
+                "files": files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+            }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            if sidecar_dir and os.path.isdir(sidecar_dir):
+                shutil.rmtree(sidecar_dir)
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -1343,6 +1543,7 @@ def delete_where(
     *,
     prune: dict | str | None = None,
     track_changes: bool = False,
+    deletion_vectors: bool = False,
 ) -> int:
     """Copy-on-write DELETE: rows where `predicate` (a SQL boolean
     expression over the table's columns) evaluates TRUE are removed as
@@ -1362,9 +1563,18 @@ def delete_where(
 
     ``prune="auto"`` compiles the stats box from the predicate itself
     (compile_prune_box) — sound sargable bounds only, so pruning can
-    never drop a row the predicate matches."""
+    never drop a row the predicate matches.
+
+    ``deletion_vectors=True`` switches to MERGE-ON-READ (Delta DV
+    shape, _delete_where_dv): matched positions land in a log sidecar
+    instead of rewriting survivor files — O(deleted rows) write
+    amplification for trickle deletes; compact()/optimize() later
+    materializes. Same predicate/prune/track_changes semantics, same
+    logical result (tests pin DV ≡ COW row-for-row)."""
     if prune == "auto":
         prune = compile_prune_box(predicate) or None
+    if deletion_vectors:
+        return _delete_where_dv(spark, path, predicate, prune, track_changes)
     while True:
         m = read_manifest(path)
         key = m["key"]
@@ -1693,7 +1903,7 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         return _read_snapshot_files(spark, m, added).withColumn(
             "_change_type", F.lit("insert")
         )
-    if action in ("merge", "delete", "replace_where"):
+    if action in ("merge", "delete", "delete_dv", "replace_where"):
         if "changes" not in m:
             raise ValueError(
                 f"version {version} is a {action} committed without track_changes"
@@ -1922,6 +2132,13 @@ def restore(spark: SparkSession, path: str, version: int) -> int:
       forfeits history, and it says so)."""
     target = read_manifest(path, version)
     missing = [f["path"] for f in target["files"] if not os.path.exists(f["path"])]
+    # dv sidecars are part of the snapshot's logical content — a reaped
+    # one would silently resurrect deleted rows, worse than refusing
+    missing += [
+        f["dv"]["sidecar"]
+        for f in target["files"]
+        if f.get("dv") and not os.path.isdir(f["dv"]["sidecar"])
+    ]
     if missing:
         raise FileNotFoundError(
             f"restore: version {version} reaches past the vacuum horizon "
@@ -2116,5 +2333,24 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
         full = os.path.join(_log_dir(path), n)
         if n.startswith("bloom-") and full not in referenced:
             os.remove(full)
+            deleted.append(full)
+    # reap deletion-vector sidecar dirs the same way: a repeat delete
+    # or a rewrite supersedes an entry's dv; the orphaned sidecar dies
+    # with the manifests that pointed at it. Only dirs under OUR log
+    # are candidates (same ownership rule as data files — a shallow
+    # clone references the source's sidecars by absolute path).
+    dv_referenced = set()
+    for v in keep_versions:
+        for f in read_manifest(path, v)["files"]:
+            if f.get("dv"):
+                dv_referenced.add(f["dv"]["sidecar"])
+    for n in os.listdir(_log_dir(path)):
+        full = os.path.join(_log_dir(path), n)
+        if (
+            n.startswith(_DV_PREFIX)
+            and os.path.isdir(full)
+            and full not in dv_referenced
+        ):
+            shutil.rmtree(full)
             deleted.append(full)
     return deleted

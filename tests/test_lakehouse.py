@@ -1577,3 +1577,159 @@ def test_ivf_probe_helper_full_probe_equals_brute_force(spark, tmp_path):
     )
     drift = got.exceptAll(brute).unionAll(brute.exceptAll(got))
     assert drift.count() == 0, "full-probe lake path diverged from brute force"
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read DELETE — round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_dv_delete_equals_cow_delete(spark, tmp_path):
+    """DV delete is logically identical to the COW delete — same
+    surviving rows — while moving ZERO data files (same physical file
+    set before and after; only dv fields change)."""
+    p_cow = str(tmp_path / "cow")
+    p_dv = str(tmp_path / "dv")
+    df = spark.range(200).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    ).repartition(4)
+    lh.create(spark, p_cow, df, key="id")
+    lh.create(spark, p_dv, df, key="id")
+    lh.delete_where(spark, p_cow, "val % 30 = 0")
+    before = sorted(f["path"] for f in lh.read_manifest(p_dv)["files"])
+    lh.delete_where(spark, p_dv, "val % 30 = 0", deletion_vectors=True)
+    m = lh.read_manifest(p_dv)
+    assert sorted(f["path"] for f in m["files"]) == before, "DV delete moved data files"
+    assert any(f.get("dv") for f in m["files"]), "no dv recorded"
+    assert _rows(lh.read(spark, p_dv)) == _rows(lh.read(spark, p_cow))
+    # logical delta matches the COW twin's
+    assert m["metrics"]["net_rows"] == lh.read_manifest(p_cow)["metrics"]["net_rows"]
+    assert m["metrics"]["rows_removed"] == 0  # nothing physical moved
+
+
+def test_dv_repeat_delete_merges_positions(spark, tmp_path):
+    """A second DV delete folds the first's positions into ONE sidecar
+    per entry (readers consult one dv per file) and deletes compose."""
+    path = _mk(spark, tmp_path, n=100, files=2)
+    lh.delete_where(spark, path, "id < 10", deletion_vectors=True)
+    lh.delete_where(spark, path, "id >= 90", deletion_vectors=True)
+    m = lh.read_manifest(path)
+    got = _rows(lh.read(spark, path))
+    assert got == [(i, i * 10) for i in range(10, 90)]
+    # every dv'd entry points at exactly one sidecar; deleted counts sum
+    assert sum((f.get("dv") or {}).get("deleted", 0) for f in m["files"]) == 20
+    # time travel: both prior versions intact
+    assert len(_rows(lh.read(spark, path, version=1))) == 100
+    assert len(_rows(lh.read(spark, path, version=2))) == 90
+
+
+def test_dv_full_file_deletion_drops_entry(spark, tmp_path):
+    """When a DV covers every row of a file the entry leaves the
+    manifest outright (no degenerate all-deleted scans)."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") % 2).alias("val")
+    )
+    # two files split by parity of id ranges: repartitionByRange on id
+    lh.create(spark, path, df.repartitionByRange(2, "id"), key="id")
+    m1 = lh.read_manifest(path)
+    n_before = len(m1["files"])
+    assert n_before >= 2
+    # delete everything the first file holds (its full key range)
+    f0 = min(m1["files"], key=lambda f: f["min_key"])
+    lh.delete_where(
+        spark, path, f"id BETWEEN {f0['min_key']} AND {f0['max_key']}",
+        deletion_vectors=True,
+    )
+    m2 = lh.read_manifest(path)
+    assert f0["path"] not in {f["path"] for f in m2["files"]}
+    assert len(_rows(lh.read(spark, path))) == 100 - f0["rows"]
+
+
+def test_dv_rewrite_verbs_materialize(spark, tmp_path):
+    """compact() reads THROUGH deletion vectors, so its output holds
+    only live rows and the new entries carry no dv — the deletes are
+    materialized as a side effect; net_rows reads 0 for the layout-only
+    commit (physical -k cancels dv -k)."""
+    path = _mk(spark, tmp_path, n=100, files=4)
+    lh.delete_where(spark, path, "id % 10 = 0", deletion_vectors=True)
+    live_before = _rows(lh.read(spark, path))
+    lh.compact(spark, path, num_files=1)
+    m = lh.read_manifest(path)
+    assert not any(f.get("dv") for f in m["files"]), "compact left a dv behind"
+    assert sum(f["rows"] for f in m["files"]) == 90, "compact wrote deleted rows"
+    assert _rows(lh.read(spark, path)) == live_before
+    assert m["metrics"]["net_rows"] == 0, "layout-only commit must read net 0"
+
+
+def test_dv_track_changes_serves_new_preimages_only(spark, tmp_path):
+    """The change feed of a DV delete carries exactly the NEWLY deleted
+    pre-images (a repeat delete must not re-emit prior retractions)."""
+    path = _mk(spark, tmp_path, n=50, files=2)
+    lh.delete_where(spark, path, "id < 5", deletion_vectors=True, track_changes=True)
+    v = lh.delete_where(
+        spark, path, "id < 8", deletion_vectors=True, track_changes=True
+    )
+    feed = lh.read_changes(spark, path, v)
+    assert sorted(r["id"] for r in feed.collect()) == [5, 6, 7]
+    assert set(r["_change_type"] for r in feed.collect()) == {"delete"}
+    # untracked DV delete refuses the feed, like merge/COW delete
+    v2 = lh.delete_where(spark, path, "id = 20", deletion_vectors=True)
+    with pytest.raises(ValueError, match="track_changes"):
+        lh.read_changes(spark, path, v2)
+
+
+def test_dv_vacuum_reaps_orphans_keeps_referenced(spark, tmp_path):
+    """Vacuum deletes dv sidecars only when no surviving manifest
+    references them: alive while the head (or horizon) needs them,
+    gone after a compaction supersedes them and the horizon passes."""
+    path = _mk(spark, tmp_path, n=100, files=2)
+    lh.delete_where(spark, path, "id < 10", deletion_vectors=True)
+    m = lh.read_manifest(path)
+    sidecars = {f["dv"]["sidecar"] for f in m["files"] if f.get("dv")}
+    assert sidecars
+    lh.vacuum(path, keep_last=1)  # head still references the dv
+    assert all(os.path.isdir(s) for s in sidecars), "vacuum reaped a live dv"
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(10, 100)]
+    lh.compact(spark, path, num_files=1)  # supersedes the dv
+    lh.vacuum(path, keep_last=1)
+    assert not any(os.path.isdir(s) for s in sidecars), "orphan dv survived vacuum"
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(10, 100)]
+
+
+def test_dv_restore_refuses_past_reaped_sidecar(spark, tmp_path):
+    """A restore target whose dv sidecar is gone refuses loudly —
+    serving the snapshot without its dv would resurrect deleted rows.
+    (Vacuum itself can never orphan a kept manifest's sidecar — the
+    refcount walks keep_versions — so this guards OUT-OF-BAND loss.)"""
+    import shutil
+
+    path = _mk(spark, tmp_path, n=60, files=2)
+    v_dv = lh.delete_where(spark, path, "id < 30", deletion_vectors=True)
+    lh.compact(spark, path, num_files=1)
+    sidecar = next(
+        f["dv"]["sidecar"]
+        for f in lh.read_manifest(path, v_dv)["files"]
+        if f.get("dv")
+    )
+    shutil.rmtree(sidecar)  # simulate out-of-band loss
+    with pytest.raises(FileNotFoundError, match="vacuum horizon"):
+        lh.restore(spark, path, v_dv)
+
+
+def test_dv_merge_reads_through(spark, tmp_path):
+    """A COW merge over a DV'd table reads through the dv: files it
+    rewrites exclude deleted rows (materialized), so a dv-deleted row
+    can never be resurrected by a later rewrite verb. (Untouched
+    entries carry their dv forward structurally — the builder copies
+    entries wholesale; the vacuum test pins that lifecycle.)"""
+    path = _mk(spark, tmp_path, n=100, files=2)
+    lh.delete_where(spark, path, "id = 7", deletion_vectors=True)
+    batch = spark.range(5).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val")
+    )
+    lh.merge_upsert(spark, path, batch)
+    got = dict(_rows(lh.read(spark, path)))
+    assert all(got[i] == -1 for i in range(5))
+    assert 7 not in got, "merge resurrected a dv-deleted row"
+    assert len(got) == 99
