@@ -1733,3 +1733,31 @@ def test_dv_merge_reads_through(spark, tmp_path):
     assert all(got[i] == -1 for i in range(5))
     assert 7 not in got, "merge resurrected a dv-deleted row"
     assert len(got) == 99
+
+
+def test_dv_partitioned_table_delete_and_prune(spark, tmp_path):
+    """DV delete on a hive-partitioned table: positions resolve under
+    the __p_* directory layout, partition-pruned scans subtract the dv
+    (the choke point serves scan() too), and a fully deleted partition's
+    file leaves the manifest so its pruning tuple disappears."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(90).select(
+        F.col("id").cast("long"),
+        (F.col("id") % 3).cast("string").alias("tenant"),
+        (F.col("id") * 10).alias("val"),
+    )
+    lh.create(spark, path, df, key="id", partition_by=["tenant"])
+    # partial delete inside tenant 0; full delete of tenant 2
+    lh.delete_where(spark, path, "tenant = '0' AND id < 30", deletion_vectors=True)
+    lh.delete_where(spark, path, "tenant = '2'", deletion_vectors=True)
+    m = lh.read_manifest(path)
+    tuples = {f["partition"]["tenant"] for f in m["files"]}
+    assert "2" not in tuples, "fully dv-deleted partition still in manifest"
+    # pruned point scan of tenant 0 subtracts the dv
+    got = sorted(r["id"] for r in lh.scan(spark, path, point={"tenant": "0"}).collect())
+    assert got == [i for i in range(30, 90) if i % 3 == 0]
+    # full read: tenant 1 intact, tenant 0 partial, tenant 2 gone
+    allrows = sorted(r["id"] for r in lh.read(spark, path).collect())
+    assert allrows == sorted(
+        [i for i in range(30, 90) if i % 3 == 0] + [i for i in range(90) if i % 3 == 1]
+    )
