@@ -25,8 +25,6 @@ from lambda_hive_spark.helpers import (
     dsum,
     hier_exact_agg,
     sql_dsum,
-    sql_micros_final,
-    sql_micros_sum,
 )
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
@@ -277,42 +275,53 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     is static — required for both the oracle and a 100 TB plan: a
     dynamic pivot needs an extra pass to discover values).
 
-    The per-cell money sum runs the two-level long-micros pattern
-    (helpers.sql_micros_*): level 1 accumulates BIGINT micros per
-    (user, type-code, input partition) — the per-row double→decimal
-    cast (Double.toString + BigDecimal) leaves the 100M-row hot loop
-    — and the tiny level 2 merges the partials decimal-exact via
-    per-type conditional sums (the pivot itself). Bit-identical to
-    the former sum(cast(value as decimal(38,6))) formulation (same
-    proof as hier_exact_agg; restamp-verified), measured 3.2 s →
-    0.9 s at the 100M-event bench tier.
+    r8 formulation: SINGLE-level long micros, the same rewrite that
+    crossed agg_partial_final under (one fewer aggregate pass and
+    Exchange; Catalyst's own partial/final BIGINT try_sum does the
+    map-side combine). Per row: event_type → INT code (one CASE, so
+    the 100M-row hash key stays the bare int64 user_id and the
+    guarded micros value computes ONCE), then SIX conditional long
+    sums — the exact conditional-aggregation shape DuckDB executes.
+    Emission divides each long total back to value units through
+    DECIMAL(38,0), the same nearest-double as sql_dsum. Measured at
+    the 100x tier: 0.69 s vs 1.02 s two-level (1.47x), neutral at
+    1000x (0.93 s both — the scan dominates); parity EXACT at sf0.01
+    and scale100. History: sum(cast decimal) 3.2 s → two-level
+    INT-code micros 0.9 s (r6) → this.
 
-    Level 1 maps event_type to an INT code first so every grouping
-    key is primitive (long, int, int) and HashAggregateExec's
-    two-level fast hash map engages — a string key forces the
-    UnsafeRow-based map on the 100M-row side (measured 1.10 s →
-    0.71 s at 100M rows for this exact shape). Types outside the
-    static list (and NULL) share code 5 and are dropped at level 2,
-    matching pivot-with-explicit-values semantics while keeping the
-    user's group row. Level-2 input is |users|×6×|partitions| rows —
-    negligible at any scale, and the decimal merge keeps the 100 TB
-    overflow story (a single long partial would wrap past 9.2e12
-    value units); the conditional decimal sums are order-independent,
-    so the code↔type regrouping cannot change a single bit."""
+    Exactness contract (same as agg_partial_final): per-row guard
+    |value·10^6| < 2^51 unchanged; per-(user, type) long total bound
+    2^63 micros ≈ 9.2e12 value units, FAIL-VISIBLE via try_sum (an
+    overflowing cell emits NULL and hash-mismatches, never wraps).
+    Types outside the static list (and NULL) share code 5 and no
+    conditional sum selects them — pivot-with-explicit-values
+    semantics with the user's group row kept."""
     ev = table(spark, sf_dir, "events")
     code = (
         "CASE event_type "
         + " ".join(f"WHEN '{t}' THEN {i}" for i, t in enumerate(_EVENT_TYPES))
         + " ELSE 5 END"
     )
-    partial = ev.groupBy(
-        "user_id", F.expr(f"{code} AS _code"), F.expr("spark_partition_id() AS _pid")
-    ).agg(F.expr(f"{sql_micros_sum('value')} AS _m"))
-    return partial.groupBy("user_id").agg(
+    m = _micros_product("value", 6)
+    half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
+    guarded = f"CASE WHEN ABS({m}) < {MICROS_GUARD} THEN {half_away} END"
+    pre = ev.select(
+        "user_id", F.expr(f"{code} AS _code"), F.expr(f"{guarded} AS _m")
+    )
+    agg = pre.groupBy("user_id").agg(
         *[
-            F.expr(sql_micros_final(f"CASE WHEN _code = {i} THEN _m END")).alias(t)
-            for i, t in enumerate(_EVENT_TYPES)
+            F.expr(f"try_sum(CASE WHEN _code = {i} THEN _m END)").alias(f"_m{i}")
+            for i in range(len(_EVENT_TYPES))
         ]
+    )
+    return agg.select(
+        "user_id",
+        *[
+            F.expr(
+                f"CAST(CAST(_m{i} AS DECIMAL(38,0)) / CAST(1000000 AS DECIMAL(7,0)) AS DOUBLE)"
+            ).alias(t)
+            for i, t in enumerate(_EVENT_TYPES)
+        ],
     )
 
 

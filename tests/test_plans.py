@@ -384,23 +384,24 @@ def test_headline_shuffle_counts_do_not_regress(spark):
     regression long before it is a local wall-clock one."""
     from lambda_hive_spark.registry import all_ops
 
-    # agg_hash / agg_partial_final / join_multiway carry one extra
-    # audited Exchange since hier_exact_agg (helpers.py): its decimal
-    # merge level re-shuffles one row per (group, input partition) —
-    # bytes are negligible at any scale; the win is long (not 128-bit
-    # decimal) accumulation in the per-row hot loop.
+    # agg_hash / join_multiway carry one extra audited Exchange from
+    # hier_exact_agg (helpers.py): its decimal merge level re-shuffles
+    # one row per (group, input partition) — bytes are negligible at
+    # any scale; the win is long (not 128-bit decimal) accumulation in
+    # the per-row hot loop.
     AUDITED_MAX = {
         "agg_hash": 2,
-        "agg_partial_final": 2,
+        # r8: single-level long-micros try_sum (advagg.py) — Catalyst's
+        # own partial/final sum, ONE exchange; the former two-level
+        # (key, pid) merge and its second exchange are gone.
+        "agg_partial_final": 1,
         "join_multiway": 6,
         "join_asof": 2,
         "win_topk_per_group": 1,
-        # agg_pivot r6: two-level micros with INT type codes (advagg.py)
-        # plans 2 Exchanges; #2 carries only |user×code×partition|
-        # cardinality rows (the 100M-row hot loop is exchange #1's
-        # map-side partial, now on all-primitive keys so the fast
-        # two-level hash map engages — 1.10 s → 0.71 s at 100M rows).
-        "agg_pivot": 2,
+        # agg_pivot r8: same single-level rewrite (INT type codes kept,
+        # six conditional try_sums on the bare int64 user key) — ONE
+        # exchange; measured 1.47x over the r6 two-level at 100M events.
+        "agg_pivot": 1,
         "distinct_rows": 1,
         "dedup_ngram_jaccard": 7,
         "sim_knn_exact": 2,
