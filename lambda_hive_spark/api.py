@@ -102,6 +102,16 @@ class Engine:
         return Dag()
 
     # -- lakehouse table layer ----------------------------------------
+    def catalog(self, root: str):
+        """Name catalog over lake tables with atomic multi-table
+        pointer-swap transactions (catalog.py): create_table/drop/
+        rename, snapshot-consistent reads across tables, and
+        Transaction (stage per-table commits, publish all pointers in
+        one catalog commit — first committer wins per table)."""
+        from lambda_hive_spark.catalog import Catalog
+
+        return Catalog(root)
+
     def lake(self, path: str) -> "LakeTable":
         """Handle to an ACID lake table at `path` (lakehouse.py):
         versioned commits, snapshot reads / time travel, stats-pruned

@@ -1,0 +1,163 @@
+"""Catalog + multi-table transaction protocol tests (catalog.py).
+
+The properties a catalog must actually deliver, each provoked
+directly: atomic DDL (create/drop/rename are single pointer commits),
+snapshot-consistent reads ACROSS tables, the all-or-nothing publish of
+a multi-table transaction, first-committer-wins conflict on a racing
+transaction, and the loud failure when a pin reaches past a table's
+vacuum horizon.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambda_hive_spark import catalog as cat
+from lambda_hive_spark import lakehouse as lh
+
+
+def _mk_table(spark, tmp_path, name, n=20):
+    path = str(tmp_path / name)
+    df = spark.range(n).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    )
+    lh.create(spark, path, df, key="id")
+    return path
+
+
+def test_ddl_roundtrip_and_rename_is_atomic(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    p = _mk_table(spark, tmp_path, "t1")
+    c.create_table("ledger", p)
+    assert set(c.tables()) == {"ledger"}
+    with pytest.raises(FileExistsError):
+        c.create_table("ledger", p)
+    v = c.rename_table("ledger", "journal")
+    now, before = c.tables(), c.tables(version=v - 1)
+    assert set(now) == {"journal"} and set(before) == {"ledger"}
+    assert now["journal"] == before["ledger"]  # pointer moved, pin kept
+    c.drop_table("journal")
+    assert c.tables() == {}
+    with pytest.raises(KeyError):
+        c.drop_table("journal")
+
+
+def test_catalog_read_pins_version_until_refresh(spark, tmp_path):
+    """Ordinary lakehouse writes do NOT leak into catalog reads until
+    a refresh/transaction publishes the pointer — the pin IS the
+    isolation."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    p = _mk_table(spark, tmp_path, "t1", n=10)
+    c.create_table("t", p)
+    lh.append(spark, p, spark.range(10, 15).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")))
+    assert c.read(spark, "t").count() == 10  # pinned pre-append
+    c.refresh("t")
+    assert c.read(spark, "t").count() == 15
+
+
+def test_transaction_publishes_all_or_nothing(spark, tmp_path):
+    """Two tables move in ONE catalog commit: a reader at the prior
+    catalog snapshot sees NEITHER write, at the new snapshot BOTH —
+    there is no catalog version with exactly one."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    pa = _mk_table(spark, tmp_path, "a", n=10)
+    pb = _mk_table(spark, tmp_path, "b", n=10)
+    c.create_table("ledger", pa)
+    c.create_table("balances", pb)
+    pre_v = cat.current_version(root)
+
+    txn = c.transaction()
+    delta = spark.range(100, 103).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val"))
+    lh.append(spark, txn.path("ledger"), delta)
+    lh.append(spark, txn.path("balances"), delta)
+    txn.stage("ledger")
+    txn.stage("balances")
+    post_v = txn.commit()
+
+    assert post_v == pre_v + 1  # one catalog commit for both moves
+    for v, expect in ((pre_v, 10), (post_v, 13)):
+        na = c.read(spark, "ledger", catalog_version=v).count()
+        nb = c.read(spark, "balances", catalog_version=v).count()
+        assert (na, nb) == (expect, expect), "catalog version saw a torn transaction"
+
+
+def test_transaction_conflict_first_committer_wins(spark, tmp_path):
+    """Two transactions touching the same table: the second commit
+    raises CatalogConflict and publishes NOTHING (its staged snapshot
+    stays unreferenced); a disjoint-table transaction sails through."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    pa = _mk_table(spark, tmp_path, "a", n=10)
+    pb = _mk_table(spark, tmp_path, "b", n=10)
+    pc = _mk_table(spark, tmp_path, "c", n=10)
+    c.create_table("x", pa)
+    c.create_table("y", pb)
+    c.create_table("z", pc)
+
+    t1, t2 = c.transaction(), c.transaction()
+    row = spark.range(1).select(
+        F.lit(999).cast("long").alias("id"), F.lit(0).cast("long").alias("val"))
+    lh.append(spark, t1.path("x"), row)
+    t1.stage("x")
+    lh.append(spark, t2.path("x"), row.withColumn("id", F.lit(998).cast("long")))
+    t2.stage("x")
+    t1.commit()
+    with pytest.raises(cat.CatalogConflict):
+        t2.commit()
+    assert c.read(spark, "x").count() == 11  # only t1's row published
+
+    t3 = c.transaction()  # disjoint table: no conflict with history
+    lh.append(spark, t3.path("z"), row)
+    t3.stage("z")
+    t3.commit()
+    assert c.read(spark, "z").count() == 11
+
+
+def test_concurrent_ddl_occ_loses_nothing(spark, tmp_path):
+    """N threads each register a distinct name concurrently; the OCC
+    loop serializes them — all N land, no version lost."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    paths = [_mk_table(spark, tmp_path, f"t{i}") for i in range(4)]
+    errs = []
+
+    def reg(i):
+        try:
+            c.create_table(f"name{i}", paths[i])
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert set(c.tables()) == {f"name{i}" for i in range(4)}
+    assert cat.current_version(root) == 4
+
+
+def test_pin_past_vacuum_horizon_fails_loud(spark, tmp_path):
+    """A catalog pin older than the table's vacuum horizon must raise
+    on read (the manifest is gone) — never silently serve the head."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+    p = _mk_table(spark, tmp_path, "t1", n=10)
+    c.create_table("t", p)
+    lh.append(spark, p, spark.range(10, 12).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")))
+    lh.compact(spark, p, num_files=1)
+    lh.vacuum(p, keep_last=1)  # pin (v1) is now past the horizon
+    with pytest.raises(FileNotFoundError):
+        c.read(spark, "t").count()
+    c.refresh("t")
+    assert c.read(spark, "t").count() == 12
