@@ -1,14 +1,10 @@
-"""Round-9 STAGED operators — NOT registered (the round-8 registry
-freeze holds; see SURVEY.md r8 addendum). This module is deliberately
-absent from operators/__init__'s import list, so the registry stays at
-351 and the driver's window drains the evidence backlog undisturbed.
+"""Round-9 operators — REGISTERED as of round 9 (the round-8 registry
+freeze is lifted; this module is now in operators/__init__'s import
+list and both ops grade through the driver's t2 oracle gate).
 
-Round 9 registers these by (a) adding ``staged_r9`` to the package
-import list and (b) deleting the two plain-function shims here in
-favor of the prepared ``@op`` decorations below (commented plan, one
-line each). Both ops already carry full DuckDB oracles and are
-exercised end-to-end by tests/test_staged_r9.py against those exact
-oracle strings, so registration day adds zero new verification work.
+Both ops carry full DuckDB oracles and are exercised end-to-end by
+tests/test_staged_r9.py against those exact oracle strings, so
+registration added zero new verification work.
 
 Capabilities under test are round-8 additions:
 - merge-on-read deletion vectors (lakehouse.delete_where
@@ -28,6 +24,7 @@ from lambda_hive_spark import catalog as cat
 from lambda_hive_spark import lakehouse as lh
 from lambda_hive_spark.io import table
 from lambda_hive_spark.operators.lake import _fresh_table_dir
+from lambda_hive_spark.registry import op
 
 LAKE_DV_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -37,6 +34,7 @@ WHERE NOT COALESCE(o_orderkey % 5 = 0 AND o_totalprice < 150000.0, FALSE)
 """
 
 
+@op("lake_deletion_vector", oracle=LAKE_DV_ORACLE, tags=("side_effect",))
 def lake_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE lifecycle through the table layer: orders
     lands range-partitioned by key into 8 files; TWO successive DV
@@ -116,6 +114,7 @@ UNION ALL SELECT 'balances_post', CAST((SELECT COUNT(*) FROM bal) + COUNT(*) AS 
 """
 
 
+@op("catalog_txn_atomic", oracle=CATALOG_TXN_ORACLE, tags=("side_effect",))
 def catalog_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic multi-table transaction through the name catalog
     (catalog.py): a ledger and a balances table register under names,
@@ -191,11 +190,3 @@ def catalog_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("balances_post", c.read(spark, "balances", catalog_version=post_v).count()),
     ]
     return spark.createDataFrame(rows, "tbl string, n_rows long")
-
-
-# Round-9 registration plan (one line each once the freeze lifts):
-#   op("lake_deletion_vector", oracle=LAKE_DV_ORACLE,
-#      tags=("side_effect",))(lake_deletion_vector)
-#   op("catalog_txn_atomic", oracle=CATALOG_TXN_ORACLE,
-#      tags=("side_effect",))(catalog_txn_atomic)
-# plus `staged_r9` in operators/__init__'s import list.

@@ -38,13 +38,15 @@ def _compare(sdf, con, sql):
     assert s == d
 
 
-def test_staged_module_is_not_registered():
+def test_r9_ops_are_registered():
     from lambda_hive_spark.registry import all_ops
 
     ops = all_ops()
-    assert "lake_deletion_vector" not in ops
-    assert "catalog_txn_atomic" not in ops
-    assert len(ops) == 351  # the round-8 freeze
+    assert "lake_deletion_vector" in ops
+    assert "catalog_txn_atomic" in ops
+    assert "side_effect" in ops["lake_deletion_vector"].tags
+    assert "side_effect" in ops["catalog_txn_atomic"].tags
+    assert len(ops) == 353  # round-9 lifted the round-8 freeze (351 + 2)
 
 
 def test_lake_deletion_vector_matches_oracle(spark, duck):
