@@ -197,6 +197,39 @@ def _read_snapshot_files(
     return df.join(F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti").select(*keep)
 
 
+_RESERVED_COLS = ("_dv_file", "_dv_pos")
+
+
+def _check_reserved(schema: StructType) -> None:
+    """Refuse user columns named like the DV read path's working
+    columns: _read_snapshot_files/_read_files_with_pos project
+    _dv_file/_dv_pos from _metadata and anti-join on them, so a user
+    column with either name would be dropped by the keep-select and
+    make the join keys ambiguous (ADVICE r8). Enforced at create and
+    at every schema-widening write."""
+    bad = [f.name for f in schema.fields if f.name in _RESERVED_COLS]
+    if bad:
+        raise SchemaMismatch(
+            f"column names {bad} are reserved for the deletion-vector "
+            "read path (_read_snapshot_files join keys)"
+        )
+
+
+def _dv_moved(consumed_paths, snapshot: dict, head: dict) -> bool:
+    """True when any consumed file's deletion-vector entry differs
+    between the snapshot a rewrite scanned and the head it is about to
+    commit against. A DV delete mutates LOGICAL content without
+    changing any path, so the rewriters' path-existence conflict check
+    alone would let a rewrite publish survivor files scanned pre-DV —
+    silently resurrecting the deleted rows (lost update; Delta treats
+    this exact race as a conflict). Symmetric twin of
+    _delete_where_dv's own `h.get('dv') != dv_at_read` guard
+    (ADVICE r8)."""
+    at_read = {f["path"]: f.get("dv") for f in snapshot["files"]}
+    at_head = {f["path"]: f.get("dv") for f in head["files"]}
+    return any(at_head.get(p) != at_read.get(p) for p in consumed_paths)
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, _LOG)
 
@@ -578,6 +611,7 @@ def create(
     if os.path.exists(_log_dir(path)) and current_version(path) > 0:
         raise FileExistsError(f"lake table already exists: {path}")
     df = _apply_generated(df, generated or {})
+    _check_reserved(df.schema)
     if constraints:
         _validate_constraints(df, constraints)
     files = _write_data_files(
@@ -623,6 +657,7 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     df = _apply_generated(
         df, m.get("generated") or {}, _schema.fieldNames() if _schema else None
     )
+    _check_reserved(df.schema)
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -694,6 +729,7 @@ def append_idempotent(
     df = _apply_generated(
         df, m.get("generated") or {}, _schema.fieldNames() if _schema else None
     )
+    _check_reserved(df.schema)
     _validate_constraints(df, m.get("constraints") or {})
     new_files = _write_data_files(df, path, key, m.get("partition_by"))
 
@@ -1286,6 +1322,7 @@ def merge_upsert(
     updates = _apply_generated(
         updates, m0.get("generated") or {}, _schema0.fieldNames() if _schema0 else None
     )
+    _check_reserved(updates.schema)
     while True:
         m = read_manifest(path)
         key = key or m["key"]
@@ -1355,6 +1392,8 @@ def merge_upsert(
             head_paths = {f["path"] for f in head["files"]}
             if not touched_paths <= head_paths:
                 raise CommitConflict
+            if _dv_moved(touched_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             head_kept = [f for f in head["files"] if f["path"] not in touched_paths]
             schema_json = head.get("schema")
             if batch_new:  # opted-in evolution: record the widened schema
@@ -1602,6 +1641,8 @@ def delete_where(
             head_paths = {f["path"] for f in head["files"]}
             if not touched_paths <= head_paths:
                 raise CommitConflict  # a racing commit rewrote our input
+            if _dv_moved(touched_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             kept = [f for f in head["files"] if f["path"] not in touched_paths]
             entry = {
                 "action": "delete",
@@ -1712,6 +1753,7 @@ def replace_where(
     df = _apply_generated(
         df, m0.get("generated") or {}, _schema0.fieldNames() if _schema0 else None
     )
+    _check_reserved(df.schema)
     while True:
         m = read_manifest(path)
         pby = m.get("partition_by")
@@ -1789,6 +1831,8 @@ def replace_where(
             head_paths = {f["path"] for f in head["files"]}
             if not doomed_paths <= head_paths:
                 raise CommitConflict  # a racing commit rewrote our input
+            if _dv_moved(doomed_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             kept = []
             for f in head["files"]:
                 if f["path"] in doomed_paths:
@@ -1855,6 +1899,8 @@ def repartition_table(
         def build(head):
             if {f["path"] for f in head["files"]} != old_paths:
                 raise CommitConflict  # whole-snapshot read set
+            if _dv_moved(old_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             return {
                 "action": "repartition",
                 "key": head["key"],
@@ -1983,6 +2029,8 @@ def zorder_cluster(
             head_paths = {f["path"] for f in head["files"]}
             if not old_paths <= head_paths:
                 raise CommitConflict
+            if _dv_moved(old_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             racing = [f for f in head["files"] if f["path"] not in old_paths]
             return {
                 "action": "zorder",
@@ -2027,6 +2075,8 @@ def compact(spark: SparkSession, path: str, num_files: int = 1) -> int:
             head_paths = {f["path"] for f in head["files"]}
             if not old_paths <= head_paths:
                 raise CommitConflict  # a racing commit rewrote our input
+            if _dv_moved(old_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             # carry files added by racing appends since we snapshotted
             racing = [f for f in head["files"] if f["path"] not in old_paths]
             return {
@@ -2183,31 +2233,46 @@ def optimize_small_files(
     whole snapshot — fine for a small table, catastrophic at 100 TB
     where the small-file problem is a trickle of streaming appends on
     top of terabytes of well-sized files: optimize touches exactly the
-    trickle. Sized by manifest ROW counts (the stats already in hand;
-    at equal schema, rows ∝ bytes) so planning needs zero file I/O.
-    A no-op (zero or one small file) returns the current version
-    without committing. Selection is stable under concurrent appends:
-    a racing append's files simply stay for the next optimize; a
-    racing rewrite of OUR input conflicts and recomputes, like every
-    other rewriting commit."""
+    trickle. Sized by manifest LIVE row counts — rows minus the
+    entry's deletion-vector count, stats already in hand — so planning
+    needs zero file I/O AND a physically large but mostly-DV-deleted
+    file still converges through optimize (ADVICE r8: sizing by raw
+    rows never selected it, contradicting optimize's documented role
+    as a DV materialization path). A no-op (zero or one small file)
+    returns the current version without committing. Selection is
+    stable under concurrent appends: a racing append's files simply
+    stay for the next optimize; a racing rewrite of OUR input
+    conflicts and recomputes, like every other rewriting commit."""
+
+    def _live(f: dict) -> int:
+        return f["rows"] - ((f.get("dv") or {}).get("deleted", 0))
+
     while True:
         m = read_manifest(path)
-        small = [f for f in m["files"] if f["rows"] < target_rows]
+        small = [f for f in m["files"] if _live(f) < target_rows]
         pby = m.get("partition_by")
         if pby:
             # Partitioned convergence: a partition's single small file
             # can never reach target_rows by rewriting — selecting it
             # would commit an identical layout forever. Only tuples
-            # with ≥2 small files make progress (they merge to one).
+            # with ≥2 small files make progress (they merge to one) —
+            # OR a lone DV'd file (rewriting it materializes the
+            # deletes, shrinking physical rows to live rows; the
+            # rewritten file carries no dv, so it is not re-selected).
             groups: dict[tuple, list[dict]] = {}
             for f in small:
                 t = tuple((f.get("partition") or {}).get(c) for c in pby)
                 groups.setdefault(t, []).append(f)
-            small = [f for fs in groups.values() if len(fs) >= 2 for f in fs]
-        if len(small) <= 1:
+            small = [
+                f
+                for fs in groups.values()
+                if len(fs) >= 2 or any(f.get("dv") for f in fs)
+                for f in fs
+            ]
+        if not small or (len(small) == 1 and not small[0].get("dv")):
             return m["version"]
         small_paths = {f["path"] for f in small}
-        n_bins = max(1, (sum(f["rows"] for f in small) + target_rows - 1) // target_rows)
+        n_bins = max(1, (sum(_live(f) for f in small) + target_rows - 1) // target_rows)
         df = _read_snapshot_files(spark, m, small_paths).repartition(n_bins)
         new_files = _write_data_files(df, path, m["key"], m.get("partition_by"))
 
@@ -2215,6 +2280,8 @@ def optimize_small_files(
             head_paths = {f["path"] for f in head["files"]}
             if not small_paths <= head_paths:
                 raise CommitConflict  # someone rewrote our input files
+            if _dv_moved(small_paths, m, head):
+                raise CommitConflict  # racing DV delete on our input
             kept = [f for f in head["files"] if f["path"] not in small_paths]
             return {
                 "action": "optimize",
@@ -2292,10 +2359,17 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     # files by path, and the clone vacuuming its own history must not
     # reap data it does not own.
     own_prefix = os.path.abspath(os.path.join(path, _DATA)) + os.sep
+    dropped_bloom: set[str] = set()
+    dropped_dv: set[str] = set()
     for v in all_versions:
         if v in keep_versions:
             continue
         mv = read_manifest(path, v)
+        for bl in (mv.get("bloom") or {}).values():
+            dropped_bloom.add(bl["sidecar"])
+        for f in mv["files"]:
+            if f.get("dv"):
+                dropped_dv.add(f["dv"]["sidecar"])
         for f in mv["files"]:
             if (
                 f["path"] not in live
@@ -2322,35 +2396,31 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
                 for n in names
             ):
                 shutil.rmtree(full)
-    # reap bloom sidecars no surviving manifest references (a re-index
-    # supersedes its predecessor; the old bitsets die with the
-    # manifests that pointed at them)
+    # Reap bloom/DV sidecars the way data files are reaped: only those
+    # REFERENCED BY THE MANIFESTS BEING DROPPED (minus any a kept
+    # manifest still points at). Sweeping every unreferenced sidecar
+    # dir instead (the pre-r9 behavior) raced in-flight writers: a
+    # sidecar just written by a not-yet-committed DV delete is
+    # unreferenced at that instant, so the sweep deleted it and the
+    # delete then committed a manifest pointing at a missing sidecar —
+    # an unreadable head (ADVICE r8). A sidecar orphaned by a LOST
+    # commit race never reaches any manifest, and its writer already
+    # rmtree's it on CommitConflict, so nothing leaks.
     referenced = set()
     for v in keep_versions:
         for bl in (read_manifest(path, v).get("bloom") or {}).values():
             referenced.add(bl["sidecar"])
-    for n in os.listdir(_log_dir(path)):
-        full = os.path.join(_log_dir(path), n)
-        if n.startswith("bloom-") and full not in referenced:
+    for full in sorted(dropped_bloom - referenced):
+        if os.path.exists(full):
             os.remove(full)
             deleted.append(full)
-    # reap deletion-vector sidecar dirs the same way: a repeat delete
-    # or a rewrite supersedes an entry's dv; the orphaned sidecar dies
-    # with the manifests that pointed at it. Only dirs under OUR log
-    # are candidates (same ownership rule as data files — a shallow
-    # clone references the source's sidecars by absolute path).
     dv_referenced = set()
     for v in keep_versions:
         for f in read_manifest(path, v)["files"]:
             if f.get("dv"):
                 dv_referenced.add(f["dv"]["sidecar"])
-    for n in os.listdir(_log_dir(path)):
-        full = os.path.join(_log_dir(path), n)
-        if (
-            n.startswith(_DV_PREFIX)
-            and os.path.isdir(full)
-            and full not in dv_referenced
-        ):
+    for full in sorted(dropped_dv - dv_referenced):
+        if os.path.isdir(full):
             shutil.rmtree(full)
             deleted.append(full)
     return deleted

@@ -1761,3 +1761,129 @@ def test_dv_partitioned_table_delete_and_prune(spark, tmp_path):
     assert allrows == sorted(
         [i for i in range(30, 90) if i % 3 == 0] + [i for i in range(90) if i % 3 == 1]
     )
+
+
+# ---------------------------------------------------------------------------
+# round 9: the DV/rewriter lost-update race, vacuum sidecar safety,
+# live-row optimize sizing, reserved working-column names (ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_conflicts_on_racing_dv_delete(spark, tmp_path, monkeypatch):
+    """A DV delete committing between a rewriter's snapshot read and
+    its commit changes logical content WITHOUT changing any file path,
+    so the path-existence conflict check alone would let the rewriter
+    publish files scanned pre-DV — resurrecting the deleted rows. The
+    race is provoked deterministically: the delete fires inside
+    compact's first write, after its snapshot read. compact must lose
+    the race, retry, and republish WITHOUT the deleted rows."""
+    path = _mk(spark, tmp_path, n=100, files=4)
+    real = lh._write_data_files
+    calls = {"n": 0}
+
+    def racy(df, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            lh.delete_where(spark, path, "id < 10", deletion_vectors=True)
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(lh, "_write_data_files", racy)
+    lh.compact(spark, path, num_files=1)
+    assert calls["n"] >= 2, "compact never conflicted on the racing DV delete"
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(10, 100)]
+    assert not any(f.get("dv") for f in lh.read_manifest(path)["files"])
+
+
+def test_merge_conflicts_on_racing_dv_delete(spark, tmp_path, monkeypatch):
+    """Same race against the stats-pruned MERGE: its survivors were
+    computed pre-DV, so committing them would resurrect deleted rows.
+    Post-retry the deleted keys in the batch come back as INSERTS of
+    the batch rows (their table twins are gone), not as resurrected
+    table rows."""
+    path = _mk(spark, tmp_path, n=100, files=4)
+    real = lh._write_data_files
+    calls = {"n": 0}
+
+    def racy(df, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            lh.delete_where(spark, path, "id < 10", deletion_vectors=True)
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(lh, "_write_data_files", racy)
+    updates = spark.range(5).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val")
+    )
+    lh.merge_upsert(spark, path, updates)
+    assert calls["n"] >= 2, "merge never conflicted on the racing DV delete"
+    expect = [(i, -1) for i in range(5)] + [(i, i * 10) for i in range(10, 100)]
+    assert _rows(lh.read(spark, path)) == expect
+
+
+def test_vacuum_keeps_inflight_unreferenced_sidecars(spark, tmp_path):
+    """Vacuum reaps only sidecars referenced by the manifests it
+    drops. A sidecar just written by an in-flight, not-yet-committed
+    DV delete (or bloom build) is referenced by NO manifest at that
+    instant — sweeping it would make the imminent commit's head
+    unreadable. Superseded sidecars from dropped manifests still go."""
+    path = _mk(spark, tmp_path, n=100, files=2)
+    lh.delete_where(spark, path, "id < 10", deletion_vectors=True)
+    old = {f["dv"]["sidecar"] for f in lh.read_manifest(path)["files"] if f.get("dv")}
+    assert old
+    lh.compact(spark, path, num_files=1)  # supersedes the dv entries
+    inflight_dv = os.path.join(lh._log_dir(path), lh._DV_PREFIX + "inflight")
+    os.makedirs(inflight_dv)
+    with open(os.path.join(inflight_dv, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    inflight_bloom = os.path.join(lh._log_dir(path), "bloom-inflight")
+    with open(inflight_bloom, "w") as fh:
+        fh.write("x")
+    lh.vacuum(path, keep_last=1)
+    assert os.path.isdir(inflight_dv), "vacuum raced an in-flight DV sidecar"
+    assert os.path.exists(inflight_bloom), "vacuum raced an in-flight bloom"
+    assert not any(os.path.isdir(s) for s in old), "superseded dv survived"
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(10, 100)]
+
+
+def test_optimize_converges_mostly_dv_deleted_file(spark, tmp_path):
+    """optimize_small_files sizes by LIVE rows (rows minus DV-deleted)
+    so a physically large but mostly-DV-deleted file is selected and
+    its deletes materialize — the documented trickle-delete convergence
+    path. The rewritten file carries no dv, so a second optimize is a
+    no-op (convergence, not a rewrite loop)."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    )
+    lh.create(spark, path, df.repartitionByRange(2, "id"), key="id")
+    lh.delete_where(spark, path, "id < 450", deletion_vectors=True)
+    m = lh.read_manifest(path)
+    assert any(f.get("dv") for f in m["files"])  # precondition: dv present
+    assert all(f["rows"] >= 400 for f in m["files"])  # raw rows would never select
+    v = lh.optimize_small_files(spark, path, target_rows=400)
+    m2 = lh.read_manifest(path)
+    assert v == m2["version"] > m["version"], "mostly-deleted file never selected"
+    assert not any(f.get("dv") for f in m2["files"]), "optimize left the dv"
+    assert sum(f["rows"] for f in m2["files"]) == 550, "deletes not materialized"
+    assert _rows(lh.read(spark, path)) == [(i, i * 10) for i in range(450, 1000)]
+    assert lh.optimize_small_files(spark, path, target_rows=400) == v, "no-op loop"
+
+
+def test_reserved_dv_column_names_refused(spark, tmp_path):
+    """_dv_file/_dv_pos are the DV read path's working join keys; a
+    user column with either name would be dropped by the keep-select
+    and corrupt the anti-join — refused at create and at every
+    schema-widening write."""
+    bad_seed = spark.range(5).select("id", F.lit(1).alias("_dv_file"))
+    with pytest.raises(lh.SchemaMismatch, match="reserved"):
+        lh.create(spark, str(tmp_path / "t1"), bad_seed, key="id")
+    path = _mk(spark, tmp_path)
+    widen = spark.range(5).select(
+        F.col("id").cast("long"),
+        (F.col("id") * 10).alias("val"),
+        F.lit(2).alias("_dv_pos"),
+    )
+    with pytest.raises(lh.SchemaMismatch, match="reserved"):
+        lh.append(spark, path, widen, merge_schema=True)
+    with pytest.raises(lh.SchemaMismatch, match="reserved"):
+        lh.merge_upsert(spark, path, widen)
