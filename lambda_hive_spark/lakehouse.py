@@ -1302,6 +1302,7 @@ def merge_upsert(
     key: str | None = None,
     track_changes: bool = False,
     merge_schema: bool = False,
+    deletion_vectors: bool = False,
 ) -> int:
     """Upsert `updates` by the table key: rows with matching keys are
     replaced, new keys are inserted. Only data files whose footer
@@ -1316,13 +1317,24 @@ def merge_upsert(
     brand-new keys (`insert`), each tagged in a `_change_type` column
     and recorded in the manifest — `read_changes` serves them without
     diffing snapshots. Costs two extra broadcast joins against the
-    bounded updates batch, nothing against the table."""
+    bounded updates batch, nothing against the table.
+
+    ``deletion_vectors=True`` switches to MERGE-ON-READ
+    (_merge_upsert_dv): matched rows are DV-deleted in place (their
+    positions land in a log sidecar) and the updates batch appends as
+    post-image files — write amplification is O(batch + matched rows),
+    never O(touched files rewritten), the trickle-UPDATE completion of
+    the DV delete story. Same logical result, same CDF semantics
+    (tests pin DV-MERGE ≡ COW-MERGE row-for-row and feed-for-feed);
+    compact()/optimize() later materializes."""
     m0 = read_manifest(path)
     _schema0 = _manifest_schema(m0)
     updates = _apply_generated(
         updates, m0.get("generated") or {}, _schema0.fieldNames() if _schema0 else None
     )
     _check_reserved(updates.schema)
+    if deletion_vectors:
+        return _merge_upsert_dv(spark, path, updates, key, track_changes, merge_schema)
     while True:
         m = read_manifest(path)
         key = key or m["key"]
@@ -1568,6 +1580,163 @@ def _delete_where_dv(
         try:
             return _commit(path, build)
         except CommitConflict:
+            if sidecar_dir and os.path.isdir(sidecar_dir):
+                shutil.rmtree(sidecar_dir)
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+def _merge_upsert_dv(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str | None,
+    track_changes: bool,
+    merge_schema: bool,
+) -> int:
+    """MERGE-ON-READ upsert (merge_upsert deletion_vectors=True):
+    matched rows' POSITIONS are recorded in a parquet sidecar (the same
+    dv machinery _delete_where_dv uses — repeat merges fold prior
+    positions so a reader consults ONE sidecar per entry) and the
+    updates batch lands as ordinary post-image data files. Zero
+    survivor rows are rewritten: update = DV-delete of the pre-image +
+    append of the post-image, so a trickle of updates against 100 TB
+    costs O(batch + matched positions), not O(touched files). Footer
+    stats still prune: only files whose (min,max) key range intersects
+    the batch are even scanned for matches. An entry whose cumulative
+    deletions reach its row count is dropped outright. The CDF feed
+    (track_changes=True) is the COW merge's exactly: matched
+    pre-images, their post-images, and brand-new keys."""
+    while True:
+        m = read_manifest(path)
+        key = key or m["key"]
+        _validate_constraints(updates, m.get("constraints") or {})
+        head_schema = _manifest_schema(m)
+        batch_new = []
+        if head_schema is not None:
+            head_names = set(head_schema.fieldNames())
+            batch_new = [f for f in updates.schema.fields if f.name not in head_names]
+            if batch_new and not merge_schema:
+                raise SchemaMismatch(
+                    f"merge batch adds columns {[f.name for f in batch_new]}; "
+                    "pass merge_schema=True to evolve"
+                )
+        lo, hi = updates.agg(F.min(key), F.max(key)).collect()[0]
+        if lo is None:
+            raise ValueError("merge_upsert: updates batch is empty")
+        touched_paths = sorted(
+            f["path"]
+            for f in m["files"]
+            if f["min_key"] is None or not (f["max_key"] < lo or f["min_key"] > hi)
+        )
+        dv_at_read = {f["path"]: f.get("dv") for f in m["files"]}
+        rows_by_path = {f["path"]: f["rows"] for f in m["files"]}
+        new_dv: dict[str, dict] = {}
+        full_drop: set[str] = set()
+        sidecar_dir: str | None = None
+        change_files: list[str] = []
+        pre = None
+        if touched_paths:
+            live = _read_files_with_pos(spark, m, touched_paths)
+            doomed = live.join(
+                F.broadcast(updates.select(key)), on=key, how="left_semi"
+            )
+            counts = {
+                r["_dv_file"]: r["n"]
+                for r in doomed.groupBy("_dv_file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()  # bounded: one row per touched FILE
+            }
+            if counts:
+                plain = {u: _plain_path(u) for u in counts}
+                updated = set(plain.values())
+                prior_dirs = sorted(
+                    {
+                        dv_at_read[p]["sidecar"]
+                        for p in updated
+                        if dv_at_read.get(p)
+                    }
+                )
+                merged = doomed.select("_dv_file", "_dv_pos")
+                if prior_dirs:
+                    merged = merged.unionByName(
+                        spark.read.parquet(*prior_dirs)
+                        .select("_dv_file", "_dv_pos")
+                        .filter(F.col("_dv_file").isin(list(counts)))
+                    )
+                sidecar_dir = os.path.join(
+                    _log_dir(path), f"{_DV_PREFIX}{uuid.uuid4().hex}"
+                )
+                merged.write.mode("errorifexists").parquet(sidecar_dir)
+                for u, n in counts.items():
+                    p = plain[u]
+                    total = ((dv_at_read.get(p) or {}).get("deleted", 0)) + n
+                    if total >= rows_by_path.get(p, 0):
+                        full_drop.add(p)
+                    else:
+                        new_dv[p] = {"sidecar": sidecar_dir, "deleted": total}
+            if track_changes:
+                pre = doomed.drop("_dv_file", "_dv_pos").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+        new_files = _write_data_files(updates, path, key, m.get("partition_by"))
+        if track_changes:
+            if pre is not None:
+                matched_keys = pre.select(key)
+                post = updates.join(
+                    F.broadcast(matched_keys), on=key, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = updates.join(
+                    F.broadcast(matched_keys), on=key, how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                feed = pre.unionByName(post, allowMissingColumns=True).unionByName(
+                    ins, allowMissingColumns=True
+                )
+            else:
+                feed = updates.withColumn("_change_type", F.lit("insert"))
+            change_files = _write_change_files(feed, path)
+
+        def build(head):
+            by_path = {f["path"]: f for f in head["files"]}
+            for p in touched_paths:
+                h = by_path.get(p)
+                # conflict if a racing commit rewrote a scanned file or
+                # moved its DV under us (our match scan and sidecar
+                # fold were computed against the stale positions)
+                if h is None or h.get("dv") != dv_at_read.get(p):
+                    raise CommitConflict
+            files = []
+            for f in head["files"]:
+                p = f["path"]
+                if p in full_drop:
+                    continue
+                if p in new_dv:
+                    f = {**f, "dv": new_dv[p]}
+                files.append(f)
+            schema_json = head.get("schema")
+            if batch_new:  # opted-in evolution: record the widened schema
+                hs = _manifest_schema(head)
+                if hs is not None:
+                    have = set(hs.fieldNames())
+                    add = [f for f in batch_new if f.name not in have]
+                    if add:
+                        schema_json = StructType(hs.fields + add).json()
+            entry = {
+                "action": "merge_dv",
+                "key": head["key"],
+                "files": files + new_files,
+                "schema": schema_json,
+                "txns": head.get("txns", {}),
+            }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
             if sidecar_dir and os.path.isdir(sidecar_dir):
                 shutil.rmtree(sidecar_dir)
             for p in change_files:
@@ -1949,7 +2118,7 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         return _read_snapshot_files(spark, m, added).withColumn(
             "_change_type", F.lit("insert")
         )
-    if action in ("merge", "delete", "delete_dv", "replace_where"):
+    if action in ("merge", "merge_dv", "delete", "delete_dv", "replace_where"):
         if "changes" not in m:
             raise ValueError(
                 f"version {version} is a {action} committed without track_changes"

@@ -27,10 +27,16 @@ from lambda_hive_spark.operators.lake import _fresh_table_dir
 from lambda_hive_spark.registry import op
 
 LAKE_DV_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-WHERE NOT COALESCE(o_orderkey % 5 = 0 AND o_totalprice < 150000.0, FALSE)
-  AND NOT COALESCE(o_custkey % 7 = 0, FALSE)
+WITH s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE NOT COALESCE(o_orderkey % 5 = 0 AND o_totalprice < 150000.0, FALSE)
+    AND NOT COALESCE(o_custkey % 7 = 0, FALSE)
+)
+SELECT o_orderkey, o_custkey, o_totalprice FROM s WHERE o_orderkey % 11 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, -o_totalprice AS o_totalprice
+FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
@@ -45,15 +51,23 @@ def lake_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy-on-write cannot make), repeat-delete positions merge into
     one sidecar per entry, the pre-delete version stays readable, the
     tracked second delete's change feed serves exactly the NEWLY
-    deleted pre-images, and a compact() MATERIALIZES the deletes (no
-    dv survives; physical rows equal the survivor count) with
-    net_rows == 0 for the layout-only commit. The head read-back must
-    equal the relational two-predicate survivor set (NOT COALESCE per
-    predicate: DELETE removes only p IS TRUE, so NULL-predicate rows
-    survive — the heavy-null lesson lake_delete_where carries).
+    deleted pre-images; then a MERGE-ON-READ upsert (r9:
+    merge_upsert(deletion_vectors=True)) replaces every 11th order
+    with a negated-price post-image — matched survivors DV out, the
+    batch appends, and every pre-existing file entry either keeps its
+    exact path or is dropped outright (never rewritten). Batch keys
+    whose rows were already DV-deleted come back as INSERTS of the
+    batch row (the oracle's UNION ALL arm covers deleted keys too).
+    Finally a compact() MATERIALIZES everything (no dv survives;
+    physical rows equal the logical count) with net_rows == 0 for the
+    layout-only commit. The head read-back must equal the relational
+    expression (NOT COALESCE per predicate: DELETE removes only
+    p IS TRUE, so NULL-predicate rows survive — the heavy-null lesson
+    lake_delete_where carries).
 
-    Scale: this is THE trickle-delete answer at 100 TB — GDPR erasure
-    or a bad producer's rows cost O(deleted positions), not O(touched
+    Scale: this is THE trickle-mutation answer at 100 TB — GDPR
+    erasure or a bad producer's rows cost O(deleted positions), a
+    trickle UPDATE costs O(batch + matched positions), never O(touched
     files rewritten); reads pay one broadcast anti-join at the single
     choke point every verb scans through (lakehouse.py
     _read_snapshot_files)."""
@@ -90,10 +104,24 @@ def lake_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = lh.read_changes(spark, path, v2)
     assert feed.count() == n_mid - n_head, "feed must carry NEW pre-images only"
 
+    batch = base.filter("o_orderkey % 11 = 0").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    pre_merge_paths = {f["path"] for f in m["files"]}
+    lh.merge_upsert(spark, path, batch, deletion_vectors=True)
+    mm = lh.read_manifest(path)
+    assert mm["action"] == "merge_dv"
+    surviving_old = {f["path"] for f in mm["files"] if f["path"] in pre_merge_paths}
+    assert surviving_old <= pre_merge_paths, "merge rewrote a pre-existing file"
+    assert any(
+        f["path"] not in pre_merge_paths for f in mm["files"]
+    ), "merge appended no post-image files"
+    n_merged = lh.read(spark, path).count()
+
     lh.compact(spark, path, num_files=2)
     mc = lh.read_manifest(path)
     assert not any(f.get("dv") for f in mc["files"]), "compact left a dv"
-    assert sum(f["rows"] for f in mc["files"]) == n_head, "compact kept deleted rows"
+    assert sum(f["rows"] for f in mc["files"]) == n_merged, "compact kept deleted rows"
     assert mc["metrics"]["net_rows"] == 0, "materialization is layout-only"
     return lh.read(spark, path)
 

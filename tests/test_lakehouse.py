@@ -1887,3 +1887,138 @@ def test_reserved_dv_column_names_refused(spark, tmp_path):
         lh.append(spark, path, widen, merge_schema=True)
     with pytest.raises(lh.SchemaMismatch, match="reserved"):
         lh.merge_upsert(spark, path, widen)
+
+
+# ---------------------------------------------------------------------------
+# round 9: merge-on-read MERGE (deletion_vectors=True on merge_upsert)
+# ---------------------------------------------------------------------------
+
+
+def _merge_batch(spark):
+    """Updates for ids 10..29 (val = -id) + inserts 200..204 (val = -id)."""
+    return (
+        spark.range(10, 30)
+        .union(spark.range(200, 205))
+        .select(F.col("id").cast("long"), (-F.col("id")).alias("val"))
+    )
+
+
+def test_dv_merge_equals_cow_merge(spark, tmp_path):
+    """DV-MERGE is logically identical to the COW MERGE — same rows,
+    same CDF feed — while moving ZERO pre-existing data files (matched
+    rows DV out; the batch appends as post-image files)."""
+    p_cow = str(tmp_path / "cow")
+    p_dv = str(tmp_path / "dv")
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    ).repartition(4)
+    lh.create(spark, p_cow, df, key="id")
+    lh.create(spark, p_dv, df, key="id")
+    v_cow = lh.merge_upsert(spark, p_cow, _merge_batch(spark), track_changes=True)
+    before = sorted(f["path"] for f in lh.read_manifest(p_dv)["files"])
+    v_dv = lh.merge_upsert(
+        spark, p_dv, _merge_batch(spark), track_changes=True, deletion_vectors=True
+    )
+    assert _rows(lh.read(spark, p_dv)) == _rows(lh.read(spark, p_cow))
+    m = lh.read_manifest(p_dv)
+    kept = [f["path"] for f in m["files"] if f["path"] in set(before)]
+    assert kept == before, "DV merge rewrote or dropped a pre-existing file"
+    assert any(f.get("dv") for f in m["files"]), "no dv recorded for matched rows"
+    # CDF parity, tag for tag
+    feed = lambda p, v: sorted(
+        (r["id"], r["val"], r["_change_type"])
+        for r in lh.read_changes(spark, p, v).collect()
+    )
+    assert feed(p_dv, v_dv) == feed(p_cow, v_cow)
+    # logical delta parity (5 inserts; 20 updates are count-neutral)
+    assert m["metrics"]["net_rows"] == lh.read_manifest(p_cow)["metrics"]["net_rows"] == 5
+
+
+def test_dv_merge_repeat_folds_positions_and_time_travels(spark, tmp_path):
+    """A second DV merge folds the first's positions for the files it
+    touches (one sidecar per entry), pre-merge versions stay readable,
+    and compact() materializes everything."""
+    path = _mk(spark, tmp_path, n=100, files=4)
+    lh.merge_upsert(spark, path, _merge_batch(spark), deletion_vectors=True)
+    n_after_first = _rows(lh.read(spark, path))
+    batch2 = spark.range(20, 40).select(
+        F.col("id").cast("long"), F.lit(7).cast("long").alias("val")
+    )
+    lh.merge_upsert(spark, path, batch2, deletion_vectors=True)
+    m = lh.read_manifest(path)
+    assert all(
+        (f.get("dv") or {}).get("sidecar", None) is None
+        or os.path.isdir(f["dv"]["sidecar"])
+        for f in m["files"]
+    )
+    expect = (
+        [(i, i * 10) for i in range(10)]          # untouched originals
+        + [(i, -i) for i in range(10, 20)]         # first merge, not re-touched
+        + [(i, 7) for i in range(20, 40)]          # second merge wins
+        + [(i, i * 10) for i in range(40, 100)]    # untouched originals
+        + [(i, -i) for i in range(200, 205)]       # first merge's inserts
+    )
+    assert _rows(lh.read(spark, path)) == sorted(expect)
+    # time travel: v1 create, v2 first merge
+    assert _rows(lh.read(spark, path, version=1)) == [(i, i * 10) for i in range(100)]
+    assert _rows(lh.read(spark, path, version=2)) == n_after_first
+    lh.compact(spark, path, num_files=2)
+    mc = lh.read_manifest(path)
+    assert not any(f.get("dv") for f in mc["files"]), "compact left a dv"
+    assert sum(f["rows"] for f in mc["files"]) == 105
+    assert _rows(lh.read(spark, path)) == sorted(expect)
+
+
+def test_dv_merge_full_file_turnover_drops_entry(spark, tmp_path):
+    """A DV merge whose matches cover every remaining row of a file
+    drops the entry outright (same contract as the DV delete)."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    )
+    lh.create(spark, path, df.repartitionByRange(4, "id"), key="id")
+    n_files = len(lh.read_manifest(path)["files"])
+    batch = spark.range(0, 10).select(
+        F.col("id").cast("long"), F.lit(-1).cast("long").alias("val")
+    )
+    lh.merge_upsert(spark, path, batch, deletion_vectors=True)
+    m = lh.read_manifest(path)
+    old_with_dv = [f for f in m["files"] if f.get("dv")]
+    assert len([f for f in m["files"]]) >= n_files, "entry bookkeeping broke"
+    # the file holding ids 0..9 was fully matched: no dv entry may
+    # reference it (it must be DROPPED, not carried at deleted==rows)
+    assert not any(
+        f.get("dv") and f["dv"].get("deleted", 0) >= f["rows"] for f in m["files"]
+    )
+    assert not old_with_dv or all(
+        f["dv"]["deleted"] < f["rows"] for f in old_with_dv
+    )
+    assert _rows(lh.read(spark, path)) == sorted(
+        [(i, -1) for i in range(10)] + [(i, i * 10) for i in range(10, 40)]
+    )
+
+
+def test_dv_merge_conflicts_on_racing_dv_delete(spark, tmp_path, monkeypatch):
+    """The DV merge loses to a racing DV delete on its scanned files
+    (its match scan and sidecar fold used stale positions) and
+    recomputes — same symmetric guard every rewriter now carries."""
+    path = _mk(spark, tmp_path, n=100, files=4)
+    real = lh._write_data_files
+    calls = {"n": 0}
+
+    def racy(df, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            lh.delete_where(spark, path, "id >= 90", deletion_vectors=True)
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(lh, "_write_data_files", racy)
+    lh.merge_upsert(spark, path, _merge_batch(spark), deletion_vectors=True)
+    assert calls["n"] >= 2, "DV merge never conflicted on the racing DV delete"
+    expect = (
+        [(i, i * 10) for i in range(10)]
+        + [(i, -i) for i in range(10, 30)]
+        + [(i, i * 10) for i in range(30, 90)]
+        + [(i, -i) for i in range(200, 205)]
+    )
+    assert _rows(lh.read(spark, path)) == sorted(expect)
