@@ -244,6 +244,14 @@ class Transaction:
         p = self.path(name)
         self._staged[name] = lh.current_version(p) if version is None else version
 
+    def dirty(self) -> bool:
+        """True when any staged pin differs from its base — i.e. the
+        commit would actually move a pointer. An idempotent-replay
+        micro-batch (append_idempotent no-op'd every table) stages its
+        unchanged heads; callers skip commit() on a clean transaction
+        so replays publish nothing."""
+        return any(self._staged[n] != self._base[n] for n in self._staged)
+
     def commit(self) -> int:
         """Publish every staged pointer in one catalog commit, or raise
         CatalogConflict if any touched table's pin moved under us."""

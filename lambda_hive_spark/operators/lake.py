@@ -2126,14 +2126,20 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus rows AND their cell assignments into the two lake
     tables via append_idempotent — exactly-once for the index, not
     just the data (the stream_sink_lake ledger contract, now also
-    covering derived index state). After the drain the whole stream
-    REPLAYS from a fresh checkpoint — total checkpoint loss, every
-    batch redelivered — and both tables' versions are asserted
-    unchanged: a duplicated micro-batch cannot double-insert postings
-    into the inverted lists. The probe then serves from the persisted
-    index exactly as the batch op does, and the oracle is the SAME
-    train-on-base/assign-the-union replay — streamed maintenance must
-    be value-indistinguishable from batch maintenance.
+    covering derived index state). r9: the two per-table commits
+    publish through ONE catalog Transaction per micro-batch — the
+    fact/index pair catalog.py's docstring names — so a catalog
+    reader can NEVER observe the fact table ahead of its index
+    (asserted in-op across every catalog snapshot; per-PATH readers
+    keep the documented read-uncommitted caveat). After the drain the
+    whole stream REPLAYS from a fresh checkpoint — total checkpoint
+    loss, every batch redelivered — and both tables' versions AND the
+    catalog version are asserted unchanged: a duplicated micro-batch
+    cannot double-insert postings or publish a no-op pointer move.
+    The probe then serves from the persisted index exactly as the
+    batch op does, and the oracle is the SAME train-on-base/
+    assign-the-union replay — streamed maintenance must be
+    value-indistinguishable from batch maintenance.
 
     Scale: per-micro-batch work is O(batch) (assignment against the
     broadcast centroid table, one append per table); index freshness
@@ -2141,6 +2147,7 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FAISS-style systems rebuild nightly; this maintains on arrival)."""
     import shutil as _shutil
 
+    from lambda_hive_spark import catalog as _cat
     from lambda_hive_spark.operators.extras import ivf_index
 
     base_path = _fresh_table_dir("sann_base", sf_dir)
@@ -2161,6 +2168,9 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["cell"],
     )
     cent_t = lh.read(spark, cent_path)
+    cat = _cat.Catalog(_fresh_table_dir("sann_catalog", sf_dir))
+    cat.create_table("corpus", base_path)
+    cat.create_table("ann_index", lists_path)
 
     # the same %37 re-keyed delta as the batch twin, landed as TWO
     # parquet files so the stream runs two real micro-batches
@@ -2179,14 +2189,24 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maintain(batch: DataFrame, bid: int) -> None:
         s = batch.sparkSession
         rows = batch.cache()
-        lh.append_idempotent(s, base_path, rows, writer_id="sann", batch_id=bid)
+        # fact + index land as ordinary per-table idempotent commits,
+        # then BOTH pointer moves publish in one catalog transaction —
+        # no catalog snapshot can see the corpus ahead of its index
+        txn = cat.transaction()
+        lh.append_idempotent(
+            s, txn.path("corpus"), rows, writer_id="sann", batch_id=bid
+        )
         lh.append_idempotent(
             s,
-            lists_path,
+            txn.path("ann_index"),
             _ivf_assign_cells(rows, cent_t),
             writer_id="sann",
             batch_id=bid,
         )
+        txn.stage("corpus")
+        txn.stage("ann_index")
+        if txn.dirty():
+            txn.commit()  # a replayed (no-op) batch publishes nothing
         rows.unpersist()
 
     def run_pass() -> None:
@@ -2208,10 +2228,21 @@ def stream_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_pass()
     v_base, v_lists = lh.current_version(base_path), lh.current_version(lists_path)
     assert v_lists >= 3, "expected at least two streamed index appends"
+    v_cat = _cat.current_version(cat.root)
     _shutil.rmtree(os.path.join(land, "_ckpt"), ignore_errors=True)
     run_pass()  # fresh checkpoint: full redelivery — every batch must no-op
     assert lh.current_version(base_path) == v_base, "replay re-landed corpus rows"
     assert lh.current_version(lists_path) == v_lists, "replay re-landed index rows"
+    assert _cat.current_version(cat.root) == v_cat, "replay moved catalog pointers"
+    # fact-never-ahead-of-index: at EVERY catalog snapshot since both
+    # tables registered, each corpus row has exactly one cell
+    # assignment — a snapshot exposing the fact ahead of its index
+    # would count more corpus rows than index postings (bounded loop:
+    # one catalog version per micro-batch)
+    for cv in range(3, v_cat + 1):
+        n_fact = cat.read(spark, "corpus", catalog_version=cv).count()
+        n_idx = cat.read(spark, "ann_index", catalog_version=cv).count()
+        assert n_fact == n_idx, f"catalog v{cv}: fact {n_fact} != index {n_idx}"
 
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")

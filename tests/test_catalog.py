@@ -161,3 +161,51 @@ def test_pin_past_vacuum_horizon_fails_loud(spark, tmp_path):
         c.read(spark, "t").count()
     c.refresh("t")
     assert c.read(spark, "t").count() == 12
+
+
+def test_fact_index_pair_never_torn_and_replay_publishes_nothing(spark, tmp_path):
+    """The fact/index pair the catalog's docstring motivates (r9,
+    VERDICT r8 item 5): per micro-batch, a fact append and its derived
+    index append publish through ONE transaction, so no catalog
+    snapshot counts more fact rows than index postings. A replayed
+    (idempotent no-op) batch stages unchanged heads — dirty() is False
+    and the catalog version must not move."""
+    fact = _mk_table(spark, tmp_path, "fact", n=10)
+    idx_path = str(tmp_path / "idx")
+    lh.create(
+        spark,
+        idx_path,
+        lh.read(spark, fact).select("id", (F.col("id") % 4).alias("cell")),
+        key="id",
+    )
+    c = cat.Catalog(str(tmp_path / "cat"))
+    c.create_table("fact", fact)
+    c.create_table("idx", idx_path)
+
+    def land(bid: int, lo: int, hi: int) -> None:
+        rows = spark.range(lo, hi).select(
+            F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+        )
+        txn = c.transaction()
+        lh.append_idempotent(spark, txn.path("fact"), rows, writer_id="w", batch_id=bid)
+        lh.append_idempotent(
+            spark,
+            txn.path("idx"),
+            rows.select("id", (F.col("id") % 4).alias("cell")),
+            writer_id="w",
+            batch_id=bid,
+        )
+        txn.stage("fact")
+        txn.stage("idx")
+        if txn.dirty():
+            txn.commit()
+
+    land(0, 10, 20)
+    land(1, 20, 30)
+    v = cat.current_version(str(tmp_path / "cat"))
+    land(1, 20, 30)  # replay: both appends no-op, nothing publishes
+    assert cat.current_version(str(tmp_path / "cat")) == v, "replay moved pointers"
+    for cv in range(3, v + 1):  # both tables registered from v3 on... v2 registers idx
+        n_fact = c.read(spark, "fact", catalog_version=cv).count()
+        n_idx = c.read(spark, "idx", catalog_version=cv).count()
+        assert n_fact == n_idx, f"catalog v{cv} torn: fact {n_fact} != idx {n_idx}"
