@@ -555,3 +555,24 @@ def test_no_corpus_sized_forced_broadcast(spark):
     for name in ("dedup_near_minhash", "dedup_threshold_sweep"):
         plan = _plan(spark, name)
         assert "LeftSemi" in plan, f"{name} lost the candidate-id size prune"
+
+
+def test_star_bucketed_zero_fact_exchange_and_bounded_shuffles(spark):
+    """join_star_bucketed (BASELINE §7 addendum 14 → r9 driver-gated):
+    the full Q5-shape star on the maintained bucketed layout. The fact
+    join must be a co-located SortMergeJoin straight off the two
+    bucketed scans (no Exchange between scan and join — the shuffle
+    was paid at ingest), the date filter must reach the bucketed
+    orders scan, and the only hash exchanges are the two bounded ones:
+    per-custkey decimal partials and the final (r_name, n_name)
+    rollup. Raw fact rows never cross the wire."""
+    plan = _plan(spark, "join_star_bucketed")
+    assert "SortMergeJoin" in plan
+    smj = plan.index("SortMergeJoin")
+    # below the SMJ only its bucketed scans and the dims' broadcast
+    # exchanges may appear — a hashpartitioning exchange there would be
+    # a fact shuffle (both legitimate ones sit above, over aggregates)
+    assert "Exchange hashpartitioning" not in plan[smj:], "fact-side shuffle"
+    assert plan.count("Exchange hashpartitioning") == 2, "unexpected extra shuffle"
+    assert plan[smj:].count("Bucketed: true") == 2, "a fact scan lost its bucketing"
+    assert "GreaterThanOrEqual(o_orderdate" in plan[smj:], "date filter not pushed"
