@@ -17,7 +17,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import dsum, sql_dsum
+from lambda_hive_spark.helpers import dsum, hier_exact_agg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.operators.scans import _scratch, mark_scratch_fresh, scratch_stale
 from lambda_hive_spark.registry import op
@@ -557,49 +557,45 @@ def join_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the MAINTAINED bucketed fact layout — the steady-state plan a
     100 TB warehouse actually runs, registered as a driver-gated op so
     the layout-aware formulation is hash-verified, not just
-    self-measured (BASELINE §7 addendum 14: 1.41× over the raw-layout
-    star at the 100× tier, and on a cluster the saved fact shuffle
-    crosses the network, not RAM). Two plan properties the test tier
-    pins:
+    self-measured (BASELINE §7 addendum 14, re-measured r9 addendum
+    15: 3.3 s vs the raw star's 3.9 s interleaved at the 100× tier).
 
-    - ZERO fact exchange: orders/lineitem come from the bucketed
-      tables join_bucket_colocated_read maintains (built at most once
-      per source fingerprint — ensured by calling it), so the
-      orderkey join is a co-located SortMergeJoin straight off the
-      scans, date filter pushed into the bucketed orders scan.
-    - The fact stream collapses BEFORE it ever re-partitions: revenue
-      is partially aggregated per o_custkey right after the SMJ (one
-      exchange of per-custkey decimal partials, bounded by |customer|,
-      never raw join output), then the bounded per-customer rows join
-      the dimension chain (customer → broadcast nation → broadcast
-      region) and roll up to (r_name, n_name). The raw-layout op
-      shuffles both fact tables on orderkey first; here that shuffle
-      was paid once at ingest and every query amortizes it.
+    Plan shape: orders/lineitem come from the bucketed tables
+    join_bucket_colocated_read maintains (built at most once per
+    source fingerprint — ensured by calling it), so the orderkey fact
+    join is a co-located SortMergeJoin straight off the scans with the
+    date filter pushed into the bucketed orders scan; the dims join
+    the fact stream directly (customer carries join_multiway's
+    size-aware shuffle_hash hint for the day it outgrows broadcast)
+    and the single hash exchange carries hier_exact_agg's
+    per-(group, partition) partials. An alternative that collapses the
+    fact stream to per-custkey decimal partials BEFORE the dim joins
+    was measured and REJECTED (r9, interleaved): 6.2 s vs 3.3 s —
+    aggregating 30M rows into 1.5M custkey groups costs more than
+    broadcasting the 150k-row customer dim and aggregating straight to
+    the 150 output groups; it becomes the right plan only when
+    customer itself is fact-sized."""
+    from lambda_hive_spark.io import table_bytes
+    from lambda_hive_spark.session import _BROADCAST_THRESHOLD
 
-    Exactness: the custkey partials stay DECIMAL through the final
-    sum (decimal addition is associative — the two-level sum is
-    bit-identical to the oracle's one-level sql_dsum), cast to double
-    only at the end."""
     join_bucket_colocated_read(spark, sf_dir)  # ensure the layout
     o = spark.table(f"orders_bro_{sf_slug(sf_dir)}").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
     li = spark.table(f"lineitem_bro_{sf_slug(sf_dir)}").hint("merge")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
-    per_cust = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(revenue).alias("rev_part"))
-    )
     c = table(spark, sf_dir, "customer")
+    if table_bytes(sf_dir, "customer") > int(_BROADCAST_THRESHOLD):
+        c = c.hint("shuffle_hash")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    return (
-        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(F.sum("rev_part").cast("double").alias("revenue"))
+    )
+    return hier_exact_agg(
+        joined,
+        ["r_name", "n_name"],
+        sums=[("revenue", "l_extendedprice * (1 - l_discount)")],
     )

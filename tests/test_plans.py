@@ -563,16 +563,19 @@ def test_star_bucketed_zero_fact_exchange_and_bounded_shuffles(spark):
     join must be a co-located SortMergeJoin straight off the two
     bucketed scans (no Exchange between scan and join — the shuffle
     was paid at ingest), the date filter must reach the bucketed
-    orders scan, and the only hash exchanges are the two bounded ones:
-    per-custkey decimal partials and the final (r_name, n_name)
-    rollup. Raw fact rows never cross the wire."""
+    orders scan, the dims broadcast, and the ONLY hash exchange is
+    hier_exact_agg's bounded per-(group, partition) partial merge.
+    Raw fact rows never cross the wire."""
     plan = _plan(spark, "join_star_bucketed")
     assert "SortMergeJoin" in plan
     smj = plan.index("SortMergeJoin")
     # below the SMJ only its bucketed scans and the dims' broadcast
     # exchanges may appear — a hashpartitioning exchange there would be
-    # a fact shuffle (both legitimate ones sit above, over aggregates)
+    # a fact shuffle (the legitimate one sits above, over aggregates)
     assert "Exchange hashpartitioning" not in plan[smj:], "fact-side shuffle"
+    # hier_exact_agg's (group, pid) partial merge plans two bounded
+    # aggregate-side exchanges — both above the SMJ, both carrying
+    # group-cardinality rows, never fact rows
     assert plan.count("Exchange hashpartitioning") == 2, "unexpected extra shuffle"
     assert plan[smj:].count("Bucketed: true") == 2, "a fact scan lost its bucketing"
     assert "GreaterThanOrEqual(o_orderdate" in plan[smj:], "date filter not pushed"
