@@ -402,6 +402,14 @@ def main() -> None:
                 ),
                 4,
             )
+            # the FULL star on the same layout (r9 registered op;
+            # BASELINE addendum 15) — raw twin is join_multiway above
+            st_spark = round(
+                _time_spark(
+                    ops["join_star_bucketed"].fn, spark, s100_dir, SCALE100_RUNS
+                ),
+                4,
+            )
             bucketed = {
                 "metric": "scale100_bucketed_factfact_sec",
                 "bucketed_read_sec": bk_spark,
@@ -409,6 +417,18 @@ def main() -> None:
                 "duckdb_wrapped_sec": bk_duck,
                 "bucketed_vs_shuffle": round(bk_spark / bk_shuffle, 3)
                 if bk_shuffle
+                else None,
+                "star_bucketed_sec": st_spark,
+                "star_raw_sec": x_queries.get("join_multiway"),
+                "star_bucketed_vs_raw": round(
+                    st_spark / x_queries["join_multiway"], 3
+                )
+                if x_queries.get("join_multiway")
+                else None,
+                "star_bucketed_vs_duckdb": round(
+                    st_spark / x_duck["join_multiway"], 3
+                )
+                if x_duck.get("join_multiway")
                 else None,
             }
         except Exception as ex:  # never let the side study kill the artifact
