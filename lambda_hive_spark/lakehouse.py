@@ -1884,6 +1884,199 @@ def _typed_for_spark(v, data_type):
     return v
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    *,
+    prune: dict | str | None = None,
+    track_changes: bool = False,
+    deletion_vectors: bool = False,
+) -> int:
+    """UPDATE ... SET ... WHERE: rows where `predicate` IS TRUE get
+    each `set_exprs` column recomputed (SQL expressions over the row's
+    own columns); FALSE/NULL rows are untouched — completing the
+    mutation verb trio (DELETE delete_where / MERGE merge_upsert /
+    UPDATE here) on both write paths:
+
+    - copy-on-write (default): stats-pruned like delete_where (`prune`
+      box or "auto"); only candidate files rewrite, carrying survivors
+      plus transformed matches; everything else carries by reference.
+    - ``deletion_vectors=True`` (merge-on-read): matched POSITIONS land
+      in a dv sidecar (update = DV-delete of the pre-image + append of
+      the post-image — the same decomposition DV-MERGE uses), so a
+      trickle update costs O(matched rows), zero files rewritten.
+
+    Generated columns are REFUSED in `set_exprs` (update their sources
+    instead) and recomputed on the post-images, which also re-validate
+    CHECK constraints — an update cannot smuggle in a row the table's
+    contract forbids. With ``track_changes=True`` the feed carries
+    `update_preimage`/`update_postimage` pairs (Delta CDF shape).
+    net_rows is 0 by construction on both paths."""
+    if prune == "auto":
+        prune = compile_prune_box(predicate) or None
+    while True:
+        m = read_manifest(path)
+        key = m["key"]
+        gen = m.get("generated") or {}
+        bad = sorted(c for c in set_exprs if c in gen)
+        if bad:
+            raise ValueError(
+                f"update_where: {bad} are generated columns — update their "
+                "source columns and the expressions recompute"
+            )
+        schema = _manifest_schema(m)
+        if schema is not None:
+            missing = sorted(c for c in set_exprs if c not in schema.fieldNames())
+            if missing:
+                raise SchemaMismatch(f"update_where: no such columns: {missing}")
+        touched_files = (
+            plan_files(path, predicates=prune, version=m["version"])
+            if prune
+            else m["files"]
+        )
+        touched_paths = {f["path"] for f in touched_files}
+        dv_at_read = {f["path"]: f.get("dv") for f in m["files"]}
+        rows_by_path = {f["path"]: f["rows"] for f in m["files"]}
+        cols = schema.fieldNames() if schema is not None else None
+
+        def _post_images(matched: DataFrame) -> DataFrame:
+            out = matched
+            for c, expr in set_exprs.items():
+                out = out.withColumn(c, F.expr(expr))
+            if gen:
+                out = _apply_generated(
+                    out.drop(*[g for g in gen if g in out.columns]), gen, cols
+                )
+            if cols:
+                out = out.select(*cols)
+            _validate_constraints(out, m.get("constraints") or {})
+            return out
+
+        change_files: list[str] = []
+        new_dv: dict[str, dict] = {}
+        full_drop: set[str] = set()
+        sidecar_dir: str | None = None
+        if deletion_vectors:
+            new_files: list[dict] = []
+            if touched_paths:
+                live = _read_files_with_pos(spark, m, sorted(touched_paths))
+                doomed = live.filter(f"coalesce(({predicate}), false)")
+                counts = {
+                    r["_dv_file"]: r["n"]
+                    for r in doomed.groupBy("_dv_file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()  # bounded: one row per touched FILE
+                }
+                if counts:
+                    plain = {u: _plain_path(u) for u in counts}
+                    prior_dirs = sorted(
+                        {
+                            dv_at_read[p]["sidecar"]
+                            for p in set(plain.values())
+                            if dv_at_read.get(p)
+                        }
+                    )
+                    merged = doomed.select("_dv_file", "_dv_pos")
+                    if prior_dirs:
+                        merged = merged.unionByName(
+                            spark.read.parquet(*prior_dirs)
+                            .select("_dv_file", "_dv_pos")
+                            .filter(F.col("_dv_file").isin(list(counts)))
+                        )
+                    sidecar_dir = os.path.join(
+                        _log_dir(path), f"{_DV_PREFIX}{uuid.uuid4().hex}"
+                    )
+                    merged.write.mode("errorifexists").parquet(sidecar_dir)
+                    for u, n in counts.items():
+                        p = plain[u]
+                        total = ((dv_at_read.get(p) or {}).get("deleted", 0)) + n
+                        if total >= rows_by_path.get(p, 0):
+                            full_drop.add(p)
+                        else:
+                            new_dv[p] = {"sidecar": sidecar_dir, "deleted": total}
+                    pre = doomed.drop("_dv_file", "_dv_pos")
+                    new_files = _write_data_files(
+                        _post_images(pre), path, key, m.get("partition_by")
+                    )
+                    if track_changes:
+                        feed = pre.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        ).unionByName(
+                            _post_images(pre).withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            ),
+                            allowMissingColumns=True,
+                        )
+                        change_files = _write_change_files(feed, path)
+        else:
+            new_files = []
+            if touched_paths:
+                affected = _read_snapshot_files(spark, m, touched_paths)
+                matched = affected.filter(f"coalesce(({predicate}), false)")
+                survivors = affected.filter(f"NOT coalesce(({predicate}), false)")
+                out = survivors.unionByName(_post_images(matched))
+                new_files = _write_data_files(out, path, key, m.get("partition_by"))
+                if track_changes:
+                    feed = matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        _post_images(matched).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    change_files = _write_change_files(feed, path)
+
+        def build(head):
+            by_path = {f["path"]: f for f in head["files"]}
+            if deletion_vectors:
+                for p in touched_paths:
+                    h = by_path.get(p)
+                    if h is None or h.get("dv") != dv_at_read.get(p):
+                        raise CommitConflict  # rewrote or DV'd our input
+                files = []
+                for f in head["files"]:
+                    p = f["path"]
+                    if p in full_drop:
+                        continue
+                    if p in new_dv:
+                        f = {**f, "dv": new_dv[p]}
+                    files.append(f)
+                files = files + new_files
+                action = "update_dv"
+            else:
+                if not touched_paths <= set(by_path):
+                    raise CommitConflict  # a racing commit rewrote our input
+                if _dv_moved(touched_paths, m, head):
+                    raise CommitConflict  # racing DV delete on our input
+                files = [
+                    f for f in head["files"] if f["path"] not in touched_paths
+                ] + new_files
+                action = "update"
+            entry = {
+                "action": action,
+                "key": head["key"],
+                "files": files,
+                "schema": head.get("schema"),
+                "txns": head.get("txns", {}),
+            }
+            if track_changes:
+                entry["changes"] = change_files
+            return entry
+
+        try:
+            return _commit(path, build)
+        except CommitConflict:
+            _discard_orphans(new_files)
+            if sidecar_dir and os.path.isdir(sidecar_dir):
+                shutil.rmtree(sidecar_dir)
+            for p in change_files:
+                if os.path.exists(p):
+                    os.remove(p)
+
+
 def replace_where(
     spark: SparkSession,
     path: str,
@@ -2118,7 +2311,15 @@ def read_changes(spark: SparkSession, path: str, version: int) -> DataFrame:
         return _read_snapshot_files(spark, m, added).withColumn(
             "_change_type", F.lit("insert")
         )
-    if action in ("merge", "merge_dv", "delete", "delete_dv", "replace_where"):
+    if action in (
+        "merge",
+        "merge_dv",
+        "delete",
+        "delete_dv",
+        "update",
+        "update_dv",
+        "replace_where",
+    ):
         if "changes" not in m:
             raise ValueError(
                 f"version {version} is a {action} committed without track_changes"

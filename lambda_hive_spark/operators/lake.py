@@ -641,6 +641,77 @@ def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "lake_update_where",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN COALESCE(o_orderkey % 6 = 0 AND o_totalprice < 120000.0, FALSE)
+            THEN o_totalprice + 1000000.0 ELSE o_totalprice END AS o_totalprice
+FROM orders
+""",
+    tags=("side_effect",),
+)
+def lake_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE through the table layer, BOTH write
+    paths exercised in one lifecycle (r9 — completes the mutation verb
+    trio after delete_where and merge_upsert): orders lands
+    range-partitioned into 8 files twice; the SAME update (every 6th
+    key priced under a shared literal gets +1e6) runs copy-on-write on
+    one table and merge-on-read (deletion_vectors=True) on the other,
+    and the op asserts the two heads are row-identical, that the DV
+    table moved ZERO pre-existing data files (update = DV-delete of
+    the pre-image + append of the post-image), that both commits read
+    net_rows == 0 (an update never changes the count), that the
+    pre-update version time-travels, and that the tracked COW update's
+    change feed carries exactly matched-count update_preimage +
+    update_postimage pairs. The oracle is the relational CASE twin —
+    COALESCE(p, FALSE) because UPDATE applies only where the predicate
+    IS TRUE (NULL-predicate rows stay untouched, the same heavy-null
+    contract the delete op carries).
+
+    Scale: the DV path is the trickle-update answer at 100 TB —
+    O(matched positions + post-image rows), never O(touched files
+    rewritten); the COW path stats-prunes like delete_where when the
+    predicate is sargable. The fixed +1e6 literal keeps the double
+    arithmetic bit-identical on both engines (same literal, same IEEE
+    multiply-free add)."""
+    pred = "o_orderkey % 6 = 0 AND o_totalprice < 120000.0"
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_base = base.count()
+    p_cow = _fresh_table_dir("upd_cow", sf_dir)
+    p_dv = _fresh_table_dir("upd_dv", sf_dir)
+    for p in (p_cow, p_dv):
+        lh.create(spark, p, base.repartitionByRange(8, "o_orderkey"), key="o_orderkey")
+    files_v1 = sorted(f["path"] for f in lh.read_manifest(p_dv)["files"])
+
+    v_cow = lh.update_where(
+        spark, p_cow, pred, {"o_totalprice": "o_totalprice + 1000000.0"},
+        track_changes=True,
+    )
+    lh.update_where(
+        spark, p_dv, pred, {"o_totalprice": "o_totalprice + 1000000.0"},
+        deletion_vectors=True,
+    )
+    head = lh.read(spark, p_dv)
+    assert head.count() == n_base, "update changed the row count"
+    drift = head.exceptAll(lh.read(spark, p_cow)).unionAll(
+        lh.read(spark, p_cow).exceptAll(head)
+    )
+    assert drift.count() == 0, "DV update diverged from COW update"
+    m = lh.read_manifest(p_dv)
+    kept = [f["path"] for f in m["files"] if f["path"] in set(files_v1)]
+    assert kept == files_v1, "DV update moved a pre-existing data file"
+    assert m["metrics"]["net_rows"] == 0
+    assert lh.read_manifest(p_cow)["metrics"]["net_rows"] == 0
+    assert lh.read(spark, p_dv, version=1).count() == n_base  # time travel
+    n_matched = base.filter(f"coalesce(({pred}), false)").count()
+    feed = lh.read_changes(spark, p_cow, v_cow)
+    assert feed.count() == 2 * n_matched, "feed must pair pre+post images"
+    return head
+
+
+@op(
     "lake_bloom_pruned_scan",
     oracle="""
 SELECT c_custkey, c_name, c_acctbal

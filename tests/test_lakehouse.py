@@ -2022,3 +2022,120 @@ def test_dv_merge_conflicts_on_racing_dv_delete(spark, tmp_path, monkeypatch):
         + [(i, -i) for i in range(200, 205)]
     )
     assert _rows(lh.read(spark, path)) == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# round 9: UPDATE ... SET ... WHERE (copy-on-write and merge-on-read)
+# ---------------------------------------------------------------------------
+
+
+def test_update_where_cow_dv_parity_and_null_semantics(spark, tmp_path):
+    """DV update ≡ COW update row-for-row; NULL-predicate rows are
+    untouched (UPDATE applies only where the predicate IS TRUE); the
+    DV table moves zero pre-existing data files; both paths read
+    net_rows == 0."""
+    p_cow, p_dv = str(tmp_path / "cow"), str(tmp_path / "dv")
+    df = spark.range(100).select(
+        F.col("id").cast("long"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 10).alias("val"),
+    ).repartition(4)
+    lh.create(spark, p_cow, df, key="id")
+    lh.create(spark, p_dv, df, key="id")
+    before = sorted(f["path"] for f in lh.read_manifest(p_dv)["files"])
+    for p, dv in ((p_cow, False), (p_dv, True)):
+        lh.update_where(
+            spark, p, "val < 300", {"val": "val + 1000000"}, deletion_vectors=dv
+        )
+    assert _rows(lh.read(spark, p_dv)) == _rows(lh.read(spark, p_cow))
+    # NULL val rows (id % 10 == 0) survive untouched
+    got = dict(_rows(lh.read(spark, p_dv)))
+    assert got[0] is None and got[30] is None
+    assert got[1] == 1000010 and got[51] == 510  # 51: val 510 ≥ 300, untouched
+    m = lh.read_manifest(p_dv)
+    kept = [f["path"] for f in m["files"] if f["path"] in set(before)]
+    assert kept == before, "DV update rewrote a pre-existing file"
+    assert m["metrics"]["net_rows"] == 0
+    assert lh.read_manifest(p_cow)["metrics"]["net_rows"] == 0
+
+
+def test_update_where_cdf_and_time_travel(spark, tmp_path):
+    """Tracked updates serve pre/post-image pairs; the pre-update
+    version stays readable; compact materializes the DV update."""
+    path = _mk(spark, tmp_path, n=50, files=2)
+    v = lh.update_where(
+        spark,
+        path,
+        "id BETWEEN 10 AND 14",
+        {"val": "val * 2"},
+        deletion_vectors=True,
+        track_changes=True,
+    )
+    feed = sorted(
+        (r["id"], r["val"], r["_change_type"])
+        for r in lh.read_changes(spark, path, v).collect()
+    )
+    expect = sorted(
+        [(i, i * 10, "update_preimage") for i in range(10, 15)]
+        + [(i, i * 20, "update_postimage") for i in range(10, 15)]
+    )
+    assert feed == expect
+    assert _rows(lh.read(spark, path, version=1)) == [(i, i * 10) for i in range(50)]
+    lh.compact(spark, path, num_files=1)
+    m = lh.read_manifest(path)
+    assert not any(f.get("dv") for f in m["files"])
+    assert _rows(lh.read(spark, path)) == sorted(
+        [(i, i * 10) for i in range(50) if not 10 <= i <= 14]
+        + [(i, i * 20) for i in range(10, 15)]
+    )
+
+
+def test_update_where_refuses_generated_and_unknown_columns(spark, tmp_path):
+    """Generated columns can't be SET directly (their sources can —
+    and the expression recomputes); unknown columns refuse; CHECK
+    constraints re-validate post-images."""
+    path = str(tmp_path / "gen")
+    df = spark.range(20).select(F.col("id").cast("long"), (F.col("id") * 10).alias("val"))
+    lh.create(
+        spark,
+        path,
+        df,
+        key="id",
+        generated={"val2": "val * 2"},
+        constraints={"val_cap": "val < 100000"},
+    )
+    with pytest.raises(ValueError, match="generated"):
+        lh.update_where(spark, path, "id = 1", {"val2": "0"})
+    with pytest.raises(lh.SchemaMismatch, match="no such columns"):
+        lh.update_where(spark, path, "id = 1", {"nope": "0"})
+    with pytest.raises(lh.ConstraintViolation):
+        lh.update_where(spark, path, "id = 1", {"val": "val + 100000"})
+    lh.update_where(spark, path, "id = 1", {"val": "val + 7"})
+    row = lh.read(spark, path).filter("id = 1").collect()[0]
+    assert row["val"] == 17 and row["val2"] == 34, "generated column not recomputed"
+
+
+def test_update_where_prunes_and_conflicts_on_racing_dv(spark, tmp_path, monkeypatch):
+    """Stats pruning keeps un-matchable files untouched (prune='auto'),
+    and a racing DV delete on the scanned input forces recompute."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id").cast("long"), (F.col("id") * 10).alias("val"))
+    lh.create(spark, path, df.repartitionByRange(4, "id"), key="id")
+    files_before = {f["path"] for f in lh.read_manifest(path)["files"]}
+    lh.update_where(spark, path, "id < 10", {"val": "-1"}, prune="auto")
+    m = lh.read_manifest(path)
+    untouched = {f["path"] for f in m["files"]} & files_before
+    assert len(untouched) >= 3, "pruning rewrote files the predicate cannot match"
+    real = lh._write_data_files
+    calls = {"n": 0}
+
+    def racy(df_, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            lh.delete_where(spark, path, "id >= 95", deletion_vectors=True)
+        return real(df_, *a, **k)
+
+    monkeypatch.setattr(lh, "_write_data_files", racy)
+    lh.update_where(spark, path, "id >= 90", {"val": "0"})
+    assert calls["n"] >= 2, "COW update never conflicted on the racing DV delete"
+    got = dict(_rows(lh.read(spark, path)))
+    assert all(got[i] == 0 for i in range(90, 95)) and 95 not in got
