@@ -46,7 +46,9 @@ def test_r9_ops_are_registered():
     assert "catalog_txn_atomic" in ops
     assert "side_effect" in ops["lake_deletion_vector"].tags
     assert "side_effect" in ops["catalog_txn_atomic"].tags
-    assert len(ops) == 353  # round-9 lifted the round-8 freeze (351 + 2)
+    # round-9 lifted the round-8 freeze: 351 + staged pair +
+    # join_star_bucketed + lake_update_where
+    assert len(ops) == 355
 
 
 def test_lake_deletion_vector_matches_oracle(spark, duck):
