@@ -14,12 +14,17 @@ from pyspark.sql import SparkSession
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-spark = (
+_builder = (
     SparkSession.builder.master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
-    .getOrCreate()
 )
+import os as _os
+
+_tz = _os.environ.get("SPARK_GRAFT_VERIFY_TZ")
+if _tz:  # hostile-driver-session probe: ops must pin UTC themselves
+    _builder = _builder.config("spark.sql.session.timeZone", _tz)
+spark = _builder.getOrCreate()
 assert len(e.entry(spark).collect()) > 0  # t1
 con = duckdb.connect()
 con.execute("SET TimeZone='UTC'")
