@@ -449,10 +449,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     campaign tool consumes.
 
     Scale: the base aggregate is map-combined on o_custkey; the three
-    ntiles share one global sort each over the per-customer aggregate
-    (not the fact table). A 100 TB deployment replaces exact ntile
-    with approx percentile cutpoints to avoid the global sorts; the
-    quintile SEMANTICS are what the oracle certifies here."""
+    quintile assignments run through the two-phase global_ntile
+    (scale_windows.py) — recency buckets on the exact order date plus
+    a coarse custkey sub-bucket (dates are bounded-cardinality and the
+    NULL date group, ~⅓ of customers, spreads across sub-buckets
+    instead of one task), frequency likewise on the exact small-int
+    count, monetary on a 1000-wide band of the revenue — so the exact
+    ntile(5) semantics the oracle certifies survive with no
+    customer-sized input ever crossing a single-partition window."""
+    from lambda_hive_spark.scale_windows import global_ntile
+
     o = table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -463,12 +469,28 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nulls-first, DuckDB's is nulls-last — with an all-NULL monetary
     # group (25%-null corpus) the unpinned ntiles shifted every
     # quintile boundary (caught by the sf0.01 nulled_heavy sweep).
-    scored = base.select(
-        "o_custkey", "frequency", "monetary",
-        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("last_order"), "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("frequency"), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.asc_nulls_first("monetary"), "o_custkey")).alias("m_score"),
+    sub = (F.floor(F.col("o_custkey") / 65536), "asc")
+    scored = global_ntile(
+        base,
+        5,
+        [F.asc_nulls_first("last_order"), F.col("o_custkey")],
+        [(F.col("last_order"), "asc_nulls_first"), sub],
+        "r_score",
     )
+    scored = global_ntile(
+        scored,
+        5,
+        [F.asc_nulls_first("frequency"), F.col("o_custkey")],
+        [(F.col("frequency"), "asc_nulls_first"), sub],
+        "f_score",
+    )
+    scored = global_ntile(
+        scored,
+        5,
+        [F.asc_nulls_first("monetary"), F.col("o_custkey")],
+        [(F.floor(F.col("monetary") / 1000), "asc_nulls_first")],
+        "m_score",
+    ).select("o_custkey", "frequency", "monetary", "r_score", "f_score", "m_score")
     return (
         scored.groupBy(
             F.col("r_score").cast("long").alias("r_score"),
@@ -1328,15 +1350,24 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact mass per decile — the wealth-distribution summary
     (and the cutpoint source for downstream band features). ntile's
     ORDER BY carries the customer key so equal balances assign
-    deterministically; the window sorts the customer dim, not a
-    fact. Deciles are defined over KNOWN balances only (IS NOT NULL
-    on both sides) — otherwise each engine's default null placement
-    would put unknown balances at opposite ends of the ranking."""
+    deterministically; the decile assignment runs through the
+    two-phase global_ntile bucketed on a 100-wide balance band
+    (bounded summary, parallel per-band ranking — the customer dim is
+    dim-sized today but billions of rows at 100 TB, so it gets the
+    same no-single-partition treatment as a fact). Deciles are
+    defined over KNOWN balances only (IS NOT NULL on both sides) —
+    otherwise each engine's default null placement would put unknown
+    balances at opposite ends of the ranking."""
+    from lambda_hive_spark.scale_windows import global_ntile
+
     c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
-    ranked = c.select(
-        "c_acctbal",
-        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("decile"),
-    )
+    ranked = global_ntile(
+        c.select("c_acctbal", "c_custkey"),
+        10,
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        [(F.floor(F.col("c_acctbal") / 100), "asc")],
+        "decile",
+    ).select("c_acctbal", "decile")
     return ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).alias("n"),
         F.min("c_acctbal").alias("lo"),

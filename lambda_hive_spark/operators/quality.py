@@ -445,14 +445,17 @@ def quality_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     range — the integrity check that catches dropped ingest batches
     (holes are injected deterministically here: every 97th key
     removed, so the oracle sees the identical holes). The lag runs on
-    the KEY projection only; at 100 TB you'd range-partition the keys
-    first and stitch the per-partition boundary pairs — same output,
-    no single-partition window (the global window here is the
-    oracle-checkable semantics statement)."""
+    the KEY projection only, through the two-phase
+    global_lag_over_keys: lag within floor(k/width) range buckets in
+    parallel, boundary rows stitched from the bounded bucket summary's
+    running max — the exact output of the global lag with no
+    single-partition window over the keys (pick width ≈ keyspace/1e5
+    at deployment scale; exactness is width-independent)."""
+    from lambda_hive_spark.scale_windows import global_lag_over_keys
+
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 != 0)
-    w = Window.orderBy("k")
-    gaps = o.select(F.col("o_orderkey").alias("k")).withColumn(
-        "prev_k", F.lag("k").over(w)
+    gaps = global_lag_over_keys(
+        o.select(F.col("o_orderkey").alias("k")), "k", 4096, "prev_k"
     )
     return gaps.filter(F.col("k") - F.col("prev_k") > 1).select(
         (F.col("prev_k") + 1).alias("gap_start"),

@@ -548,12 +548,18 @@ def ts_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("post").cast("long").alias("post_events"),
         (F.col("post") - F.col("pre")).cast("long").alias("shift"),
     )
-    wr = Window.orderBy(
+    # Top-10 via orderBy+limit — Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps, no single-partition sort of the candidate
+    # set); the rank window then runs over only the 10 survivors, the
+    # head32 idiom from text_unigram_coverage.
+    order = [
         F.abs(F.col("shift")).desc(), F.col("event_type").asc(), F.col("h").asc()
-    )
+    ]
+    wr = Window.orderBy(*order)
     return (
-        full_w.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 10)
+        full_w.orderBy(*order)
+        .limit(10)
+        .withColumn("rn", F.row_number().over(wr))
         .select(
             "event_type", "h", "pre_events", "post_events", "shift",
             F.col("rn").cast("int").alias("rnk"),

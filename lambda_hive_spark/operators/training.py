@@ -536,16 +536,23 @@ def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     before reading its shard). Shard = rank % 64 rather than a range
     split so a truncated corpus still fills every shard evenly.
 
-    Scale note, stated honestly: the global md5 rank is a total order
-    — one sort. A 100 TB corpus would stripe on md5 PREFIX buckets
-    (no global sort, same balance guarantee in expectation); the exact
-    rank variant here is what an oracle can verify, and the per-shard
-    audit output is identical in shape."""
-    from pyspark.sql.window import Window
+    Scale: the md5 rank is a total order, but NOT one sort task — the
+    two-phase global_row_number buckets on the md5 PREFIX (256
+    hex-pair buckets, uniform by construction), ranks within buckets
+    in parallel, and stitches with broadcast cumulative offsets; the
+    exact rank (what the oracle verifies) survives, and no
+    corpus-sized input ever passes through a single-partition
+    window."""
+    from lambda_hive_spark.scale_windows import global_row_number
 
     d = table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = d.select("doc_id").withColumn("rk", F.row_number().over(w) - 1)
+    key = F.md5(F.col("doc_id").cast("string"))
+    ranked = global_row_number(
+        d.select("doc_id"),
+        [key, F.col("doc_id")],
+        [(F.substring(key, 1, 2), "asc")],
+        "rk",
+    ).withColumn("rk", F.col("rk") - 1)
     return (
         ranked.groupBy((F.col("rk") % 64).cast("long").alias("shard"))
         .agg(
@@ -661,14 +668,21 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     difficulty range, and the first 3 docs of the within-stage order
     (capped BEFORE the collect, the inverted-index idiom).
 
-    The ntile is one global sort of (n_chars, doc_id) pairs — 16
-    bytes/row at any corpus size; the within-stage shuffle is
+    The ntile runs through the two-phase global_ntile — bucketed on
+    exact n_chars (difficulty values are bounded-cardinality) with a
+    coarse doc_id sub-bucket absorbing heavy length ties, so the
+    balanced-stage assignment is exact while no corpus-sized input
+    crosses a single-partition window; the within-stage shuffle is
     stage-partitioned (16-way parallel at 4 stages × shards)."""
+    from lambda_hive_spark.scale_windows import global_ntile
+
     d = table(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    staged = global_ntile(
+        d.select("doc_id", "n_chars"),
+        4,
+        [F.col("n_chars"), F.col("doc_id")],
+        [(F.col("n_chars"), "asc"), (F.floor(F.col("doc_id") / 65536), "asc")],
+        "stage",
     )
     key = F.md5(F.concat(F.lit("curriculum|"), F.col("doc_id").cast("string")))
     ws = Window.partitionBy("stage").orderBy(key, F.col("doc_id"))

@@ -579,3 +579,76 @@ def test_star_bucketed_zero_fact_exchange_and_bounded_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") == 2, "unexpected extra shuffle"
     assert plan[smj:].count("Bucketed: true") == 2, "a fact scan lost its bucketing"
     assert "GreaterThanOrEqual(o_orderdate" in plan[smj:], "date filter not pushed"
+
+
+def test_no_corpus_sized_global_window(spark):
+    """r9 self-audit: `Window.orderBy` with no partitionBy plans an
+    `Exchange SinglePartition` — one task holds the whole input, the
+    quiet scale killer. Six ops ranked/lagged corpus-sized inputs that
+    way (shard assignment, curriculum ntile, RFM quintiles, balance
+    deciles, key-gap lag, changepoint top-10); all now run through
+    scale_windows.py's two-phase forms (bucket-parallel window +
+    broadcast cumulative offsets, outputs proven bit-identical) or
+    orderBy+limit. Three guards:
+
+    1. source level — every remaining unpartitioned-window call site
+       is whitelisted with its boundedness reason; a new site fails
+       here until consciously justified;
+    2. plan level — the converted ops plan the bucketed window
+       (hashpartitioning on the _sw_b* bucket) and exactly as many
+       SinglePartition exchanges as they have bounded bucket-summary
+       sides (never one over the input);
+    3. top-k level — ts_rate_changepoint plans TakeOrderedAndProject
+       with zero SinglePartition exchanges."""
+    import glob
+    import os
+
+    import lambda_hive_spark as pkg
+
+    # (file, expected Window.orderBy( sites): every one runs over a
+    # bounded input — llm: two over the 32-row vocab head; training:
+    # one over the 512-row vocab; analytics: one over 100 part
+    # buckets; timeseries: one over the 10-row top-k survivors;
+    # scale_windows: two CODE sites over the caller-bounded bucket
+    # summary plus four docstring mentions of the construct it
+    # replaces (plain-text count keeps this tripwire dumb and cheap).
+    whitelist = {
+        "operators/llm.py": 2,
+        "operators/training.py": 1,
+        "operators/analytics.py": 1,
+        "operators/timeseries.py": 1,
+        "scale_windows.py": 6,
+    }
+    root = os.path.dirname(pkg.__file__)
+    seen = {}
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        n = open(path).read().count("Window.orderBy(")
+        if n:
+            seen[os.path.relpath(path, root)] = n
+    assert seen == whitelist, (
+        f"unpartitioned-window sites moved: {seen} != {whitelist} — "
+        "every Window.orderBy without partitionBy must be bounded and "
+        "whitelisted here"
+    )
+
+    # plan shape: bucketed window + only bounded-summary single
+    # partitions (one per scale_windows helper application)
+    expected = {
+        "customer_rfm_segments": 3,
+        "customer_balance_deciles": 1,
+        "pipeline_curriculum_order": 1,
+        "pipeline_shard_assignment": 1,
+        "quality_key_gaps": 1,
+    }
+    for name, n_summaries in expected.items():
+        plan = _plan(spark, name)
+        assert "hashpartitioning(_sw_b" in plan, f"{name} lost the bucketed window"
+        got = plan.count("Exchange SinglePartition")
+        assert got == n_summaries, (
+            f"{name}: {got} SinglePartition exchanges, expected "
+            f"{n_summaries} (bounded bucket summaries only)"
+        )
+
+    plan = _plan(spark, "ts_rate_changepoint")
+    assert "TakeOrderedAndProject" in plan, "top-10 lost the heap plan"
+    assert "Exchange SinglePartition" not in plan
