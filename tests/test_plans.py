@@ -552,6 +552,19 @@ def test_no_corpus_sized_forced_broadcast(spark):
         for pat in ("F.broadcast(sizes", "F.broadcast(dropped"):
             assert pat not in src, f"{os.path.basename(path)} regressed: {pat}"
 
+    # engine level (r9 extension): the lakehouse MERGE/DV paths must
+    # not force-broadcast caller-sized inputs either — the MERGE
+    # source is whatever the caller brings (a backfill can be
+    # fact-sized) and a bulk DV sidecar is O(deleted rows); both joins
+    # stay unhinted so AQE picks the strategy from the real size.
+    import lambda_hive_spark.lakehouse as lh_mod
+
+    lh_src = open(lh_mod.__file__).read()
+    assert "F.broadcast(" not in lh_src, (
+        "lakehouse.py grew a forced broadcast — caller-sized MERGE "
+        "sources and bulk DV sidecars must stay unhinted (AQE decides)"
+    )
+
     for name in ("dedup_near_minhash", "dedup_threshold_sweep"):
         plan = _plan(spark, name)
         assert "LeftSemi" in plan, f"{name} lost the candidate-id size prune"
