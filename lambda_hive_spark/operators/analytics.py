@@ -133,7 +133,10 @@ SELECT (SELECT COUNT(*) FROM first_signup) AS n_signed_up,
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase-within-7-days funnel: first signup per user,
     semi-join purchases inside the window, two scalar counts. The
-    per-user dim is bounded → broadcast at any event volume."""
+    per-user dim is ONE ROW PER USER — it scales with the fact, so
+    the join is unhinted and AQE broadcasts only while it actually
+    fits (the r9 audit rule: hints only for sets bounded by
+    construction, never per-entity aggregates)."""
     ev = table(spark, sf_dir, "events")
     first = (
         ev.filter(F.col("event_type") == "signup")
@@ -142,7 +145,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conv = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(first), "user_id")
+        .join(first, "user_id")
         .filter(
             (F.col("ts") > F.col("signup_ts"))
             & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 days"))
@@ -171,12 +174,13 @@ GROUP BY 1, 2
 def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: cohort = week of first event,
     activity = week of each event, distinct active users per cell.
-    The cohort dim is |users|-bounded → broadcast."""
+    The cohort dim is one row per user — fact-scaled, so the join
+    is unhinted; AQE broadcasts it only while it fits."""
     ev = table(spark, sf_dir, "events")
     week = lambda c: F.date_format(F.date_trunc("week", c), "yyyy-MM-dd")  # noqa: E731
     first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
     return (
-        ev.join(F.broadcast(first), "user_id")
+        ev.join(first, "user_id")
         .groupBy("cohort_week", week(F.col("ts")).alias("activity_week"))
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
@@ -982,7 +986,7 @@ def cohort_value_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
     cell = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(first), "user_id")
+        .join(first, "user_id")
         .groupBy("cohort_week", week(F.col("ts")).alias("activity_week"))
         .agg(dsum("value").alias("week_value"))
     )
@@ -1405,13 +1409,14 @@ def retention_day_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth team's headline metric (retention_cohort gives the full
     triangle; this is the two numbers leadership tracks). Per-user
     flags are MAX over the bounded activity join; rates are
-    exact-integer ratios. The per-user dim is users-bounded →
-    broadcast at any event volume."""
+    exact-integer ratios. The per-user dim is one row per user —
+    fact-scaled, so the join is unhinted; AQE broadcasts it only
+    while it fits."""
     ev = table(spark, sf_dir, "events")
     act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
     flags = (
-        act.join(F.broadcast(first), "user_id")
+        act.join(first, "user_id")
         .groupBy("user_id", "d0")
         .agg(
             F.max(

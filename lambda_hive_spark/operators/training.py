@@ -72,9 +72,11 @@ GROUP BY doc_id
 def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: training docs sharing ≥5 3-gram
     shingles with any eval doc (eval set = doc_id ≡ 0 mod 50, standing
-    in for a benchmark suite). The eval side is a small fixed set, so
-    its exploded shingles BROADCAST — one scan of the training corpus,
-    no self-join, no shuffle of training text. This is the asymmetric
+    in for a benchmark suite). A real eval suite is benchmark-sized,
+    so AQE broadcasts its exploded shingles — one scan of the training
+    corpus, no self-join, no shuffle of training text — while the
+    unhinted join degrades gracefully if the eval side ever isn't
+    small (this fixture's stand-in is 2% of the corpus). The asymmetric
     sibling of dedup_ngram_jaccard: contamination is corpus×benchmark
     (linear), not corpus×corpus (quadratic)."""
     sh = par_table(spark, sf_dir, "documents").select(
@@ -85,7 +87,10 @@ def pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "s")
     tr = e.filter(~is_eval)
     return (
-        tr.join(F.broadcast(ev), "s")
+        # unhinted: a real eval suite is benchmark-sized and AQE
+        # will broadcast it; this fixture's 2%-of-corpus stand-in
+        # exploded by shingles is exactly what must NOT be forced.
+        tr.join(ev, "s")
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 5)

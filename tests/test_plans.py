@@ -549,7 +549,15 @@ def test_no_corpus_sized_forced_broadcast(spark):
 
     for path in glob.glob(os.path.join(os.path.dirname(pkg.__file__), "*.py")):
         src = open(path).read()
-        for pat in ("F.broadcast(sizes", "F.broadcast(dropped"):
+        # sizes/dropped: the r8 corpus-sized tables; first: the r9
+        # per-user first-seen aggregates (one row per user = fact-
+        # scaled); ev: contamination's exploded eval shingles.
+        for pat in (
+            "F.broadcast(sizes",
+            "F.broadcast(dropped",
+            "F.broadcast(first)",
+            "F.broadcast(ev)",
+        ):
             assert pat not in src, f"{os.path.basename(path)} regressed: {pat}"
 
     # engine level (r9 extension): the lakehouse MERGE/DV paths must
