@@ -565,3 +565,45 @@ def ts_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rnk"),
         )
     )
+
+
+@op(
+    "events_global_seq",
+    oracle="""
+SELECT event_id,
+       CAST(row_number() OVER (
+         ORDER BY epoch_ms(ts) ASC NULLS FIRST, event_id ASC NULLS FIRST
+       ) AS BIGINT) AS seq
+FROM events
+""",
+)
+def events_global_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL sequence assignment over the event stream
+    — the replay-ordering / reproducible-sample-indexing primitive: a
+    total (event-time, event_id) order enumerated 1..n identically on
+    every re-run, regardless of partitioning. Runs through
+    scale_windows.global_row_number bucketed on the event DAY (a
+    monotone coarsening of the ms order key), so ranks assign
+    bucket-parallel with broadcast day offsets and no corpus-sized
+    input crosses a single-partition window — the registered
+    user-facing face of the r9 two-phase machinery the audit rewrote
+    six ops onto.
+
+    Determinism fine print: event time compares on the MILLISECOND
+    grid (unix_millis/epoch_ms — the common exact grid under the
+    ns-precision fixture, the sessionize rule) with NULLS FIRST pinned
+    on both sides; the output columns are a subset of the order
+    columns, so rows the order cannot distinguish are identical in the
+    output and any tie permutation yields the same multiset — seq is
+    well-defined even where the order ties."""
+    from lambda_hive_spark.scale_windows import global_row_number
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select("event_id", F.unix_millis("ts").alias("ms"))
+    ranked = global_row_number(
+        base,
+        [F.asc_nulls_first("ms"), F.asc_nulls_first("event_id")],
+        [(F.floor(F.col("ms") / 86400000), "asc_nulls_first")],
+        "seq",
+    )
+    return ranked.select("event_id", F.col("seq").cast("long").alias("seq"))

@@ -660,6 +660,7 @@ def test_no_corpus_sized_global_window(spark):
         "pipeline_curriculum_order": 1,
         "pipeline_shard_assignment": 1,
         "quality_key_gaps": 1,
+        "events_global_seq": 1,
     }
     for name, n_summaries in expected.items():
         plan = _plan(spark, name)
