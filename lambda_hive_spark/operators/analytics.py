@@ -458,7 +458,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     a coarse custkey sub-bucket (dates are bounded-cardinality and the
     NULL date group, ~⅓ of customers, spreads across sub-buckets
     instead of one task), frequency likewise on the exact small-int
-    count, monetary on a 1000-wide band of the revenue — so the exact
+    count, monetary on a 1000-wide band of the revenue plus a
+    NULL-band-only custkey sub-bucket (the band is already a
+    coarsening, so only the constant-monetary NULL band may be split
+    further — see the inline contract note) — so the exact
     ntile(5) semantics the oracle certifies survive with no
     customer-sized input ever crossing a single-partition window."""
     from lambda_hive_spark.scale_windows import global_ntile
@@ -488,11 +491,26 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(F.col("frequency"), "asc_nulls_first"), sub],
         "f_score",
     )
+    # The monetary sub-bucket must be CONDITIONAL on NULL: the primary
+    # component is a coarsened band (unlike r/f's exact values), so an
+    # unconditional custkey sub-bucket would order rows inside a band
+    # by custkey-group before monetary — breaking the bucket contract
+    # (scale_windows module doc: only the LAST component may coarsen).
+    # Inside the NULL band monetary is constant, so there the custkey
+    # coarsening is a valid tie-break split; elsewhere the component
+    # is a constant 0 and the band stays whole. This spreads the
+    # ~25%-null monetary group (the one skewed task) across 256-ish
+    # sub-buckets without touching non-null band boundaries.
+    m_sub = (
+        F.when(F.col("monetary").isNull(), F.floor(F.col("o_custkey") / 65536))
+        .otherwise(F.lit(0)),
+        "asc",
+    )
     scored = global_ntile(
         scored,
         5,
         [F.asc_nulls_first("monetary"), F.col("o_custkey")],
-        [(F.floor(F.col("monetary") / 1000), "asc_nulls_first")],
+        [(F.floor(F.col("monetary") / 1000), "asc_nulls_first"), m_sub],
         "m_score",
     ).select("o_custkey", "frequency", "monetary", "r_score", "f_score", "m_score")
     return (

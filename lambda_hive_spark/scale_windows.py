@@ -41,6 +41,13 @@ statement about the data's order, which only the caller knows):
     skew escape hatch when the primary component has heavy ties
     (NULL-heavy dates, low-cardinality counts): ties then spread
     across sub-buckets instead of piling into one task.
+  - if the primary component is ITSELF a coarsening (a band), a
+    tiebreak component may only split bands where the underlying
+    order value is constant — make it conditional, e.g.
+    when(x.isNull(), floor(id/65536)).otherwise(0) splits the NULL
+    band (x constant there) while leaving real bands whole. An
+    unconditional tiebreak under a band would reorder rows within
+    the band and break contiguity.
 """
 
 from __future__ import annotations
@@ -172,7 +179,14 @@ def global_lag_over_keys(
     max, not lag, so empty buckets in the floor range cost nothing).
     `bucket_width` trades summary size against per-bucket task size;
     pick it so keyspace/width ≲ 1e5 at deployment scale — exactness is
-    width-independent."""
+    width-independent.
+
+    NULL keys are exact too, matching Spark's ASC nulls-first default:
+    floor(NULL/w) = NULL routes them to one dedicated bucket that the
+    null-safe join keeps and the summary window orders first, so NULL
+    rows lag to NULL (their in-bucket lag of a NULL key) and the first
+    non-NULL row lags to max(NULL)=NULL via the running-max stitch —
+    identical to the single-partition reference on both sides."""
     bucket = F.floor(F.col(key) / F.lit(bucket_width))
     tagged = df.withColumn(f"{_B}0", bucket)
     local = F.lag(key).over(Window.partitionBy(f"{_B}0").orderBy(key))
@@ -184,8 +198,10 @@ def global_lag_over_keys(
         F.col(f"{_B}0").alias(f"{_OB}0"),
         F.max("_sw_bmax").over(w_prev).alias("_sw_pmax"),
     )
+    # eqNullSafe, as in _join_offsets: a plain == would silently drop
+    # the NULL-key bucket and break equivalence for nullable keys.
     out = tagged.withColumn("_sw_ll", local).join(
-        F.broadcast(boundary), F.col(f"{_B}0") == F.col(f"{_OB}0")
+        F.broadcast(boundary), F.col(f"{_B}0").eqNullSafe(F.col(f"{_OB}0"))
     )
     out = out.withColumn(prev_col, F.coalesce("_sw_ll", "_sw_pmax"))
     return out.drop(f"{_B}0", f"{_OB}0", "_sw_ll", "_sw_pmax")

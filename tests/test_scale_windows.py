@@ -96,6 +96,26 @@ def test_lag_matches_including_empty_buckets(rdf):
     assert _same(ref, got)
 
 
+def test_lag_matches_with_null_keys(rdf):
+    """NULL keys must route through the eqNullSafe bucket join, not be
+    silently dropped (ADVICE r9): floor(NULL/w)=NULL is one dedicated
+    nulls-first bucket, and both the NULL rows' lag (NULL) and the
+    first non-NULL row's lag (the preceding NULL key) must match the
+    single-partition reference exactly — Spark's ASC nulls-first
+    default makes both sides agree."""
+    ks = rdf.select(
+        F.when(F.col("d").isNull() & (F.col("id") % 7 == 0), F.lit(None))
+        .otherwise(F.col("id") * 13 % 9973)
+        .alias("k")
+    ).distinct()
+    assert ks.where(F.col("k").isNull()).count() == 1  # NULL present
+    ref = ks.withColumn("p", F.lag("k").over(Window.orderBy("k")))
+    got = global_lag_over_keys(ks, "k", 128, "p")
+    assert _same(ref, got)
+    # row-count parity guards the "dropped rows" failure mode directly
+    assert got.count() == ks.count()
+
+
 def test_no_single_partition_exchange_over_input(rdf):
     """The whole point: the input-sized side never crosses an
     `Exchange SinglePartition`; only the bounded bucket summary does
