@@ -163,8 +163,24 @@ class LakeTable:
             self.spark, self.path, df, writer_id=writer_id, batch_id=batch_id
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
-        return self._lh.read(self.spark, self.path, version)
+    def read(self, version: int | None = None, *, ref: str | None = None) -> DataFrame:
+        return self._lh.read(self.spark, self.path, version, ref=ref)
+
+    # -- named refs (tags immutable, branches re-pointable) -----------
+    def create_ref(self, name: str, version: int | None = None, *, kind: str = "tag") -> dict:
+        """Tag/branch `name` at `version` (default head); read(ref=name)
+        resolves it, vacuum never reaps its target until drop_ref."""
+        return self._lh.create_ref(self.path, name, version, kind=kind)
+
+    def set_ref(self, name: str, version: int) -> dict:
+        """Atomically re-point a branch (the promote step); tags refuse."""
+        return self._lh.set_ref(self.path, name, version)
+
+    def drop_ref(self, name: str) -> None:
+        return self._lh.drop_ref(self.path, name)
+
+    def refs(self) -> dict:
+        return self._lh.list_refs(self.path)
 
     def scan(
         self,

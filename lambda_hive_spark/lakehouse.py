@@ -80,6 +80,7 @@ import base64
 import hashlib
 import json
 import os
+import re
 import shutil
 import uuid
 from urllib.parse import unquote, urlparse
@@ -168,9 +169,13 @@ def _read_snapshot_files(
     rewriting verb MATERIALIZES the deletes for the files it rewrites
     as a side effect (its outputs are scanned post-DV; the new entries
     carry no dv). Tables with no DV'd entry take the original
-    zero-overhead path. The DV side is broadcast: deletion vectors
-    are trickle-delete deltas by design — a table whose DVs rival its
-    data wants compact()/optimize(), which resets them.
+    zero-overhead path. The DV anti-join carries no broadcast hint:
+    AQE picks the strategy from the real sidecar size (deletion
+    vectors are trickle-delete deltas by design, so it usually
+    broadcasts, but a table whose DVs rival its data degrades to a
+    shuffle join instead of an executor OOM — that table wants
+    compact()/optimize(), which resets the DVs). Enforced by
+    test_no_corpus_sized_forced_broadcast.
 
     ``apply_dv=False`` serves the physical rows (bloom_index: its
     input_file_name() attribution is scan-scoped and breaks under the
@@ -692,12 +697,25 @@ def append(spark: SparkSession, path: str, df: DataFrame, *, merge_schema: bool 
     return _commit(path, build)
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    ref: str | None = None,
+) -> DataFrame:
     """Snapshot read: plan a scan over exactly the manifest's file
-    list (time travel via `version`) under the manifest's recorded
-    schema (files predating an evolved column null-fill it). An empty
-    snapshot (e.g. a table created empty to seed a streaming sink)
-    resolves to an empty DataFrame at the manifest schema."""
+    list (time travel via `version`, or by name via `ref` — a
+    tag/branch from create_ref; `read(ref=r)` ≡
+    `read(version=resolve_ref(r))` by construction) under the
+    manifest's recorded schema (files predating an evolved column
+    null-fill it). An empty snapshot (e.g. a table created empty to
+    seed a streaming sink) resolves to an empty DataFrame at the
+    manifest schema."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("read: pass version OR ref, not both")
+        version = resolve_ref(path, ref)
     m = read_manifest(path, version)
     if not m["files"]:
         schema = _manifest_schema(m)
@@ -2504,6 +2522,118 @@ def history(path: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Named refs: tags (immutable) and branches (re-pointable) over snapshot
+# versions — the experiment/promote workflow (Iceberg refs / git-tag shape).
+# A ref is a tiny JSON pointer in the table's own log dir, published with
+# the same create-exclusive / atomic-replace idioms as manifests, so ref
+# DDL needs no table commit and never blocks writers. Refs extend the
+# vacuum horizon: a ref'd version (and its files) stays live until the
+# ref is dropped — "vacuum refuses to reap a ref'd version" is enforced
+# structurally by folding ref targets into the keep set.
+#
+# Scope note (honest): a branch here is a NAMED POINTER, not a fork of
+# the commit line — writes always advance the table's single version
+# chain. The experiment/promote loop is: tag the baseline, experiment
+# with ordinary commits (or on a clone), then set_ref("prod", good_v)
+# atomically re-points consumers who read(ref="prod"). WAP-style
+# branch-exclusive write forking is out of scope and documented so.
+# ---------------------------------------------------------------------------
+
+_REF_PREFIX = "ref-"
+_REF_NAME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_.-]*$")
+
+
+def _ref_file(path: str, name: str) -> str:
+    return os.path.join(_log_dir(path), f"{_REF_PREFIX}{name}.json")
+
+
+def _check_ref_target(path: str, version: int) -> None:
+    if not os.path.exists(_manifest_path(path, version)):
+        raise FileNotFoundError(
+            f"ref target version {version} does not exist (or was vacuumed)"
+        )
+
+
+def create_ref(
+    path: str, name: str, version: int | None = None, *, kind: str = "tag"
+) -> dict:
+    """Create tag/branch `name` at `version` (default: current head).
+    Tags are immutable (set_ref refuses them); branches re-point.
+    Create-exclusive: a taken name raises FileExistsError — ref DDL is
+    not idempotent, same contract as catalog.create_table."""
+    if not _REF_NAME_RE.match(name or ""):
+        raise ValueError(f"bad ref name: {name!r} (want [A-Za-z][A-Za-z0-9_.-]*)")
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"ref kind must be 'tag' or 'branch', got {kind!r}")
+    v = current_version(path) if version is None else int(version)
+    if v == 0:
+        raise FileNotFoundError(f"no lake table at {path}")
+    _check_ref_target(path, v)
+    entry = {"name": name, "version": v, "kind": kind}
+    staged = os.path.join(_log_dir(path), f".tmp-ref-{uuid.uuid4().hex}.json")
+    with open(staged, "w") as fh:
+        json.dump(entry, fh, sort_keys=True)
+    try:
+        os.link(staged, _ref_file(path, name))
+    except FileExistsError:
+        raise FileExistsError(f"ref name taken: {name}") from None
+    finally:
+        os.unlink(staged)
+    return entry
+
+
+def set_ref(path: str, name: str, version: int) -> dict:
+    """Atomically re-point branch `name` to `version` (os.replace —
+    readers see the old target or the new one, never a torn ref).
+    Tags refuse: they are the immutable audit points; re-pointing one
+    silently would forge history."""
+    cur = list_refs(path).get(name)
+    if cur is None:
+        raise KeyError(f"no such ref: {name}")
+    if cur["kind"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag — tags are immutable; "
+                         "drop and re-create to move an audit point on purpose")
+    _check_ref_target(path, int(version))
+    entry = {"name": name, "version": int(version), "kind": "branch"}
+    staged = os.path.join(_log_dir(path), f".tmp-ref-{uuid.uuid4().hex}.json")
+    with open(staged, "w") as fh:
+        json.dump(entry, fh, sort_keys=True)
+    os.replace(staged, _ref_file(path, name))
+    return entry
+
+
+def drop_ref(path: str, name: str) -> None:
+    try:
+        os.unlink(_ref_file(path, name))
+    except FileNotFoundError:
+        raise KeyError(f"no such ref: {name}") from None
+
+
+def list_refs(path: str) -> dict[str, dict]:
+    """{name: {"name", "version", "kind"}} — one log-dir listing."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except FileNotFoundError:
+        return {}
+    out = {}
+    for n in sorted(names):
+        if n.startswith(_REF_PREFIX) and n.endswith(".json"):
+            with open(os.path.join(_log_dir(path), n)) as fh:
+                e = json.load(fh)
+            out[e["name"]] = e
+    return out
+
+
+def resolve_ref(path: str, name: str) -> int:
+    e = list_refs(path).get(name)
+    if e is None:
+        raise KeyError(
+            f"no such ref: {name} (known: {sorted(list_refs(path)) or 'none'})"
+        )
+    return e["version"]
+
+
 def add_constraint(spark: SparkSession, path: str, name: str, expr: str) -> int:
     """Add a CHECK constraint as a metadata-only commit — AFTER
     validating the EXISTING snapshot against it (one scan; a
@@ -2727,9 +2857,19 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     """Physically delete data files referenced ONLY by manifests older
     than the last `keep_last` versions, then drop those manifests.
     Returns deleted file paths. Breaks time travel beyond the horizon
-    — by design, and only here."""
+    — by design, and only here. Versions a named ref (tag/branch)
+    points at are NEVER reaped: the ref extends the horizon for its
+    target until drop_ref — a tagged baseline stays readable no matter
+    how aggressive the retention, and the guard is structural (ref
+    targets join the keep set, so their manifests, data files, and
+    sidecars all survive the sweep as live)."""
     head = current_version(path)
     keep_versions = set(range(max(1, head - keep_last + 1), head + 1))
+    keep_versions.update(
+        e["version"]
+        for e in list_refs(path).values()
+        if os.path.exists(_manifest_path(path, e["version"]))
+    )
     all_versions = sorted(
         int(n[:-5])
         for n in os.listdir(_log_dir(path))

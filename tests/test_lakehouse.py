@@ -2139,3 +2139,81 @@ def test_update_where_prunes_and_conflicts_on_racing_dv(spark, tmp_path, monkeyp
     assert calls["n"] >= 2, "COW update never conflicted on the racing DV delete"
     got = dict(_rows(lh.read(spark, path)))
     assert all(got[i] == 0 for i in range(90, 95)) and 95 not in got
+
+
+# ---------------------------------------------------------------------------
+# Named refs: tags/branches over versions (create / re-point / drop),
+# read(ref=) resolution, and the vacuum horizon guard.
+# ---------------------------------------------------------------------------
+
+
+def test_ref_create_read_equivalence(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=20, files=2)  # v1
+    lh.create_ref(path, "baseline")  # tag at head (v1)
+    lh.append(spark, path, spark.range(20, 30).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")))  # v2
+    # tag still reads the v1 snapshot; ref-read ≡ version-read
+    assert _rows(lh.read(spark, path, ref="baseline")) == _rows(
+        lh.read(spark, path, version=1)
+    )
+    assert lh.read(spark, path).count() == 30  # head unaffected
+    refs = lh.list_refs(path)
+    assert refs["baseline"] == {"name": "baseline", "version": 1, "kind": "tag"}
+
+
+def test_ref_ddl_contracts(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=10)
+    lh.create_ref(path, "t1")  # tag
+    with pytest.raises(FileExistsError):
+        lh.create_ref(path, "t1")  # name taken
+    with pytest.raises(ValueError):
+        lh.create_ref(path, "bad name!")  # identifier rule
+    with pytest.raises(ValueError):
+        lh.create_ref(path, "x", kind="wat")
+    with pytest.raises(FileNotFoundError):
+        lh.create_ref(path, "ghost", version=99)  # target must exist
+    with pytest.raises(ValueError):
+        lh.set_ref(path, "t1", 1)  # tags are immutable
+    with pytest.raises(KeyError):
+        lh.set_ref(path, "nope", 1)
+    with pytest.raises(KeyError):
+        lh.drop_ref(path, "nope")
+    with pytest.raises(KeyError):
+        lh.read(spark, path, ref="nope")
+    with pytest.raises(ValueError):
+        lh.read(spark, path, version=1, ref="t1")  # one or the other
+    lh.drop_ref(path, "t1")
+    assert lh.list_refs(path) == {}
+
+
+def test_branch_repoint_promote_flow(spark, tmp_path):
+    """The experiment/promote loop: consumers read(ref='prod') while
+    new versions land; promote = one atomic set_ref."""
+    path = _mk(spark, tmp_path, n=10)  # v1
+    lh.create_ref(path, "prod", kind="branch")  # prod -> v1
+    lh.delete_where(spark, path, "id >= 5")  # v2 (the experiment)
+    assert lh.read(spark, path, ref="prod").count() == 10  # consumers pinned
+    lh.set_ref(path, "prod", 2)  # promote
+    assert lh.read(spark, path, ref="prod").count() == 5
+    assert lh.list_refs(path)["prod"]["version"] == 2
+
+
+def test_vacuum_never_reaps_ref_target(spark, tmp_path):
+    path = _mk(spark, tmp_path, n=30, files=3)  # v1
+    lh.create_ref(path, "keepme")  # tag v1
+    lh.delete_where(spark, path, "id >= 10")  # v2 rewrites
+    lh.compact(spark, path)  # v3
+    lh.vacuum(path, keep_last=1)
+    # v1 survives the sweep because the tag holds it: manifest present,
+    # files readable, time travel intact
+    assert lh.read(spark, path, ref="keepme").count() == 30
+    assert lh.read(spark, path, version=1).count() == 30
+    # v2 (unref'd, behind the horizon) is gone
+    with pytest.raises(FileNotFoundError):
+        lh.read_manifest(path, 2)
+    # dropping the ref releases the hold: the next vacuum reaps v1
+    lh.drop_ref(path, "keepme")
+    lh.vacuum(path, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        lh.read_manifest(path, 1)
+    assert lh.read(spark, path).count() == 10  # head intact throughout
