@@ -13,8 +13,12 @@ switches to:
     eng.lake(path)                       # ACID lake table handle
     #   .create(df, key, partition_by=[...], generated={...})
     #   .append(df) .merge_upsert(updates) .replace_where(pred, df)
-    #   .read(version=N) .partitions() .repartition_table([...])
+    #   .read(version=N) .read(ref="prod") .partitions()
+    #   .create_ref/.set_ref/.drop_ref/.refs()  (tags + branches)
     #   .clone_to(target) .compact() .vacuum() .history()
+    eng.lake_sql({"t": path})            # SQL DML/time-travel surface
+    #   .sql("MERGE INTO t USING ...") .sql("UPDATE t SET ...")
+    #   .sql("SELECT ... FROM t VERSION AS OF 3")
 
 Everything is a thin delegation to the modules that own the logic —
 the facade adds discoverability, not behavior.
@@ -117,6 +121,21 @@ class Engine:
         versioned commits, snapshot reads / time travel, stats-pruned
         MERGE, compaction, vacuum."""
         return LakeTable(self.spark, path)
+
+    def lake_sql(
+        self,
+        tables: dict[str, str] | None = None,
+        catalog_root: str | None = None,
+    ):
+        """SQL statement surface over lake tables (lake_sql.py):
+        MERGE INTO / UPDATE / DELETE FROM / SELECT … VERSION AS OF
+        <n | 'ref'> / RESTORE TABLE / DESCRIBE HISTORY / VACUUM /
+        OPTIMIZE, each compiled onto the lakehouse verb that owns the
+        semantics. Name resolution: the `tables` dict, then (if given)
+        a Catalog root."""
+        from lambda_hive_spark.lake_sql import LakeSQL
+
+        return LakeSQL(self.spark, tables, catalog_root)
 
 
 class LakeTable:

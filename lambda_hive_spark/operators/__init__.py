@@ -44,4 +44,5 @@ from lambda_hive_spark.operators import (  # noqa: F401
     retrieval,
     orchestration,
     staged_r9,
+    lakesql_ops,
 )

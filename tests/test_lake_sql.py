@@ -1,0 +1,290 @@
+"""LakeSQL statement-surface tests (lambda_hive_spark/lake_sql.py).
+
+Two families: (1) happy paths — each statement shape compiles onto the
+right lakehouse verb and produces the same state the Python API would;
+(2) refusal paths — every unsupported construct raises a ValueError
+that names the construct and the escape hatch (the strictness IS the
+contract: a statement this surface accepts must mean exactly what the
+verb does, never an approximation).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lambda_hive_spark import lakehouse as lh
+from lambda_hive_spark.lake_sql import LakeSQL
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    """A lake table 't' (ids 0..99, val = id*10) plus a LakeSQL bound
+    to it."""
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    )
+    lh.create(spark, path, df.repartition(4), key="id")
+    return LakeSQL(spark, {"t": path}), path
+
+
+def _rows(df):
+    return sorted((r["id"], r["val"]) for r in df.collect())
+
+
+# -- UPDATE / DELETE ---------------------------------------------------
+
+
+def test_update_where(env, spark):
+    lsql, path = env
+    out = lsql.sql("UPDATE t SET val = val + 1 WHERE id < 10").collect()
+    assert out[0]["statement"] == "UPDATE" and out[0]["version"] == 2
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[0] == 1 and got[9] == 91 and got[10] == 100
+
+
+def test_update_without_where_touches_all(env, spark):
+    lsql, path = env
+    lsql.sql("UPDATE t SET val = 0")
+    assert all(v == 0 for _, v in _rows(lh.read(spark, path)))
+
+
+def test_update_multi_assignment_and_string_literal(env, spark):
+    lsql, path = env
+    # literal contains SET/WHERE/, — the masking must keep it opaque
+    lsql.sql(
+        "UPDATE t SET val = val * 2, id = id WHERE 'set , where' = 'set , where' AND id = 1"
+    )
+    assert dict(_rows(lh.read(spark, path)))[1] == 20
+
+
+def test_delete_where_and_full_delete(env, spark):
+    lsql, path = env
+    lsql.sql("DELETE FROM t WHERE id >= 50")
+    assert lh.read(spark, path).count() == 50
+    lsql.sql("DELETE FROM t")
+    assert lh.read(spark, path).count() == 0
+
+
+def test_update_rider_deletion_vectors(env, spark):
+    lsql, path = env
+    files_v1 = {f["path"] for f in lh.read_manifest(path)["files"]}
+    lsql.sql("UPDATE t SET val = -1 WHERE id = 3", deletion_vectors=True)
+    m = lh.read_manifest(path)
+    assert files_v1 <= {f["path"] for f in m["files"]}, "DV update moved a file"
+    assert dict(_rows(lh.read(spark, path)))[3] == -1
+
+
+# -- MERGE -------------------------------------------------------------
+
+
+def test_merge_subquery_source(env, spark):
+    lsql, path = env
+    spark.range(100).select(
+        F.col("id").cast("long"), (F.col("id") * 10).alias("val")
+    ).createOrReplaceTempView("_src_base")
+    lsql.sql(
+        """MERGE INTO t AS tgt
+           USING (SELECT id, val + 5 AS val FROM _src_base WHERE id IN (SELECT id FROM _src_base WHERE id < 3)
+                  UNION ALL SELECT 1000 AS id, 1 AS val) AS s
+           ON tgt.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[0] == 5 and got[2] == 25 and got[3] == 30 and got[1000] == 1
+    assert len(got) == 101
+
+
+def test_merge_view_source_no_aliases(env, spark):
+    lsql, path = env
+    spark.createDataFrame([(0, -7), (500, -8)], "id long, val long").createOrReplaceTempView(
+        "updates_v"
+    )
+    lsql.sql(
+        "MERGE INTO t USING updates_v ON t.id = updates_v.id "
+        "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[0] == -7 and got[500] == -8
+
+
+def test_merge_lake_table_source(env, spark, tmp_path):
+    lsql, path = env
+    src_path = str(tmp_path / "src")
+    lh.create(
+        spark,
+        src_path,
+        spark.createDataFrame([(7, 77)], "id long, val long"),
+        key="id",
+    )
+    lsql.register("src", src_path)
+    lsql.sql(
+        "MERGE INTO t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert dict(_rows(lh.read(spark, path)))[7] == 77
+
+
+# -- SELECT / time travel ---------------------------------------------
+
+
+def test_select_head_and_alias_qualification(env, spark):
+    lsql, _ = env
+    assert lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 100
+    # alias-less: columns stay qualifiable by the table name
+    assert (
+        lsql.sql("SELECT t.id FROM t WHERE t.id = 5").collect()[0]["id"] == 5
+    )
+    # user alias preserved
+    assert (
+        lsql.sql("SELECT x.val FROM t x WHERE x.id = 5").collect()[0]["val"]
+        == 50
+    )
+
+
+def test_select_version_as_of(env, spark):
+    lsql, path = env
+    lsql.sql("DELETE FROM t WHERE id >= 10")  # v2
+    assert lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 10
+    for stmt in (
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 1",
+        "SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1",
+    ):
+        assert lsql.sql(stmt).collect()[0]["n"] == 100
+    # qualification + alias after time travel
+    assert (
+        lsql.sql(
+            "SELECT t.id FROM t VERSION AS OF 1 WHERE t.id = 99"
+        ).collect()[0]["id"]
+        == 99
+    )
+    assert (
+        lsql.sql(
+            "SELECT o.id FROM t VERSION AS OF 1 AS o WHERE o.id = 99"
+        ).collect()[0]["id"]
+        == 99
+    )
+
+
+def test_select_version_as_of_ref_and_join_mix(env, spark):
+    lsql, path = env
+    lh.create_ref(path, "baseline")
+    lsql.sql("DELETE FROM t WHERE id >= 10")  # v2
+    assert (
+        lsql.sql("SELECT COUNT(*) AS n FROM t VERSION AS OF 'baseline'").collect()[0]["n"]
+        == 100
+    )
+    # join head against a tagged snapshot of the same table
+    n = lsql.sql(
+        """SELECT COUNT(*) AS n
+           FROM t JOIN t VERSION AS OF 'baseline' AS old ON t.id = old.id"""
+    ).collect()[0]["n"]
+    assert n == 10
+
+
+def test_select_with_cte_and_plain_views_pass_through(env, spark):
+    lsql, _ = env
+    spark.range(5).createOrReplaceTempView("plain_view")
+    n = lsql.sql(
+        """WITH cold AS (SELECT id FROM t VERSION AS OF 1 WHERE id < 5)
+           SELECT COUNT(*) AS n FROM cold JOIN plain_view ON cold.id = plain_view.id"""
+    ).collect()[0]["n"]
+    assert n == 5
+
+
+# -- RESTORE / utilities ----------------------------------------------
+
+
+def test_restore_to_version_and_ref(env, spark):
+    lsql, path = env
+    lh.create_ref(path, "good")
+    lsql.sql("DELETE FROM t")  # v2
+    lsql.sql("RESTORE TABLE t TO VERSION AS OF 1")  # v3
+    assert lh.read(spark, path).count() == 100
+    lsql.sql("DELETE FROM t WHERE id < 50")  # v4
+    lsql.sql("RESTORE TABLE t TO VERSION AS OF 'good'")  # v5
+    assert lh.read(spark, path).count() == 100
+
+
+def test_describe_history_vacuum_optimize(env, spark):
+    lsql, path = env
+    lsql.sql("DELETE FROM t WHERE id >= 90")
+    h = lsql.sql("DESCRIBE HISTORY t").collect()
+    assert [r["version"] for r in h] == [1, 2]
+    assert h[1]["action"] == "delete" and h[1]["net_rows"] == -10
+    v = lsql.sql("OPTIMIZE t").collect()[0]["version"]
+    assert v >= 2  # no-op allowed if files already target-sized
+    out = lsql.sql("VACUUM t RETAIN 1 VERSIONS").collect()[0]
+    assert out["files_deleted"] >= 0
+    z = lsql.sql("OPTIMIZE t ZORDER BY (id, val)").collect()[0]
+    assert z["statement"] == "OPTIMIZE"
+
+
+# -- refusal paths -----------------------------------------------------
+
+
+def test_refusals(env, spark):
+    lsql, _ = env
+    cases = [
+        ("INSERT INTO t VALUES (1, 2)", "unsupported statement"),
+        ("CREATE TABLE t2 (id INT)", "unsupported statement"),
+        ("SELECT * FROM t TIMESTAMP AS OF '2026-01-01'", "TIMESTAMP AS OF"),
+        ("SELECT * FROM t VERSION AS OF 1.5", "integer version"),
+        ("UPDATE t SET val 1 WHERE id = 0", "SET assignment"),
+        ("UPDATE t SET val = 1, val = 2", "assigned twice"),
+        (
+            "MERGE INTO t USING u ON t.id = u.id "
+            "WHEN MATCHED AND t.val > 0 THEN UPDATE SET *",
+            "conditional WHEN",
+        ),
+        (
+            "MERGE INTO t USING u ON t.id = u.id "
+            "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *",
+            "DELETE is unsupported",
+        ),
+        (
+            "MERGE INTO t USING u ON t.id = u.id "
+            "WHEN MATCHED THEN UPDATE SET val = u.val "
+            "WHEN NOT MATCHED THEN INSERT *",
+            "unsupported MERGE clause",
+        ),
+        (
+            "MERGE INTO t USING u ON t.id = u.id "
+            "WHEN MATCHED THEN UPDATE SET *",
+            "BOTH clauses",
+        ),
+        (
+            "MERGE INTO t USING u ON t.val = u.val "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+            "key equality",
+        ),
+        ("DELETE FROM t WHERE", "DELETE shape"),
+    ]
+    spark.createDataFrame([(1, 1)], "id long, val long").createOrReplaceTempView("u")
+    for stmt, frag in cases:
+        with pytest.raises(ValueError) as ei:
+            lsql.sql(stmt)
+        assert frag.lower() in str(ei.value).lower(), (stmt, str(ei.value))
+
+
+def test_unknown_table_and_opts_refusals(env, spark):
+    lsql, _ = env
+    with pytest.raises(KeyError) as ei:
+        lsql.sql("DELETE FROM ghost")
+    assert "known" in str(ei.value)
+    with pytest.raises(KeyError):
+        # time travel claims lake semantics: unknown name is an error,
+        # not a silent pass-through
+        lsql.sql("SELECT * FROM ghost VERSION AS OF 1")
+    with pytest.raises(ValueError):
+        lsql.sql("SELECT * FROM t", deletion_vectors=True)
+
+
+def test_select_literal_keywords_are_inert(env, spark):
+    lsql, _ = env
+    row = lsql.sql(
+        "SELECT COUNT(*) AS n FROM t WHERE 'FROM t VERSION AS OF 1' <> ''"
+    ).collect()[0]
+    assert row["n"] == 100
