@@ -1935,6 +1935,14 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       the manifest diff: delta postings APPEND into their term
       partitions, stats MERGE adds the delta's exact-integer counts;
       both O(delta), asserted via the incremental read's row count;
+    - publication is ATOMIC across the trio (r10, closing the same
+      fact-ahead-of-index window the ANN path closed in r9): docs,
+      postings, and stats commit per-table, then all three pointer
+      moves publish in ONE catalog Transaction — no catalog snapshot
+      can see a document the postings/stats don't cover, and the
+      probe reads the three tables at their pinned versions from a
+      single snapshot (tests/test_catalog.py sweeps every catalog
+      version for tokenize(docs@pin) == postings@pin consistency);
     - probe: per-term pruned postings scans for the bounded query
       vocabulary; df derives from the scanned postings (the term
       dictionary a real engine keeps — here one count over rows the
@@ -1982,18 +1990,25 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lh.create(spark, post_path, to_postings(d), key="doc_id", partition_by=["shard"])
     lh.create(spark, stats_path, doc_stats(d), key="stat_id")
+    from lambda_hive_spark import catalog as _cat
 
-    # --- append + O(delta) maintenance ---
+    cat = _cat.Catalog(_fresh_table_dir("ti_catalog", sf_dir))
+    cat.create_table("docs", docs_path)
+    cat.create_table("postings", post_path)
+    cat.create_table("stats", stats_path)
+
+    # --- append + O(delta) maintenance, published atomically ---
     shift = d.agg(F.max("doc_id") + 1).collect()[0][0]
     delta = d.filter(F.col("doc_id") % 23 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(shift)
     )
-    v0 = lh.current_version(docs_path)
-    v1 = lh.append(spark, docs_path, delta)
-    inc = lh.read_incremental(spark, docs_path, v0, v1)
+    txn = cat.transaction()
+    v0 = lh.current_version(txn.path("docs"))
+    v1 = lh.append(spark, txn.path("docs"), delta)
+    inc = lh.read_incremental(spark, txn.path("docs"), v0, v1)
     assert inc.count() == delta.count(), "manifest diff over-delivered the append"
-    lh.append(spark, post_path, to_postings(inc))
-    cur = lh.read(spark, stats_path).collect()[0]
+    lh.append(spark, txn.path("postings"), to_postings(inc))
+    cur = lh.read(spark, txn.path("stats")).collect()[0]
     d_n, d_dl = inc.agg(
         F.count(F.lit(1)), F.sum(F.size(F.split(F.col("text"), " ")))
     ).collect()[0]
@@ -2001,10 +2016,22 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, cur["n_docs"] + d_n, (cur["sum_dl"] or 0) + (d_dl or 0))],
         "stat_id long, n_docs long, sum_dl long",
     )
-    lh.merge_upsert(spark, stats_path, merged)
+    lh.merge_upsert(spark, txn.path("stats"), merged)
+    # one catalog commit publishes docs+postings+stats together — a
+    # reader can never observe the corpus ahead of its index
+    txn.stage("docs")
+    txn.stage("postings")
+    txn.stage("stats")
+    assert txn.dirty()
+    txn.commit()
 
-    # --- probe the persisted index: pruned per-term postings scans ---
-    st = lh.read(spark, stats_path).collect()[0]
+    # --- probe the persisted index AT ONE CATALOG SNAPSHOT: the three
+    # pins below come from a single catalog read, so the stats row,
+    # the pruned postings scans, and the soundness re-tokenization all
+    # describe the same logical instant ---
+    pins = cat.tables()
+    post_v = pins["postings"]["version"]
+    st = lh.read(spark, stats_path, version=pins["stats"]["version"]).collect()[0]
     n_docs, sum_dl = st["n_docs"], st["sum_dl"]
     # `not sum_dl` also covers the all-NULL-text corpus, where the
     # NULL-safe maintenance merge above persists 0 rather than NULL:
@@ -2015,13 +2042,13 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     avgdl = sum_dl / n_docs  # exact longs -> one IEEE division, both engines
 
-    n_files_total = len(lh.plan_files(post_path))
+    n_files_total = len(lh.plan_files(post_path, version=post_v))
     by_shard: dict[int, list[str]] = {}
     for t in _TERM_LITS:
         by_shard.setdefault(_term_shard(t), []).append(t)
     scans = []
     for s, terms in sorted(by_shard.items()):
-        plan = lh.plan_files(post_path, point={"shard": s})
+        plan = lh.plan_files(post_path, point={"shard": s}, version=post_v)
         # strict-subset proof per probed shard; degenerate single-file
         # tables (e.g. a perturbed corpus whose vocabulary collapsed
         # into one shard) have nothing left to prune
@@ -2029,7 +2056,7 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             assert len(plan) < n_files_total, "shard probe did not prune"
         if plan:
             scans.append(
-                lh.scan(spark, post_path, point={"shard": s}).filter(
+                lh.scan(spark, post_path, point={"shard": s}, version=post_v).filter(
                     F.col("term").isin(terms)
                 )
             )
@@ -2088,8 +2115,8 @@ def lake_text_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # soundness: incremental postings == from-scratch head re-tokenize
-    head_posts = to_postings(lh.read(spark, docs_path))
-    persisted = lh.read(spark, post_path)
+    head_posts = to_postings(lh.read(spark, docs_path, version=pins["docs"]["version"]))
+    persisted = lh.read(spark, post_path, version=post_v)
     drift = persisted.exceptAll(head_posts).unionAll(head_posts.exceptAll(persisted))
     assert drift.count() == 0, "incremental postings drifted from full rebuild"
     return result

@@ -209,3 +209,82 @@ def test_fact_index_pair_never_torn_and_replay_publishes_nothing(spark, tmp_path
         n_fact = c.read(spark, "fact", catalog_version=cv).count()
         n_idx = c.read(spark, "idx", catalog_version=cv).count()
         assert n_fact == n_idx, f"catalog v{cv} torn: fact {n_fact} != idx {n_idx}"
+
+
+def test_text_index_trio_consistent_at_every_catalog_snapshot(spark, tmp_path):
+    """The lake_text_index_probe publication contract (r10): docs,
+    postings, and stats commit per-table but publish through ONE
+    catalog transaction — so at EVERY catalog version where the trio
+    is registered, re-tokenizing the pinned docs snapshot must equal
+    the pinned postings snapshot exactly, and the pinned stats row
+    must equal the pinned docs' (count, sum_dl). A maintenance path
+    that published per-table would fail this sweep at the torn
+    intermediate snapshots."""
+    root = str(tmp_path / "cat")
+    c = cat.Catalog(root)
+
+    def tokenize(docs):
+        toks = F.split(F.col("text"), " ")
+        return (
+            docs.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    def stats_of(docs):
+        return docs.agg(
+            F.lit(0).cast("long").alias("stat_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("sum_dl"),
+        )
+
+    base = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    paths = {n: str(tmp_path / n) for n in ("docs", "postings", "stats")}
+    lh.create(spark, paths["docs"], base, key="doc_id")
+    lh.create(spark, paths["postings"], tokenize(base), key="doc_id")
+    lh.create(spark, paths["stats"], stats_of(base), key="stat_id")
+    for n, p in paths.items():
+        c.create_table(n, p)
+
+    for batch in ([(3, "c d")], [(4, "d e d"), (5, "a")]):
+        delta = spark.createDataFrame(batch, "doc_id long, text string")
+        txn = c.transaction()
+        lh.append(spark, txn.path("docs"), delta)
+        lh.append(spark, txn.path("postings"), tokenize(delta))
+        cur = lh.read(spark, txn.path("stats")).collect()[0]
+        inc = stats_of(delta).collect()[0]
+        lh.merge_upsert(
+            spark,
+            txn.path("stats"),
+            spark.createDataFrame(
+                [(0, cur["n_docs"] + inc["n_docs"], cur["sum_dl"] + inc["sum_dl"])],
+                "stat_id long, n_docs long, sum_dl long",
+            ),
+        )
+        for n in paths:
+            txn.stage(n)
+        txn.commit()
+
+    head = cat.current_version(root)
+    # trio fully registered from catalog v3 on; sweep every snapshot
+    swept = 0
+    for cv in range(3, head + 1):
+        pins = c.tables(version=cv)
+        docs = lh.read(spark, pins["docs"]["path"], version=pins["docs"]["version"])
+        posts = lh.read(
+            spark, pins["postings"]["path"], version=pins["postings"]["version"]
+        )
+        st = lh.read(
+            spark, pins["stats"]["path"], version=pins["stats"]["version"]
+        ).collect()[0]
+        expect = tokenize(docs)
+        drift = posts.exceptAll(expect).unionAll(expect.exceptAll(posts))
+        assert drift.count() == 0, f"catalog v{cv}: postings torn from docs"
+        n, dl = docs.count(), docs.select(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+        ).collect()[0][0]
+        assert (st["n_docs"], st["sum_dl"]) == (n, dl), f"catalog v{cv}: stats torn"
+        swept += 1
+    assert swept >= 3  # initial + two maintenance publishes
