@@ -242,6 +242,114 @@ def _scale_corpus(
     return out_dir
 
 
+def _tree_sizes(root: str) -> dict[str, int]:
+    """{abs file path: size} for every file under `root` (data files,
+    manifests, dv/bloom sidecars) — the write-amplification ledger."""
+    out: dict[str, int] = {}
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            try:
+                out[p] = os.path.getsize(p)
+            except OSError:
+                pass
+    return out
+
+
+def _lake_write_bench(spark, corpus_dir: str) -> dict:
+    """Write-path benchmark at the 100× tier (VERDICT r9 item 2): the
+    lake verbs' wall seconds AND bytes written — bytes are the scale
+    signal (deterministic, immune to VM weather; DV's whole reason to
+    exist is O(changed rows) write amplification vs COW's O(touched
+    files), and at a uniform trickle every file is touched).
+
+    Protocol: orders at 100× (15M rows) lands range-partitioned into
+    32 files (bulk_load); then for each batch fraction the SAME merge
+    batch runs copy-on-write and merge-on-read back-to-back
+    (interleaved, so the pair shares VM weather), with an O(1) RESTORE
+    resetting the table between runs — restored files stay on disk, so
+    per-verb bytes = files NEW under the table root. DV deletes defer
+    a rewrite; compact_materialize prices exactly that deferred cost.
+    Seconds are single-shot (a write can't re-run without mutating
+    state); the COW/DV comparison stands on bytes + the interleaved
+    pairing, not on median-of-N."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lambda_hive_spark import lakehouse as lh
+    from lambda_hive_spark.io import table as _table
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", os.path.join(repo, ".tmp"))
+    root = os.path.join(scratch, "bench_lake")
+    shutil.rmtree(root, ignore_errors=True)
+    path = os.path.join(root, "orders")
+    base = _table(spark, corpus_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_rows = base.count()
+
+    def _timed(fn) -> tuple[float, int]:
+        before = _tree_sizes(path) if os.path.isdir(path) else {}
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        after = _tree_sizes(path)
+        return round(dt, 3), sum(sz for p, sz in after.items() if p not in before)
+
+    out: dict[str, dict] = {}
+    t, b = _timed(
+        lambda: lh.create(
+            spark, path, base.repartitionByRange(32, "o_orderkey"), key="o_orderkey"
+        )
+    )
+    out["bulk_load"] = {"sec": t, "bytes": b, "rows": n_rows}
+    base_v = lh.current_version(path)
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+
+    # incremental bulk append: 10% new keys, no rewrite on any path
+    app = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(shift)
+    )
+    t, b = _timed(lambda: lh.append(spark, path, app))
+    out["append_10pct"] = {"sec": t, "bytes": b}
+    lh.restore(spark, path, base_v)
+
+    # trickle → bulk MERGE, COW vs DV interleaved per fraction
+    for frac, mod in (("0.1pct", 1000), ("1pct", 100), ("10pct", 10)):
+        upd = base.filter(F.col("o_orderkey") % mod == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        n_upd = upd.count()
+        for mode, kw in (("cow", {}), ("dv", {"deletion_vectors": True})):
+            t, b = _timed(lambda: lh.merge_upsert(spark, path, upd, **kw))
+            out[f"merge_{mode}_{frac}"] = {"sec": t, "bytes": b, "rows_matched": n_upd}
+            lh.restore(spark, path, base_v)
+
+    # DELETE pair at a 1% uniform trickle + the deferred DV rewrite
+    for mode, kw in (("cow", {}), ("dv", {"deletion_vectors": True})):
+        t, b = _timed(
+            lambda: lh.delete_where(
+                spark, path, "o_orderkey % 100 = 7", prune="auto", **kw
+            )
+        )
+        out[f"delete_{mode}_1pct"] = {"sec": t, "bytes": b}
+        if mode == "dv":
+            t2, b2 = _timed(lambda: lh.compact(spark, path, num_files=32))
+            out["compact_materialize"] = {"sec": t2, "bytes": b2}
+        lh.restore(spark, path, base_v)
+
+    for frac in ("0.1pct", "1pct", "10pct"):
+        cow, dv = out[f"merge_cow_{frac}"], out[f"merge_dv_{frac}"]
+        out[f"merge_dv_vs_cow_{frac}"] = {
+            "bytes_ratio": round(dv["bytes"] / cow["bytes"], 4) if cow["bytes"] else None,
+            "sec_ratio": round(dv["sec"] / cow["sec"], 3) if cow["sec"] else None,
+        }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _proc_stat_sample() -> tuple[int, int] | None:
     """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
     line — sampled at tier boundaries so BENCH_DETAIL records how much
@@ -450,6 +558,26 @@ def main() -> None:
             "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
         }
 
+    # Lake write-path section at the 100× tier (VERDICT r9 item 2).
+    # Skippable via SPARK_GRAFT_BENCH_LAKE=0.
+    lake: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_LAKE", "1") != "0":
+        lake_corpus = _scale_corpus(
+            spark, sf_dir, "scale100", SCALE100_TABLES, SCALE100_SHIFT_GROUPS
+        )
+        _st0 = _proc_stat_sample()
+        try:
+            lake = {
+                "metric": "scale100_lake_write_path",
+                **_lake_write_bench(spark, lake_corpus),
+                "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
+            }
+        except Exception as ex:  # never let the side study kill the artifact
+            lake = {
+                "metric": "scale100_lake_write_path",
+                "error": f"{type(ex).__name__}: {ex}"[:300],
+            }
+
     # 1000× crossover section. Skippable via SPARK_GRAFT_BENCH_SCALE1000=0.
     scale1000: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE1000", "1") != "0":
@@ -493,6 +621,7 @@ def main() -> None:
         "duckdb_total_sec": round(sum(duck.values()), 4),
         "scale": scale,
         "scale100": scale100,
+        "lake": lake,
         "scale1000": scale1000,
         "steal_pct": headline_steal,
         "config": {
