@@ -21,6 +21,11 @@ registered via ``register()`` or resolvable through a Catalog root):
         Spark views in one query — lake names are rewritten to
         snapshot temp views, everything else passes through to
         Spark's own resolver untouched)
+    INSERT INTO <table> <SELECT … | VALUES (…), (…)>        (append)
+    INSERT INTO <table> REPLACE WHERE pred <SELECT … | VALUES …>
+        (atomic partition overwrite via replace_where — the
+        idempotent-backfill verb; the predicate must select whole
+        partitions, which replace_where itself enforces)
     UPDATE <table> SET c = expr [, …] [WHERE pred]
     DELETE FROM <table> [WHERE pred]
     MERGE INTO <table> [AS] t USING <src | (subquery)> [AS] s
@@ -180,6 +185,8 @@ class LakeSQL:
         if verb in ("SELECT", "WITH"):
             self._refuse_opts("SELECT", opts)
             return self._select(m)
+        if verb == "INSERT":
+            return self._insert(m, opts)
         if verb == "UPDATE":
             return self._update(m, opts)
         if verb == "DELETE":
@@ -200,9 +207,10 @@ class LakeSQL:
             return self._optimize(m)
         raise ValueError(
             f"unsupported statement {verb or statement!r}: this surface "
-            "covers SELECT/WITH (with VERSION AS OF), UPDATE, DELETE, "
-            "MERGE, RESTORE TABLE, DESCRIBE HISTORY, VACUUM, OPTIMIZE; "
-            "DDL (CREATE/ALTER) goes through Engine.lake()/Catalog"
+            "covers SELECT/WITH (with VERSION AS OF), INSERT, UPDATE, "
+            "DELETE, MERGE, RESTORE TABLE, DESCRIBE HISTORY, VACUUM, "
+            "OPTIMIZE; DDL (CREATE/ALTER) goes through "
+            "Engine.lake()/Catalog"
         )
 
     @staticmethod
@@ -288,6 +296,112 @@ class LakeSQL:
             lh.read(self.spark, path, version).createOrReplaceTempView(view)
             views[key] = view
         return views[key]
+
+    # -- INSERT --------------------------------------------------------
+    @staticmethod
+    def _find_query_start(text: str) -> int:
+        """Offset of the first top-level SELECT/WITH/VALUES keyword
+        (paren-depth 0; literals are masked) — the boundary between a
+        REPLACE WHERE predicate and the source query."""
+        depth = 0
+        for mo in re.finditer(r"[()]|\b(?:SELECT|WITH|VALUES)\b", text, re.I):
+            tok = mo.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return mo.start()
+        return -1
+
+    def _table_columns(self, path: str) -> list[str]:
+        schema = lh._manifest_schema(lh.read_manifest(path))
+        if schema is not None:
+            return list(schema.fieldNames())
+        return list(lh.read(self.spark, path).columns)
+
+    def _insert(self, m: _Masked, opts: dict) -> DataFrame:
+        shape_err = ValueError(
+            "INSERT shape is: INSERT INTO <table> [(c1, ...)] "
+            "[REPLACE WHERE pred] <SELECT ... | VALUES ...>"
+        )
+        pre = re.match(rf"\s*INSERT\s+INTO\s+({_IDENT})\s*", m.text, re.I)
+        if not pre:
+            raise shape_err
+        name = pre.group(1)
+        path = self._path(name)
+        rest = m.text[pre.end() :].lstrip()
+
+        cols: list[str] | None = None
+        if rest.startswith("(") and not re.match(
+            r"\(\s*(?:SELECT|WITH|VALUES)\b", rest, re.I
+        ):
+            end = self._scan_balanced(rest, 0)
+            cols = [c.strip() for c in _split_top(rest[1:end - 1])]
+            if not all(re.fullmatch(r"\w+", c) for c in cols):
+                raise ValueError(f"bad INSERT column list: {m.restore(rest[:end])}")
+            rest = rest[end:].lstrip()
+
+        pred: str | None = None
+        rw = re.match(r"REPLACE\s+WHERE\s+", rest, re.I)
+        if rw:
+            body = rest[rw.end() :]
+            qs = self._find_query_start(body)
+            if qs <= 0:
+                raise shape_err
+            pred = m.restore(body[:qs]).strip()
+            rest = body[qs:]
+        if rest.startswith("("):
+            rest = rest[1 : self._scan_balanced(rest, 0) - 1].strip()
+        if not re.match(r"(?:SELECT|WITH|VALUES)\b", rest, re.I):
+            raise shape_err
+        if re.match(r"VALUES\b", rest, re.I):
+            df = self.spark.sql(m.restore(rest))
+        else:
+            df = self._select(_Masked(m.restore(rest)))
+
+        # strict column alignment: an INSERT must cover the WHOLE table
+        # schema (a partial-column INSERT would silently null-fill —
+        # refuse and say so); explicit lists map by name, bare
+        # SELECT/VALUES map positionally.
+        tcols = self._table_columns(path)
+        if cols is not None:
+            if sorted(cols) != sorted(tcols):
+                raise ValueError(
+                    f"INSERT column list must cover the full table schema "
+                    f"{tcols} (partial-column INSERT would null-fill "
+                    f"unlisted columns); got {cols}"
+                )
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT source has {len(df.columns)} columns, "
+                    f"column list names {len(cols)}"
+                )
+            df = df.toDF(*cols).select(*tcols)
+        else:
+            if len(df.columns) != len(tcols):
+                raise ValueError(
+                    f"INSERT source has {len(df.columns)} columns, "
+                    f"table {name!r} has {len(tcols)} ({tcols})"
+                )
+            df = df.toDF(*tcols)
+        # standard SQL INSERT semantics: source values cast to the
+        # table's column types (a VALUES literal like 1.5 parses as
+        # DECIMAL(2,1); without the cast, append's strict schema check
+        # would refuse what every SQL engine accepts)
+        schema = lh._manifest_schema(lh.read_manifest(path))
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+
+        if pred is not None:
+            v = lh.replace_where(self.spark, path, pred, df, **opts)
+        else:
+            v = lh.append(self.spark, path, df, **opts)
+        return self._dml_result("INSERT", name, v)
 
     # -- UPDATE --------------------------------------------------------
     def _update(self, m: _Masked, opts: dict) -> DataFrame:

@@ -18,6 +18,7 @@ surface (MERGE/UPDATE/DELETE/VERSION AS OF/RESTORE/VACUUM/OPTIMIZE).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lambda_hive_spark import lakehouse as lh
 from lambda_hive_spark.io import table
@@ -133,6 +134,103 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
     return lsql.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM t")
+
+
+@op(
+    "lake_sql_insert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderkey % 4 AS bucket FROM orders
+),
+app AS (
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+         o_totalprice, bucket
+  FROM base WHERE o_orderkey % 20 = 0
+),
+vals(o_orderkey, o_totalprice, bucket) AS (
+  VALUES (CAST(-1 AS BIGINT), CAST(1.5 AS DOUBLE), CAST(0 AS BIGINT)),
+         (CAST(-2 AS BIGINT), CAST(2.5 AS DOUBLE), CAST(0 AS BIGINT))
+),
+pre AS (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM app
+  UNION ALL SELECT * FROM vals
+),
+rep AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, bucket
+  FROM base WHERE bucket = 3
+)
+SELECT o_orderkey, o_totalprice, bucket FROM pre WHERE bucket <> 3
+UNION ALL
+SELECT o_orderkey, o_totalprice, bucket FROM rep
+""",
+    tags=("side_effect",),
+)
+def lake_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSERT statement family through SQL strings, on a
+    PARTITIONED lake table (orders keyed by o_orderkey, partitioned by
+    bucket = o_orderkey % 4):
+
+      v2  INSERT INTO t SELECT …        — append of re-keyed rows
+          (every 20th key shifted past max; the source is an ordinary
+          Spark view, proving the SELECT passthrough composes)
+      v3  INSERT INTO t VALUES (…), (…) — literal append; the VALUES
+          literals arrive as DECIMAL/INT and the surface casts them to
+          the table schema, the standard implicit-cast-on-INSERT every
+          SQL engine performs (append's strict schema check would
+          otherwise refuse)
+      v4  INSERT INTO t REPLACE WHERE bucket = 3 SELECT … — atomic
+          partition overwrite (replace_where): partition 3 — including
+          the rows v2/v3 appended into it — swaps for a recomputed set
+          in one commit; readers see old or new, never both
+
+    plus a refusal probe: REPLACE WHERE on a NON-partition predicate
+    must raise (replace_where's own partition-column contract
+    surfacing through the SQL layer). The returned head equals the
+    oracle's relational composition (base ∪ append ∪ values, bucket 3
+    swapped), so a mis-aligned column mapping, a missed cast, or a
+    REPLACE that leaked the appended rows all hash-fail.
+
+    Scale: INSERT…SELECT is a pure append (no read-modify-write);
+    REPLACE WHERE rewrites exactly the selected partitions — the
+    idempotent-backfill verb at 100 TB ("recompute yesterday" touches
+    yesterday's files, never the table)."""
+    path = _fresh_table_dir("sqlins", sf_dir)
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    lh.create(
+        spark,
+        path,
+        base.repartition(4),
+        key="o_orderkey",
+        partition_by=["bucket"],
+    )
+    lsql = LakeSQL(spark, {"t": path})
+    base.createOrReplaceTempView("lake_sql_ins_src")
+    shift = base.agg(F.max("o_orderkey") + 1).collect()[0][0]
+
+    r = lsql.sql(
+        f"INSERT INTO t SELECT o_orderkey + {shift}, o_totalprice, bucket "
+        "FROM lake_sql_ins_src WHERE o_orderkey % 20 = 0"
+    ).collect()[0]
+    assert (r["statement"], r["version"]) == ("INSERT", 2)
+    lsql.sql("INSERT INTO t VALUES (-1, 1.5, 0), (-2, 2.5, 0)")
+    lsql.sql(
+        "INSERT INTO t REPLACE WHERE bucket = 3 "
+        "SELECT o_orderkey, o_totalprice + 10.0, bucket "
+        "FROM lake_sql_ins_src WHERE bucket = 3"
+    )
+    try:
+        lsql.sql(
+            "INSERT INTO t REPLACE WHERE o_totalprice > 0 VALUES (-3, 1.0, 0)"
+        )
+        raise AssertionError("non-partition REPLACE WHERE must refuse")
+    except ValueError:
+        pass
+    return lsql.sql("SELECT o_orderkey, o_totalprice, bucket FROM t")
 
 
 @op(

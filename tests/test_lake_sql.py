@@ -76,6 +76,43 @@ def test_update_rider_deletion_vectors(env, spark):
     assert dict(_rows(lh.read(spark, path)))[3] == -1
 
 
+# -- INSERT ------------------------------------------------------------
+
+
+def test_insert_values_and_select(env, spark):
+    lsql, path = env
+    lsql.sql("INSERT INTO t VALUES (200, 1), (201, 2)")
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[200] == 1 and got[201] == 2 and len(got) == 102
+    # column-list form maps by NAME (reversed order here)
+    lsql.sql("INSERT INTO t (val, id) VALUES (7, 300)")
+    assert dict(_rows(lh.read(spark, path)))[300] == 7
+    # SELECT source, including a lake-table read with time travel
+    lsql.sql(
+        "INSERT INTO t SELECT id + 400, val FROM t VERSION AS OF 1 WHERE id < 3"
+    )
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[400] == 0 and got[402] == 20 and len(got) == 106
+
+
+def test_insert_replace_where_partition_overwrite(spark, tmp_path):
+    lsql = LakeSQL(spark, {})
+    path = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b")], "id long, val long, part string"
+    )
+    lh.create(spark, path, df, key="id", partition_by=["part"])
+    lsql.register("pt", path)
+    lsql.sql(
+        "INSERT INTO pt REPLACE WHERE part = 'a' VALUES (9, 90, 'a')"
+    )
+    got = sorted((r["id"], r["val"], r["part"]) for r in lh.read(spark, path).collect())
+    assert got == [(3, 30, "b"), (9, 90, "a")]
+    # replace_where's own refusal (non-partition predicate) surfaces
+    with pytest.raises(ValueError):
+        lsql.sql("INSERT INTO pt REPLACE WHERE val > 0 VALUES (1, 1, 'a')")
+
+
 # -- MERGE -------------------------------------------------------------
 
 
@@ -228,8 +265,11 @@ def test_describe_history_vacuum_optimize(env, spark):
 def test_refusals(env, spark):
     lsql, _ = env
     cases = [
-        ("INSERT INTO t VALUES (1, 2)", "unsupported statement"),
+        ("TRUNCATE TABLE t", "unsupported statement"),
         ("CREATE TABLE t2 (id INT)", "unsupported statement"),
+        ("INSERT INTO t (id) VALUES (1)", "full table schema"),
+        ("INSERT INTO t VALUES (1, 2, 3)", "3 columns"),
+        ("INSERT INTO t REPLACE WHERE id < 0", "INSERT shape"),
         ("SELECT * FROM t TIMESTAMP AS OF '2026-01-01'", "TIMESTAMP AS OF"),
         ("SELECT * FROM t VERSION AS OF 1.5", "integer version"),
         ("UPDATE t SET val 1 WHERE id = 0", "SET assignment"),
