@@ -666,6 +666,19 @@ def main() -> None:
         "scale": _tier(scale),
         "scale100": _tier(scale100),
         "scale1000": _tier(scale1000),
+        # write-path headline: DV bytes as a fraction of COW on the
+        # same 1% MERGE batch (the O(changed rows) claim in one number)
+        "lake": (
+            {
+                "bulk_load_sec": lake["bulk_load"]["sec"],
+                "merge_dv_vs_cow_bytes_1pct": lake["merge_dv_vs_cow_1pct"][
+                    "bytes_ratio"
+                ],
+                "merge_dv_vs_cow_sec_1pct": lake["merge_dv_vs_cow_1pct"]["sec_ratio"],
+            }
+            if lake and "error" not in lake
+            else ({"error": lake["error"]} if lake else None)
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
