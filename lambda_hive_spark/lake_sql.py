@@ -33,7 +33,10 @@ registered via ``register()`` or resolvable through a Catalog root):
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
     RESTORE TABLE <table> TO VERSION AS OF <n | 'ref'>
+    ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (expr)
+    ALTER TABLE <table> DROP CONSTRAINT <name>
     DESCRIBE HISTORY <table>
+    SHOW PARTITIONS <table>
     VACUUM <table> [RETAIN <n> VERSIONS]
     OPTIMIZE <table> [ZORDER BY (c1 [, …])]
 
@@ -196,9 +199,15 @@ class LakeSQL:
         if verb == "RESTORE":
             self._refuse_opts("RESTORE", opts)
             return self._restore(m)
+        if verb == "ALTER":
+            self._refuse_opts("ALTER", opts)
+            return self._alter(m)
         if verb == "DESCRIBE":
             self._refuse_opts("DESCRIBE", opts)
             return self._history(m)
+        if verb == "SHOW":
+            self._refuse_opts("SHOW", opts)
+            return self._show_partitions(m)
         if verb == "VACUUM":
             self._refuse_opts("VACUUM", opts)
             return self._vacuum(m)
@@ -598,7 +607,53 @@ class LakeSQL:
         )
         return self._dml_result("RESTORE", name, v)
 
+    # -- ALTER TABLE ... CONSTRAINT ------------------------------------
+    def _alter(self, m: _Masked) -> DataFrame:
+        add = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+            rf"CHECK\s*(\(.*\))\s*",
+            m.text,
+            re.I | re.S,
+        )
+        if add:
+            name, cname, expr = add.groups()
+            v = lh.add_constraint(
+                self.spark, self._path(name), cname, m.restore(expr)
+            )
+            return self._dml_result("ALTER", name, v)
+        drop = re.fullmatch(
+            rf"\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+(\w+)\s*",
+            m.text,
+            re.I,
+        )
+        if drop:
+            name, cname = drop.groups()
+            v = lh.drop_constraint(self._path(name), cname)
+            return self._dml_result("ALTER", name, v)
+        raise ValueError(
+            "ALTER shape is: ALTER TABLE <table> ADD CONSTRAINT <name> "
+            "CHECK (expr) | DROP CONSTRAINT <name>. Other ALTERs: schema "
+            "widening goes through append(merge_schema=True), partition "
+            "spec through repartition_table, renames through the Catalog"
+        )
+
     # -- utilities -----------------------------------------------------
+    def _show_partitions(self, m: _Masked) -> DataFrame:
+        mo = re.fullmatch(
+            rf"\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*", m.text, re.I
+        )
+        if not mo:
+            raise ValueError("shape: SHOW PARTITIONS <table>")
+        parts = lh.partitions(self._path(mo.group(1)))
+        cols = [c for c in parts[0] if c not in ("files", "rows")]
+        return self.spark.createDataFrame(
+            [
+                tuple(str(p[c]) for c in cols) + (p["files"], p["rows"])
+                for p in parts
+            ],
+            ", ".join(f"`{c}` string" for c in cols) + ", files long, rows long",
+        )
+
     def _history(self, m: _Masked) -> DataFrame:
         mo = re.fullmatch(
             rf"\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*", m.text, re.I

@@ -259,6 +259,63 @@ def test_describe_history_vacuum_optimize(env, spark):
     assert z["statement"] == "OPTIMIZE"
 
 
+def test_alter_constraint_and_show_partitions(env, spark, tmp_path):
+    lsql, path = env
+    lsql.sql("ALTER TABLE t ADD CONSTRAINT nonneg CHECK (val >= 0)")
+    from lambda_hive_spark.lakehouse import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        lsql.sql("INSERT INTO t VALUES (999, -5)")
+    lsql.sql("ALTER TABLE t DROP CONSTRAINT nonneg")
+    lsql.sql("INSERT INTO t VALUES (999, -5)")  # now admitted
+    assert dict(_rows(lh.read(spark, path)))[999] == -5
+    with pytest.raises(ValueError, match="ALTER shape"):
+        lsql.sql("ALTER TABLE t RENAME TO t2")
+
+    pt = str(tmp_path / "pt2")
+    lh.create(
+        spark,
+        pt,
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id long, part string"
+        ),
+        key="id",
+        partition_by=["part"],
+    )
+    lsql.register("pt2", pt)
+    rows = {
+        r["part"]: (r["files"], r["rows"])
+        for r in lsql.sql("SHOW PARTITIONS pt2").collect()
+    }
+    assert rows["a"][1] == 2 and rows["b"][1] == 1
+
+
+def test_catalog_root_resolution(env, spark, tmp_path):
+    """Names resolve through a Catalog root when not registered
+    explicitly — governed names and ad-hoc paths compose."""
+    from lambda_hive_spark.catalog import Catalog
+    from lambda_hive_spark.lake_sql import LakeSQL as LS
+
+    _, path = env
+    root = str(tmp_path / "catroot")
+    Catalog(root).create_table("governed", path)
+    lsql = LS(spark, catalog_root=root)
+    assert lsql.sql("SELECT COUNT(*) AS n FROM governed").collect()[0]["n"] == 100
+    lsql.sql("DELETE FROM governed WHERE id >= 50")
+    assert lh.read(spark, path).count() == 50
+
+
+def test_time_travel_view_preserves_filter_pushdown(env, spark):
+    """The snapshot-view indirection must not cost the scan its
+    pushdown: a WHERE over a time-traveled lake table still reaches
+    the parquet reader as a PushedFilters entry — the 100 TB question
+    for the SELECT path."""
+    lsql, _ = env
+    df = lsql.sql("SELECT id, val FROM t VERSION AS OF 1 WHERE id = 5")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(id,5" in plan, plan
+
+
 # -- refusal paths -----------------------------------------------------
 
 
