@@ -562,17 +562,17 @@ def main() -> None:
     # Skippable via SPARK_GRAFT_BENCH_LAKE=0.
     lake: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_LAKE", "1") != "0":
-        lake_corpus = _scale_corpus(
-            spark, sf_dir, "scale100", SCALE100_TABLES, SCALE100_SHIFT_GROUPS
-        )
         _st0 = _proc_stat_sample()
-        try:
+        try:  # corpus build included: never let the side study kill the artifact
+            lake_corpus = _scale_corpus(
+                spark, sf_dir, "scale100", SCALE100_TABLES, SCALE100_SHIFT_GROUPS
+            )
             lake = {
                 "metric": "scale100_lake_write_path",
                 **_lake_write_bench(spark, lake_corpus),
                 "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
             }
-        except Exception as ex:  # never let the side study kill the artifact
+        except Exception as ex:
             lake = {
                 "metric": "scale100_lake_write_path",
                 "error": f"{type(ex).__name__}: {ex}"[:300],

@@ -76,6 +76,13 @@ _KEYWORDS = {
     "join", "left", "right", "full", "inner", "cross", "outer", "semi",
     "anti", "for", "version", "timestamp", "when", "using", "set",
     "select", "from", "with", "qualify", "window", "lateral",
+    # set operators and table suffixes: a follower from this set is
+    # part of the enclosing query, never a user alias (missing entries
+    # made the rewrite treat `FROM t EXCEPT ...` as alias `except` and
+    # drop the AS <name> re-qualification — r10 review)
+    "except", "intersect", "minus", "tablesample", "pivot", "unpivot",
+    "sort", "cluster", "distribute", "fetch", "offset", "values",
+    "natural", "grouping",
 }
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_.$]*"
@@ -155,19 +162,40 @@ class LakeSQL:
         self._tables[name] = path
         return self
 
-    def _path(self, name: str) -> str:
+    def _resolve(self, name: str) -> tuple[str, int | None, bool]:
+        """(path, pinned version | None, resolved-via-catalog).
+
+        register()'d names read/write the table head (pin None);
+        catalog names carry the catalog's pinned version for reads —
+        the all-or-nothing snapshot contract — and DML on them
+        publishes back via Catalog.refresh (_publish)."""
         if name in self._tables:
-            return self._tables[name]
+            return self._tables[name], None, False
         if self._catalog_root is not None:
             from lambda_hive_spark.catalog import Catalog
 
             t = Catalog(self._catalog_root).tables().get(name)
             if t is not None:
-                return t["path"]
+                return t["path"], t["version"], True
         raise KeyError(
             f"unknown lake table {name!r}; known: "
             f"{sorted(self._known()) or 'none'}"
         )
+
+    def _path(self, name: str) -> str:
+        return self._resolve(name)[0]
+
+    def _publish(self, name: str) -> None:
+        """After DML through a catalog-resolved name, advance the
+        catalog pin to the table's new head so catalog readers see the
+        statement's effect (the verbs move the TABLE; the catalog
+        pointer is a separate publish — without this, an UPDATE via
+        SQL was invisible to Catalog.read until a manual refresh)."""
+        _, _, via_catalog = self._resolve(name)
+        if via_catalog:
+            from lambda_hive_spark.catalog import Catalog
+
+            Catalog(self._catalog_root).refresh(name)
 
     def _known(self) -> set[str]:
         names = set(self._tables)
@@ -229,6 +257,10 @@ class LakeSQL:
 
     # -- metrics row ---------------------------------------------------
     def _dml_result(self, statement: str, table: str, version: int) -> DataFrame:
+        # every statement that reaches here moved the table head —
+        # publish the move to catalog readers when the name came from
+        # the catalog (no-op for register()'d names)
+        self._publish(table)
         return self.spark.createDataFrame(
             [(statement, table, version)],
             "statement string, table string, version long",
@@ -256,6 +288,15 @@ class LakeSQL:
         text = m.text
         views: dict[tuple[str, int | None], str] = {}
 
+        # SQL scoping: a CTE (or named window) that shadows a lake-table
+        # name wins — those names must NOT be rewritten. `x AS (` at any
+        # depth is a definition, never a table reference (r10 review:
+        # without this, WITH t AS (...) SELECT FROM t silently read the
+        # lake table instead of the CTE).
+        shadowed = {
+            mo.group(1) for mo in re.finditer(r"\b(\w+)\s+AS\s*\(", text, re.I)
+        }
+
         # 1) explicit time travel: FROM/JOIN name [FOR] VERSION AS OF x
         # (optional trailing alias preserved; alias-less references
         # keep qualifying columns by the original name via AS <name>)
@@ -267,6 +308,12 @@ class LakeSQL:
 
         def _sub_tt(mo: re.Match) -> str:
             kw, name, tok, tail = mo.group(1), mo.group(2), mo.group(3), mo.group(4) or ""
+            if name in shadowed:
+                raise ValueError(
+                    f"VERSION AS OF on {name!r}, which a CTE in this "
+                    "statement shadows — time travel applies to lake "
+                    "tables, not CTEs; rename one of them"
+                )
             path = self._path(name)  # time travel on a non-lake name is an error
             v = self._resolve_version_token(path, tok, m)
             view = self._snapshot_view(name, path, v, views)
@@ -277,24 +324,38 @@ class LakeSQL:
 
         text = tt.sub(_sub_tt, text)
 
-        # 2) bare lake names at head: rewrite only names this registry
-        # claims; alias-less references keep qualifying columns by the
-        # original name (AS <name>), existing aliases are preserved.
+        # 2) bare lake names: rewrite only names this registry claims
+        # (and the statement doesn't shadow); catalog-resolved names
+        # read at their PINNED version — the catalog's all-or-nothing
+        # snapshot contract — while register()'d paths read head.
+        # Alias-less references keep qualifying columns by the original
+        # name (AS <name>); existing aliases are preserved.
         bare = re.compile(rf"\b(FROM|JOIN)\s+({_IDENT})(\s+AS\s+{_IDENT}|\s+\w+)?", re.I)
 
         def _sub_bare(mo: re.Match) -> str:
             kw, name, tail = mo.group(1), mo.group(2), mo.group(3) or ""
-            if name not in self._known() or name.startswith("_lake_"):
+            if (
+                name in shadowed
+                or name.startswith("_lake_")
+                or name not in self._known()
+            ):
                 return mo.group(0)
-            path = self._path(name)
-            view = self._snapshot_view(name, path, None, views)
+            path, pin, _ = self._resolve(name)
+            view = self._snapshot_view(name, path, pin, views)
             follower = tail.strip().split()[0].lower() if tail.strip() else ""
             if follower and follower not in _KEYWORDS:
                 return f"{kw} {view}{tail}"  # user alias present
             return f"{kw} {view} AS {name}{tail}"
 
         text = bare.sub(_sub_bare, text)
-        return self.spark.sql(m.restore(text))
+        df = self.spark.sql(m.restore(text))
+        # Analysis is complete (spark.sql resolves eagerly): drop the
+        # snapshot views now so repeated statements in a long-lived
+        # session don't grow the session catalog without bound, and a
+        # later statement can never be served a stale head view.
+        for view in views.values():
+            self.spark.catalog.dropTempView(view)
+        return df
 
     def _snapshot_view(
         self, name: str, path: str, version: int | None, views: dict
@@ -360,9 +421,15 @@ class LakeSQL:
                 raise shape_err
             pred = m.restore(body[:qs]).strip()
             rest = body[qs:]
-        if rest.startswith("("):
+        # unwrap a parenthesized source ONLY when the parens span the
+        # whole remainder — `(SELECT ...) UNION ALL (SELECT ...)` must
+        # stay intact (r10 review: unconditional unwrapping silently
+        # dropped everything after the first balanced close-paren)
+        while rest.startswith("(") and self._scan_balanced(rest, 0) == len(
+            rest.rstrip()
+        ):
             rest = rest[1 : self._scan_balanced(rest, 0) - 1].strip()
-        if not re.match(r"(?:SELECT|WITH|VALUES)\b", rest, re.I):
+        if not re.match(r"(?:SELECT|WITH|VALUES|\()", rest, re.I):
             raise shape_err
         if re.match(r"VALUES\b", rest, re.I):
             df = self.spark.sql(m.restore(rest))
@@ -644,8 +711,12 @@ class LakeSQL:
         )
         if not mo:
             raise ValueError("shape: SHOW PARTITIONS <table>")
-        parts = lh.partitions(self._path(mo.group(1)))
-        cols = [c for c in parts[0] if c not in ("files", "rows")]
+        path = self._path(mo.group(1))
+        parts = lh.partitions(path)
+        # column names from the manifest's spec, not parts[0] — an
+        # empty partitioned table (all rows deleted) lists no
+        # partitions but must still answer with the right schema
+        cols = list(lh.read_manifest(path).get("partition_by") or [])
         return self.spark.createDataFrame(
             [
                 tuple(str(p[c]) for c in cols) + (p["files"], p["rows"])
@@ -687,6 +758,12 @@ class LakeSQL:
         if not mo:
             raise ValueError("shape: VACUUM <table> [RETAIN n VERSIONS]")
         name, keep = mo.group(1), int(mo.group(2) or 1)
+        if keep < 1:
+            raise ValueError(
+                "VACUUM ... RETAIN 0 VERSIONS would delete the current "
+                "snapshot itself (unlike Delta's RETAIN 0 HOURS, which "
+                "keeps the head); the minimum is RETAIN 1 VERSIONS"
+            )
         deleted = lh.vacuum(self._path(name), keep_last=keep)
         return self.spark.createDataFrame(
             [(name, len(deleted))], "table string, files_deleted long"

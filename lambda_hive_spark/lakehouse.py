@@ -2863,6 +2863,11 @@ def vacuum(path: str, keep_last: int = 1) -> list[str]:
     how aggressive the retention, and the guard is structural (ref
     targets join the keep set, so their manifests, data files, and
     sidecars all survive the sweep as live)."""
+    if keep_last < 1:
+        # keep_last=0 would compute an EMPTY keep set and delete every
+        # manifest including the head — the whole table, irreversibly.
+        # No caller can mean that; refuse loudly (r10 review).
+        raise ValueError(f"vacuum: keep_last must be >= 1, got {keep_last}")
     head = current_version(path)
     keep_versions = set(range(max(1, head - keep_last + 1), head + 1))
     keep_versions.update(

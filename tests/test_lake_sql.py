@@ -316,6 +316,108 @@ def test_time_travel_view_preserves_filter_pushdown(env, spark):
     assert "PushedFilters: [" in plan and "EqualTo(id,5" in plan, plan
 
 
+# -- r10 review regressions -------------------------------------------
+
+
+def test_cte_shadows_lake_name(env, spark):
+    """SQL scoping: a CTE named like a registered lake table wins —
+    the rewrite must leave it alone (review: it silently read the
+    lake table instead of the CTE)."""
+    lsql, _ = env
+    spark.range(3).createOrReplaceTempView("other_src")
+    n = lsql.sql(
+        "WITH t AS (SELECT id FROM other_src) SELECT COUNT(*) AS n FROM t"
+    ).collect()[0]["n"]
+    assert n == 3  # the CTE's 3 rows, not the lake table's 100
+    with pytest.raises(ValueError, match="shadows"):
+        lsql.sql(
+            "WITH t AS (SELECT 1 AS id) SELECT * FROM t VERSION AS OF 1"
+        )
+
+
+def test_vacuum_retain_zero_refuses(env, spark):
+    """RETAIN 0 VERSIONS would delete the head itself — refused at
+    both layers (review: it destroyed the whole table)."""
+    lsql, path = env
+    with pytest.raises(ValueError, match="RETAIN 1"):
+        lsql.sql("VACUUM t RETAIN 0 VERSIONS")
+    with pytest.raises(ValueError, match="keep_last"):
+        lh.vacuum(path, keep_last=0)
+    assert lh.read(spark, path).count() == 100  # table intact
+
+
+def test_insert_union_of_parenthesized_selects(env, spark):
+    """A parenthesized compound source must survive intact (review:
+    everything after the first balanced close-paren was dropped)."""
+    lsql, path = env
+    lsql.sql(
+        "INSERT INTO t (SELECT 500, 1) UNION ALL (SELECT 501, 2)"
+    )
+    got = dict(_rows(lh.read(spark, path)))
+    assert got[500] == 1 and got[501] == 2
+
+
+def test_catalog_pin_read_and_dml_publish(env, spark, tmp_path):
+    """Catalog-resolved SELECTs read the PINNED version (the
+    all-or-nothing snapshot contract); DML through a catalog name
+    advances the pin so Catalog.read consumers see it (review: reads
+    leaked the unpinned head and DML never published)."""
+    from lambda_hive_spark.catalog import Catalog
+    from lambda_hive_spark.lake_sql import LakeSQL as LS
+
+    _, path = env
+    root = str(tmp_path / "catroot2")
+    c = Catalog(root)
+    c.create_table("gov", path)  # pinned at v1
+    lh.delete_where(spark, path, "id >= 50")  # table head moves to v2…
+    lsql = LS(spark, catalog_root=root)
+    # …but the catalog pin still serves v1 to SQL readers
+    assert lsql.sql("SELECT COUNT(*) AS n FROM gov").collect()[0]["n"] == 100
+    # DML through the catalog name commits AND publishes the pin
+    lsql.sql("DELETE FROM gov WHERE id >= 20")
+    assert c.read(spark, "gov").count() == 20
+    assert lsql.sql("SELECT COUNT(*) AS n FROM gov").collect()[0]["n"] == 20
+
+
+def test_show_partitions_empty_table(spark, tmp_path):
+    lsql = LakeSQL(spark, {})
+    path = str(tmp_path / "ept")
+    lh.create(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a")], "id long, part string"),
+        key="id",
+        partition_by=["part"],
+    )
+    lsql.register("ept", path)
+    lsql.sql("DELETE FROM ept")
+    out = lsql.sql("SHOW PARTITIONS ept")
+    assert out.columns == ["part", "files", "rows"] and out.count() == 0
+
+
+def test_select_does_not_leak_temp_views(env, spark):
+    """Snapshot views drop after analysis — N statements must not grow
+    the session catalog by N views (review: unbounded growth)."""
+    lsql, _ = env
+    before = {v.name for v in spark.catalog.listTables()}
+    for _ in range(3):
+        assert lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"] == 100
+        lsql.sql("SELECT id FROM t VERSION AS OF 1 WHERE id = 1").collect()
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {v for v in after - before if v.startswith("_lake_")}
+
+
+def test_set_operator_follower_requalifies(env, spark):
+    """EXCEPT after a bare lake name is a set operator, not an alias —
+    the AS <name> re-qualification must still be emitted (review:
+    UNRESOLVED_COLUMN on valid SQL)."""
+    lsql, _ = env
+    rows = lsql.sql(
+        "SELECT t.id FROM t EXCEPT SELECT t.id FROM t WHERE t.id >= 1"
+    ).collect()
+    assert [r["id"] for r in rows] == [0]
+
+
 # -- refusal paths -----------------------------------------------------
 
 
