@@ -21,6 +21,10 @@ registered via ``register()`` or resolvable through a Catalog root):
         Spark views in one query — lake names are rewritten to
         snapshot temp views, everything else passes through to
         Spark's own resolver untouched)
+    SELECT … FROM CHANGES(<table>, <version>) …   (the row-level
+        change feed of one tracked commit, `_change_type` tagged —
+        read_changes as a table function; untracked commits refuse
+        with read_changes' own error)
     INSERT INTO <table> <SELECT … | VALUES (…), (…)>        (append)
     INSERT INTO <table> REPLACE WHERE pred <SELECT … | VALUES …>
         (atomic partition overwrite via replace_where — the
@@ -296,6 +300,26 @@ class LakeSQL:
         shadowed = {
             mo.group(1) for mo in re.finditer(r"\b(\w+)\s+AS\s*\(", text, re.I)
         }
+
+        # 0) change-feed table function: FROM/JOIN CHANGES(name, v)
+        cf = re.compile(
+            rf"\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,\s*"
+            rf"(\d+|\x00\d+\x00)\s*\)",
+            re.I,
+        )
+
+        def _sub_cf(mo: re.Match) -> str:
+            kw, name, tok = mo.group(1), mo.group(2), mo.group(3)
+            path = self._path(name)
+            v = self._resolve_version_token(path, tok, m)
+            key = (f"changes:{name}", v)
+            if key not in views:
+                view = f"_lake_changes_{name}_{v}_{uuid.uuid4().hex[:8]}"
+                lh.read_changes(self.spark, path, v).createOrReplaceTempView(view)
+                views[key] = view
+            return f"{kw} {views[key]} "
+
+        text = cf.sub(_sub_cf, text)
 
         # 1) explicit time travel: FROM/JOIN name [FOR] VERSION AS OF x
         # (optional trailing alias preserved; alias-less references

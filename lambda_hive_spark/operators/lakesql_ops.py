@@ -57,7 +57,10 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full DML lifecycle through SQL statement strings (r9
     judge's top-ranked gap): orders lands as a keyed lake table, then
 
-      v2  UPDATE t SET o_totalprice = … WHERE …   (IS-TRUE semantics)
+      v2  UPDATE t SET o_totalprice = … WHERE …   (IS-TRUE semantics,
+          track_changes rider; the commit's CDC feed is then read
+          back through the CHANGES(t, 2) table function and must pair
+          update_preimage/update_postimage exactly matched-count each)
       v3  DELETE FROM t WHERE o_orderkey % 10 = 7
       v4  MERGE INTO t USING (subquery) — whole-row upsert: every 15th
           key replaced at half its ORIGINAL price, every 50th key
@@ -89,9 +92,22 @@ def lake_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = lsql.sql(
         "UPDATE t SET o_totalprice = o_totalprice + 1000000.0 "
-        "WHERE o_orderkey % 6 = 0 AND o_totalprice < 120000.0"
+        "WHERE o_orderkey % 6 = 0 AND o_totalprice < 120000.0",
+        track_changes=True,
     ).collect()[0]
     assert (r["statement"], r["version"]) == ("UPDATE", 2)
+    # the commit's CDC feed through the CHANGES table function: every
+    # matched row contributes an update_preimage + update_postimage
+    n_matched = base.filter(
+        "coalesce(o_orderkey % 6 = 0 AND o_totalprice < 120000.0, false)"
+    ).count()
+    feed = lsql.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM CHANGES(t, 2) GROUP BY 1"
+    ).collect()
+    assert {r["_change_type"]: r["n"] for r in feed} == {
+        "update_preimage": n_matched,
+        "update_postimage": n_matched,
+    }
     lsql.sql("DELETE FROM t WHERE o_orderkey % 10 = 7")
     n_del = lsql.sql("SELECT COUNT(*) AS n FROM t").collect()[0]["n"]
 

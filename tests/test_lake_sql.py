@@ -316,6 +316,26 @@ def test_time_travel_view_preserves_filter_pushdown(env, spark):
     assert "PushedFilters: [" in plan and "EqualTo(id,5" in plan, plan
 
 
+def test_changes_table_function(env, spark):
+    """FROM CHANGES(t, v) serves the row-level change feed of one
+    tracked commit; untracked commits surface read_changes' own
+    refusal."""
+    lsql, path = env
+    lsql.sql("DELETE FROM t WHERE id >= 90", track_changes=True)  # v2
+    rows = lsql.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM CHANGES(t, 2) GROUP BY 1"
+    ).collect()
+    assert {r["_change_type"]: r["n"] for r in rows} == {"delete": 10}
+    # compose with an ordinary read in the same statement
+    n = lsql.sql(
+        "SELECT COUNT(*) AS n FROM CHANGES(t, 2) c JOIN t ON c.id - 80 = t.id"
+    ).collect()[0]["n"]
+    assert n == 10
+    lsql.sql("DELETE FROM t WHERE id >= 80")  # v3 untracked
+    with pytest.raises(Exception, match="track"):
+        lsql.sql("SELECT * FROM CHANGES(t, 3)")
+
+
 # -- r10 review regressions -------------------------------------------
 
 
