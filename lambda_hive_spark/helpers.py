@@ -130,6 +130,73 @@ def sql_micros_final(partial_col: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({partial_col} AS DECIMAL(38,0))) / {div} AS DOUBLE)"
 
 
+def flat_exact_agg(
+    df,
+    keys: list[str],
+    sums: list[tuple[str, str]] = (),
+    avgs: list[tuple[str, str]] = (),
+    count_star: str | None = None,
+    scale: int = 6,
+):
+    """SINGLE-level exact grouped aggregation — same bit-identical
+    doubles as hier_exact_agg/dsum, one fewer aggregate pass and one
+    fewer Exchange: Catalyst's own partial/final BIGINT sum does the
+    map-side combine on the bare group key, so the plan is
+    scan → partial agg → ONE exchange → final agg (the r8
+    agg_partial_final/agg_pivot rewrite, generalized to multi-sum/avg
+    shapes — measured 1.33×/1.47× over the two-level form at the 100×
+    tier there).
+
+    vs hier_exact_agg this additionally DEDUPLICATES source
+    expressions: a column used by both a sum and an avg (e.g. Q1's
+    l_quantity) accumulates ONE long total instead of two — the
+    two-level form materialized `_m_sum_qty` and `_m_avg_qty`
+    separately, paying the guarded-micros expression twice per row.
+
+    Exactness: identical contract to hier_exact_agg (per-row
+    half-away long micros under the 2^51 guard, one decimal division
+    at emit → the same nearest-double as sql_dsum). The long total is
+    per GROUP rather than per (group, partition): bound 2^63 micros ≈
+    9.2e12 value units, FAIL-VISIBLE via try_sum (an overflowing
+    group emits NULL and hash-mismatches any oracle, never wraps).
+    For genuinely unbounded heavy-hitter keys, hier_exact_agg's
+    per-partition partials + unbounded decimal merge remain the
+    fallback — that is the one reason to keep the two-level form.
+
+    avgs divide the shared micros total by the count of guard-admitted
+    rows (COUNT of the same CASE the sum admits) — exactly
+    hier_exact_agg's `_c` denominator, so NaN/Inf/out-of-domain rows
+    drop from numerator and denominator alike."""
+    aggs: list = []
+    finals: list[str] = []
+    shared: dict[str, str] = {}  # source expr -> micros-total alias
+
+    def _m_alias(expr: str) -> str:
+        if expr not in shared:
+            alias = f"_m{len(shared)}"
+            shared[expr] = alias
+            m = _micros_product(expr, scale)
+            half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
+            aggs.append(
+                F.expr(
+                    f"try_sum(CASE WHEN ABS({m}) < {MICROS_GUARD} "
+                    f"THEN {half_away} END) AS {alias}"
+                )
+            )
+        return shared[expr]
+
+    for name, expr in sums:
+        finals.append(f"{sql_micros_final(_m_alias(expr), scale)} AS {name}")
+    for i, (name, expr) in enumerate(avgs):
+        alias = _m_alias(expr)
+        aggs.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c{i}"))
+        finals.append(f"({sql_micros_final(alias, scale)} / _c{i}) AS {name}")
+    if count_star is not None:
+        aggs.append(F.expr(f"COUNT(*) AS {count_star}"))
+        finals.append(count_star)
+    return df.groupBy(*keys).agg(*aggs).select(*keys, *[F.expr(e) for e in finals])
+
+
 def hier_exact_agg(
     df,
     keys: list[str],

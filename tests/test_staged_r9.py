@@ -47,8 +47,10 @@ def test_r9_ops_are_registered():
     assert "side_effect" in ops["lake_deletion_vector"].tags
     assert "side_effect" in ops["catalog_txn_atomic"].tags
     # round-9 lifted the round-8 freeze: 351 + staged pair +
-    # join_star_bucketed + lake_update_where + events_global_seq
-    assert len(ops) == 356
+    # join_star_bucketed + lake_update_where + events_global_seq;
+    # round-10 build added the lake SQL surface (lake_sql_dml,
+    # lake_sql_insert) and named refs (lake_named_refs) → 359
+    assert len(ops) == 359
 
 
 def test_lake_deletion_vector_matches_oracle(spark, duck):
