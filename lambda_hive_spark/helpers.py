@@ -170,6 +170,13 @@ def flat_exact_agg(
     aggs: list = []
     finals: list[str] = []
     shared: dict[str, str] = {}  # source expr -> micros-total alias
+    div = f"CAST({10**scale} AS DECIMAL(7,0))"
+
+    def _emit(alias: str) -> str:
+        # the group total is already in `alias` — one exact decimal
+        # division, nearest-double emit (same arithmetic as
+        # sql_micros_final, minus its merge-level SUM)
+        return f"CAST(CAST({alias} AS DECIMAL(38,0)) / {div} AS DOUBLE)"
 
     def _m_alias(expr: str) -> str:
         if expr not in shared:
@@ -186,11 +193,11 @@ def flat_exact_agg(
         return shared[expr]
 
     for name, expr in sums:
-        finals.append(f"{sql_micros_final(_m_alias(expr), scale)} AS {name}")
+        finals.append(f"{_emit(_m_alias(expr))} AS {name}")
     for i, (name, expr) in enumerate(avgs):
         alias = _m_alias(expr)
         aggs.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c{i}"))
-        finals.append(f"({sql_micros_final(alias, scale)} / _c{i}) AS {name}")
+        finals.append(f"({_emit(alias)} / _c{i}) AS {name}")
     if count_star is not None:
         aggs.append(F.expr(f"COUNT(*) AS {count_star}"))
         finals.append(count_star)

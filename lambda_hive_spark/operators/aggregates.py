@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import davg, dsum, hier_exact_agg, sql_davg, sql_dsum
+from lambda_hive_spark.helpers import davg, dsum, flat_exact_agg, sql_davg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -44,15 +44,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final hash agg. At 100 TB: the filter reaches the parquet
     scan (plan-asserted in tests/test_plans.py), only 7 of 11 columns
     are read, and the shuffle after partial agg is 6 rows/partition.
-    The money sums run through hier_exact_agg (helpers.py): long-micros
-    partials per scan partition, decimal-exact merge — same bit-exact
-    doubles as a direct decimal sum, ~1.5× faster because the 128-bit
-    decimal accumulator leaves the per-row hot loop.
+    The money sums run through flat_exact_agg (helpers.py): SINGLE-
+    level long-micros try_sum — Catalyst's own partial/final BIGINT
+    sum does the map-side combine, the avg numerators share the sum
+    columns' long totals (5 distinct micros accumulators instead of
+    the two-level form's 7), and one decimal division at emit keeps
+    the doubles bit-identical to dsum/sql_dsum. r10 A/B vs the former
+    hier_exact_agg (tools/r10_flat_agg_ab.py): 0.551 s → 0.331 s at
+    sf0.1 (1.67×), 0.674 s → 0.544 s at the 100× tier (1.24×), plan
+    2 Exchanges → 1, parity EXACT at both scales (sorted-row
+    compare). History: sum(cast decimal) → hier two-level micros
+    (~1.5×, r4) → this (guide §2.4: the second aggregate pass and its
+    exchange removed outright).
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"{disc_price} * (1 + l_tax)"
-    return hier_exact_agg(
+    return flat_exact_agg(
         li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"),
         ["l_returnflag", "l_linestatus"],
         sums=[

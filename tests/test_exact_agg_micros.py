@@ -31,7 +31,12 @@ from decimal import ROUND_HALF_UP, Decimal
 import pytest
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import dsum, hier_exact_agg
+from lambda_hive_spark.helpers import dsum, flat_exact_agg, hier_exact_agg
+
+# Both exact-agg forms share the identical micros contract; every
+# contract test runs against each (r10: flat_exact_agg is the
+# single-level rewrite adopted by agg_hash / join_multiway).
+BOTH = pytest.mark.parametrize("agg", [hier_exact_agg, flat_exact_agg], ids=["hier", "flat"])
 
 
 _GUARD = 2**51  # micros-domain boundary (helpers.py hier_exact_agg)
@@ -72,25 +77,28 @@ NULLING = [
 ]
 
 
-def test_micros_match_decimal_cast_semantics(spark):
+@BOTH
+def test_micros_match_decimal_cast_semantics(spark, agg):
     rows = [(i, v) for i, v in enumerate(CLEAN)]
     df = spark.createDataFrame(rows, "id long, x double")
-    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    out = agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
     for (i, v), r in zip(rows, out):
         expect = _py_micros(v)
         got = None if r["s"] is None else round(r["s"] * 10**6)
         assert got == expect, f"x={v!r}: micros {got} != decimal-cast {expect}"
 
 
-def test_nulling_inputs_collapse_like_decimal_cast(spark):
+@BOTH
+def test_nulling_inputs_collapse_like_decimal_cast(spark, agg):
     rows = [(i, v) for i, v in enumerate(NULLING)]
     df = spark.createDataFrame(rows, "id long, x double")
-    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    out = agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
     for (_, v), r in zip(rows, out):
         assert r["s"] is None, f"x={v!r} must collapse to NULL (old cast nulled it)"
 
 
-def test_negative_half_rounds_away_from_zero(spark):
+@BOTH
+def test_negative_half_rounds_away_from_zero(spark, agg):
     # ±0.1234565 is NOT exactly representable, so no true tie exists —
     # but its nearest double's shortest repr ends in ...65 at scale 7;
     # at scale 6 both the decimal cast and the arithmetic path must
@@ -99,13 +107,14 @@ def test_negative_half_rounds_away_from_zero(spark):
     vals = [2.000001, -2.000001, 5.5, -5.5, 7.000004, -7.000004]
     rows = [(i, v) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "id long, x double")
-    out = hier_exact_agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
+    out = agg(df, ["id"], sums=[("s", "x")]).orderBy("id").collect()
     for (_, v), r in zip(rows, out):
         assert round(r["s"] * 10**6) == _py_micros(v)
         assert (r["s"] < 0) == (v < 0)
 
 
-def test_agg_equals_dsum_bitwise(spark):
+@BOTH
+def test_agg_equals_dsum_bitwise(spark, agg):
     # 4-decimal products at sf-like magnitudes, mixed signs, many rows
     # per group — the aggregated double must equal dsum's bit-for-bit.
     rows = [
@@ -115,7 +124,7 @@ def test_agg_equals_dsum_bitwise(spark):
     df = spark.createDataFrame(rows, "k long, x double").repartition(8)
     fast = {
         r["k"]: r["s"]
-        for r in hier_exact_agg(df, ["k"], sums=[("s", "x")]).collect()
+        for r in agg(df, ["k"], sums=[("s", "x")]).collect()
     }
     ref = {
         r["k"]: r["s"]
@@ -124,12 +133,13 @@ def test_agg_equals_dsum_bitwise(spark):
     assert fast == ref
 
 
-def test_avg_and_count_star_contract(spark):
+@BOTH
+def test_avg_and_count_star_contract(spark, agg):
     rows = [(1, 2.5), (1, None), (1, 3.5), (2, None)]
     df = spark.createDataFrame(rows, "k long, x double")
     out = {
         r["k"]: (r["a"], r["n"])
-        for r in hier_exact_agg(
+        for r in agg(
             df, ["k"], avgs=[("a", "x")], count_star="n"
         ).collect()
     }
@@ -138,10 +148,32 @@ def test_avg_and_count_star_contract(spark):
     assert out[2] == (None, 1)
 
 
-def test_avg_excludes_guard_nulled_from_denominator(spark):
+@BOTH
+def test_avg_excludes_guard_nulled_from_denominator(spark, agg):
     # r5 advisor: a value nulled by the micros guard (NaN/Inf/out-of-
     # domain) must not inflate the avg denominator. (2+4)/2, not /4.
     rows = [(1, 2.0), (1, 4.0), (1, float("inf")), (1, 1e13)]
     df = spark.createDataFrame(rows, "k long, x double")
-    out = hier_exact_agg(df, ["k"], avgs=[("a", "x")]).collect()
+    out = agg(df, ["k"], avgs=[("a", "x")]).collect()
     assert out[0]["a"] == 3.0
+
+
+def test_flat_dedups_shared_sum_avg_accumulator(spark):
+    """flat_exact_agg's dedup: a column used by BOTH a sum and an avg
+    accumulates ONE long total (the Q1 l_quantity shape). The plan
+    must carry exactly as many try_sum buffers as DISTINCT source
+    expressions, and the outputs must still match hier_exact_agg
+    bit-for-bit."""
+    rows = [(i % 3, round(i * 0.37, 2)) for i in range(999)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    flat = flat_exact_agg(
+        df, ["k"], sums=[("s", "x")], avgs=[("a", "x")], count_star="n"
+    )
+    plan = flat._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("try_sum") == 1, plan
+    hier = hier_exact_agg(
+        df, ["k"], sums=[("s", "x")], avgs=[("a", "x")], count_star="n"
+    )
+    f = sorted(map(tuple, flat.collect()))
+    h = sorted(map(tuple, hier.collect()))
+    assert f == h
