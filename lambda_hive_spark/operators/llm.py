@@ -852,19 +852,31 @@ def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: explode → tf per (doc,term), df per term, idf=ln(N/df)
     rounded to 6 (transcendental; see functions.py note), tfidf exact
     product. df table broadcasts at scale (vocabulary-bounded). The
-    diamond (df derives from tf, joined back to tf) does execute the
-    explode+groupBy subtree twice — measured FASTER than the
+    diamond (df derives from tf, joined back to tf) beats the
     single-pass COUNT() OVER (PARTITION BY term) rewrite (0.5 s vs
     1.0 s at sf0.1): the window's mandatory sort over a million string
-    keys costs more than a second explode pass, and the broadcast keeps
-    the probe side shuffle-free."""
+    keys costs more, and the broadcast keeps the probe side
+    shuffle-free.
+
+    r10 (guide §2.4, remove shuffles outright): the df branch keeps a
+    tautological `tf >= 1` filter. Without it Catalyst prunes the tf
+    count off the df branch (its partial agg degenerates to a
+    distinct), the two tf subtrees stop being byte-identical, and AQE
+    stage reuse cannot fire — measured 0 ReusedQueryStage, i.e. the
+    corpus tokenize+explode+shuffle ran TWICE (the plan-doc's old
+    "executes the subtree twice" cost). With the filter the branches
+    canonicalize identically and the tf shuffle materializes ONCE
+    (1 ReusedQueryStage, 3→2 executed shuffle stages; interleaved
+    1.09× at sf0.1; at 100 TB this halves the dominant tokenize
+    cost of the query). `tf >= 1` is a tautology on a COUNT(*) — the
+    filter drops no rows, parity EXACT by sorted-row compare."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df = tf.filter(F.col("tf") >= 1).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # scalar, known at plan time; not a per-row collect
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     return tf.join(F.broadcast(df.select("term", idf.alias("idf"))), "term").select(

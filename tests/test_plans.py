@@ -674,3 +674,18 @@ def test_no_corpus_sized_global_window(spark):
     plan = _plan(spark, "ts_rate_changepoint")
     assert "TakeOrderedAndProject" in plan, "top-10 lost the heap plan"
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tfidf_reuses_tf_shuffle_stage(spark):
+    """r10: the df branch must stay byte-identical to the tf branch so
+    AQE stage reuse materializes the tokenize+explode+count shuffle
+    ONCE (the tautological tf >= 1 filter exists for exactly this;
+    without it Catalyst prunes the count off the df branch and reuse
+    cannot fire — the corpus would be tokenized twice)."""
+    from lambda_hive_spark.registry import all_ops
+
+    df = all_ops()["text_tf_idf"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedQueryStage") + plan.count("ReusedExchange") >= 1, plan[:800]
