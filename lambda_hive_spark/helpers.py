@@ -147,6 +147,19 @@ def flat_exact_agg(
     shapes — measured 1.33×/1.47× over the two-level form at the 100×
     tier there).
 
+    PRECONDITION — KEY-BOUNDED GROUPS ONLY. The long total here is per
+    GROUP, so a group whose row count grows with the corpus (Q1's six
+    (returnflag, linestatus) groups, a per-(region, nation) rollup)
+    overflows 2^63 micros at large corpus sizes: Q1's groups reach 31%
+    of the bound already at the local 1000× tier and overflow ~300× at
+    100 TB (r10 adjudication, tools/r10_q1_variants.py — measured
+    1.67× faster locally and still rejected). try_sum keeps the
+    failure visible (NULL, never a wrap), but an op that NULLs at
+    target scale is the wrong design: use hier_exact_agg (partition-
+    bounded partials, unbounded decimal merge) for corpus-sized
+    groups. agg_partial_final (per-suppkey) and agg_pivot (per-user)
+    are the key-bounded shapes this form is for.
+
     vs hier_exact_agg this additionally DEDUPLICATES source
     expressions: a column used by both a sum and an avg (e.g. Q1's
     l_quantity) accumulates ONE long total instead of two — the
@@ -265,14 +278,28 @@ def hier_exact_agg(
     that build time was a third of the wall clock.
     """
     partials, finals = [], []
+    # r10: one long-micros partial per DISTINCT source expression — a
+    # column used by both a sum and an avg (Q1's l_quantity,
+    # l_extendedprice) previously accumulated twice; sharing the
+    # partial drops Q1 from 7 to 5 micros accumulators in the per-row
+    # hot loop. Values are unchanged by construction (the merge sums
+    # the identical partial column).
+    shared: dict[str, str] = {}
+
+    def _m_col(expr: str) -> str:
+        if expr not in shared:
+            alias = f"_m{len(shared)}"
+            shared[expr] = alias
+            partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS {alias}"))
+        return shared[expr]
+
     for name, expr in sums:
-        partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS _m_{name}"))
-        finals.append(F.expr(f"{sql_micros_final(f'_m_{name}', scale)} AS {name}"))
+        finals.append(F.expr(f"{sql_micros_final(_m_col(expr), scale)} AS {name}"))
     for name, expr in avgs:
-        partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS _m_{name}"))
+        alias = _m_col(expr)
         partials.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c_{name}"))
         finals.append(
-            F.expr(f"{sql_micros_final(f'_m_{name}', scale)} / SUM(_c_{name}) AS {name}")
+            F.expr(f"{sql_micros_final(alias, scale)} / SUM(_c_{name}) AS {name}")
         )
     if count_star is not None:
         partials.append(F.expr("COUNT(*) AS _n"))

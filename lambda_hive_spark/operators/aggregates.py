@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lambda_hive_spark.helpers import davg, dsum, flat_exact_agg, sql_davg, sql_dsum
+from lambda_hive_spark.helpers import davg, dsum, hier_exact_agg, sql_davg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -44,23 +44,36 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial/final hash agg. At 100 TB: the filter reaches the parquet
     scan (plan-asserted in tests/test_plans.py), only 7 of 11 columns
     are read, and the shuffle after partial agg is 6 rows/partition.
-    The money sums run through flat_exact_agg (helpers.py): SINGLE-
-    level long-micros try_sum — Catalyst's own partial/final BIGINT
-    sum does the map-side combine, the avg numerators share the sum
-    columns' long totals (5 distinct micros accumulators instead of
-    the two-level form's 7), and one decimal division at emit keeps
-    the doubles bit-identical to dsum/sql_dsum. r10 A/B vs the former
-    hier_exact_agg (tools/r10_flat_agg_ab.py): 0.551 s → 0.331 s at
-    sf0.1 (1.67×), 0.674 s → 0.544 s at the 100× tier (1.24×), plan
-    2 Exchanges → 1, parity EXACT at both scales (sorted-row
-    compare). History: sum(cast decimal) → hier two-level micros
-    (~1.5×, r4) → this (guide §2.4: the second aggregate pass and its
-    exchange removed outright).
+    The money sums run through hier_exact_agg (helpers.py): long-micros
+    partials per scan partition, decimal-exact merge — same bit-exact
+    doubles as a direct decimal sum, ~1.5× faster because the 128-bit
+    decimal accumulator leaves the per-row hot loop. r10 sharpened it:
+    a column used by both a sum and an avg accumulates ONE long
+    partial (Q1: 7 → 5 accumulators), values unchanged by
+    construction.
+
+    Why NOT the single-level try_sum that agg_partial_final/agg_pivot
+    use (r10 adjudication, tools/r10_q1_variants.py — re-confirming
+    BASELINE §7 addendum 18): Q1 has SIX corpus-sized groups, so the
+    int64 group-total bound (9.2e12 value units) is real here — the
+    local 1000× corpus already reaches 31% of 2^63 micros on
+    sum_base_price, and a 100 TB corpus (~10^6× sf0.1) overflows it
+    ~300×; try_sum would fail visibly (NULL), but a flagship that
+    NULLs at target scale is the wrong design. Measured alternatives,
+    all parity-EXACT at sf0.1+100×: single-level int64 try_sum 1.67×
+    at sf0.1 / 1.24× at 100× but UNSAFE as above; single-level
+    decimal-accumulator sum (long micros cast to DECIMAL(38,0) per
+    row) 0.99× / 0.39× — the 128-bit accumulator back in the hot loop;
+    split whole+frac int64 try_sums (bound ~2 EB) 1.25× / 0.95× —
+    doubled buffers cost at row volume. The partition-bounded
+    two-level form stays: its partials overflow only if ONE scan
+    partition sums past 9.2e12 value units, and its merge is
+    unbounded decimal.
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"{disc_price} * (1 + l_tax)"
-    return flat_exact_agg(
+    return hier_exact_agg(
         li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"),
         ["l_returnflag", "l_linestatus"],
         sums=[

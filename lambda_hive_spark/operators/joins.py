@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lambda_hive_spark.helpers import dsum, flat_exact_agg, sql_dsum
+from lambda_hive_spark.helpers import dsum, hier_exact_agg, sql_dsum
 from lambda_hive_spark.io import table
 from lambda_hive_spark.registry import op
 
@@ -302,12 +302,14 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     always above it, which is exactly the declaration the hint makes.
     Output is join-strategy-independent (restamp-proven).
 
-    r10: the revenue aggregation moved from hier_exact_agg to the
-    single-level flat_exact_agg (guide §2.4 — one aggregate pass and
-    one Exchange removed). A/B (tools/r10_flat_agg_ab.py): 0.738 s →
-    0.649 s at sf0.1 (1.14×), 6.88 s → 5.74 s at the 100× tier
-    (1.20×, same-session interleave), plan 6 Exchanges → 5, parity
-    EXACT at both scales."""
+    r10 adjudication: the single-level try_sum rewrite (one fewer
+    aggregate pass and Exchange) measured 1.14× at sf0.1 / 1.20× at
+    the 100× tier (tools/r10_flat_agg_ab.py, parity EXACT) but was
+    NOT adopted: the ~25 (region, nation) groups are corpus-sized, so
+    the int64 group-total bound (9.2e12 value units) overflows at a
+    100 TB corpus — same adjudication as agg_hash (see its docstring
+    and BASELINE §7 addendum 18). The partition-bounded two-level
+    hier_exact_agg stays."""
     from lambda_hive_spark.io import table_bytes
     from lambda_hive_spark.session import _BROADCAST_THRESHOLD
 
@@ -330,7 +332,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    return flat_exact_agg(joined, ["r_name", "n_name"], sums=[("revenue", revenue)])
+    return hier_exact_agg(joined, ["r_name", "n_name"], sums=[("revenue", revenue)])
 
 
 @op(

@@ -384,18 +384,22 @@ def test_headline_shuffle_counts_do_not_regress(spark):
     regression long before it is a local wall-clock one."""
     from lambda_hive_spark.registry import all_ops
 
-    # r10: agg_hash / join_multiway moved from hier_exact_agg's
-    # two-level (group, pid) merge to flat_exact_agg's single-level
-    # long-micros try_sum (helpers.py) — one aggregate pass and one
-    # Exchange fewer each (A/B: 1.67×/1.14× at sf0.1, 1.24×/1.20× at
-    # the 100× tier, parity EXACT; tools/r10_flat_agg_ab.py).
+    # agg_hash / join_multiway carry one extra audited Exchange from
+    # hier_exact_agg (helpers.py): its decimal merge level re-shuffles
+    # one row per (group, input partition) — bytes are negligible at
+    # any scale. r10 re-adjudicated the single-level try_sum rewrite
+    # (1.67×/1.14× at sf0.1, parity EXACT) and REJECTED it for both:
+    # their groups are corpus-sized, so the int64 group total
+    # overflows at 100 TB (tools/r10_q1_variants.py; the ops'
+    # docstrings and BASELINE §7 addendum 18 carry the record).
     AUDITED_MAX = {
-        "agg_hash": 1,
+        "agg_hash": 2,
         # r8: single-level long-micros try_sum (advagg.py) — Catalyst's
-        # own partial/final sum, ONE exchange; the former two-level
-        # (key, pid) merge and its second exchange are gone.
+        # own partial/final sum, ONE exchange; safe there because
+        # suppkey groups are key-bounded, unlike Q1's 6 corpus-sized
+        # groups.
         "agg_partial_final": 1,
-        "join_multiway": 5,
+        "join_multiway": 6,
         "join_asof": 2,
         "win_topk_per_group": 1,
         # agg_pivot r8: same single-level rewrite (INT type codes kept,
