@@ -578,6 +578,32 @@ def main() -> None:
                 "error": f"{type(ex).__name__}: {ex}"[:300],
             }
 
+    # Streaming family wall-clock (VERDICT r10 item 6): the 13 stream_*
+    # ops had never appeared in any timed tier. One true availableNow
+    # micro-batch pipeline is timed end-to-end: stream_sink streams the
+    # events fixture through the exactly-once parquet committer
+    # (checkpointed), reads the sink back and aggregates — op fn + noop
+    # sink, median-of-3 after warm-up, the same methodology as every
+    # other tier. Each run re-streams into a fresh uuid-named scratch
+    # dir, so nothing is cached across runs. Additions-only harness
+    # change; skippable via SPARK_GRAFT_BENCH_STREAMING=0.
+    streaming: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        _st0 = _proc_stat_sample()
+        try:
+            s_sec = round(_time_spark(ops["stream_sink"].fn, spark, sf_dir, 3), 4)
+            streaming = {
+                "metric": "streaming_availablenow_wall_sec",
+                "stream_sink_sec": s_sec,
+                "runs": 3,
+                "steal_pct": _steal_pct(_st0, _proc_stat_sample()),
+            }
+        except Exception as ex:  # never let the side study kill the artifact
+            streaming = {
+                "metric": "streaming_availablenow_wall_sec",
+                "error": f"{type(ex).__name__}: {ex}"[:300],
+            }
+
     # 1000× crossover section. Skippable via SPARK_GRAFT_BENCH_SCALE1000=0.
     scale1000: dict | None = None
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE1000", "1") != "0":
@@ -622,6 +648,7 @@ def main() -> None:
         "scale": scale,
         "scale100": scale100,
         "lake": lake,
+        "streaming": streaming,
         "scale1000": scale1000,
         "steal_pct": headline_steal,
         "config": {
@@ -679,6 +706,7 @@ def main() -> None:
             if lake and "error" not in lake
             else ({"error": lake["error"]} if lake else None)
         ),
+        "streaming": streaming,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

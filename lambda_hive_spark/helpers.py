@@ -178,11 +178,19 @@ def flat_exact_agg(
 
     avgs divide the shared micros total by the count of guard-admitted
     rows (COUNT of the same CASE the sum admits) — exactly
-    hier_exact_agg's `_c` denominator, so NaN/Inf/out-of-domain rows
-    drop from numerator and denominator alike."""
+    hier_exact_agg's count denominator, so NaN/Inf/out-of-domain rows
+    drop from numerator and denominator alike. The count accumulator
+    is ALSO keyed on the source expression (ADVICE r10): two avgs over
+    the same expr share one COUNT buffer, consistent with the micros
+    dedup.
+
+    Internal aliases are `__lhs_`-prefixed (ADVICE r10: the old bare
+    `_m0`/`_c0` could collide with caller columns since groupBy/select
+    resolve by name)."""
     aggs: list = []
     finals: list[str] = []
     shared: dict[str, str] = {}  # source expr -> micros-total alias
+    shared_counts: dict[str, str] = {}  # source expr -> guard-count alias
     div = f"CAST({10**scale} AS DECIMAL(7,0))"
 
     def _emit(alias: str) -> str:
@@ -193,7 +201,7 @@ def flat_exact_agg(
 
     def _m_alias(expr: str) -> str:
         if expr not in shared:
-            alias = f"_m{len(shared)}"
+            alias = f"__lhs_m{len(shared)}"
             shared[expr] = alias
             m = _micros_product(expr, scale)
             half_away = f"CAST(SIGN({m}) * FLOOR(ABS({m}) + 0.5D) AS BIGINT)"
@@ -205,12 +213,17 @@ def flat_exact_agg(
             )
         return shared[expr]
 
+    def _c_alias(expr: str) -> str:
+        if expr not in shared_counts:
+            alias = f"__lhs_c{len(shared_counts)}"
+            shared_counts[expr] = alias
+            aggs.append(F.expr(f"{sql_micros_count(expr, scale)} AS {alias}"))
+        return shared_counts[expr]
+
     for name, expr in sums:
         finals.append(f"{_emit(_m_alias(expr))} AS {name}")
-    for i, (name, expr) in enumerate(avgs):
-        alias = _m_alias(expr)
-        aggs.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c{i}"))
-        finals.append(f"({_emit(alias)} / _c{i}) AS {name}")
+    for name, expr in avgs:
+        finals.append(f"({_emit(_m_alias(expr))} / {_c_alias(expr)}) AS {name}")
     if count_star is not None:
         aggs.append(F.expr(f"COUNT(*) AS {count_star}"))
         finals.append(count_star)
@@ -288,24 +301,27 @@ def hier_exact_agg(
 
     def _m_col(expr: str) -> str:
         if expr not in shared:
-            alias = f"_m{len(shared)}"
+            alias = f"__lhs_m{len(shared)}"
             shared[expr] = alias
             partials.append(F.expr(f"{sql_micros_sum(expr, scale)} AS {alias}"))
         return shared[expr]
 
+    # Internal aliases are `__lhs_`-prefixed (ADVICE r10: bare _m0/_pid
+    # could collide with caller column names); all are dropped by the
+    # final-level groupBy, so outputs are unchanged.
     for name, expr in sums:
         finals.append(F.expr(f"{sql_micros_final(_m_col(expr), scale)} AS {name}"))
     for name, expr in avgs:
         alias = _m_col(expr)
-        partials.append(F.expr(f"{sql_micros_count(expr, scale)} AS _c_{name}"))
+        partials.append(F.expr(f"{sql_micros_count(expr, scale)} AS __lhs_c_{name}"))
         finals.append(
-            F.expr(f"{sql_micros_final(alias, scale)} / SUM(_c_{name}) AS {name}")
+            F.expr(f"{sql_micros_final(alias, scale)} / SUM(__lhs_c_{name}) AS {name}")
         )
     if count_star is not None:
-        partials.append(F.expr("COUNT(*) AS _n"))
-        finals.append(F.expr(f"SUM(_n) AS {count_star}"))
+        partials.append(F.expr("COUNT(*) AS __lhs_n"))
+        finals.append(F.expr(f"SUM(__lhs_n) AS {count_star}"))
     return (
-        df.groupBy(*keys, F.expr("spark_partition_id() AS _pid"))
+        df.groupBy(*keys, F.expr("spark_partition_id() AS __lhs_pid"))
         .agg(*partials)
         .groupBy(*keys)
         .agg(*finals)

@@ -34,8 +34,14 @@ from pyspark.sql import functions as F
 from lambda_hive_spark.helpers import dsum, flat_exact_agg, hier_exact_agg
 
 # Both exact-agg forms share the identical micros contract; every
-# contract test runs against each (r10: flat_exact_agg is the
-# single-level rewrite adopted by agg_hash / join_multiway).
+# contract test runs against each. History (ADVICE r10): the r10
+# single-level rewrite was briefly adopted by agg_hash / join_multiway
+# and then REVERTED (corpus-sized groups overflow the int64 group
+# total at 100 TB — tools/r10_q1_variants.py); flat_exact_agg is the
+# KEY-BOUNDED-GROUPS form, and since r11 agg_partial_final is its
+# production caller (agg_pivot keeps its inline INT-code conditional
+# form: the shared guarded-micros value computes once per row there,
+# which the generic helper's per-sum expressions would redo 6×).
 BOTH = pytest.mark.parametrize("agg", [hier_exact_agg, flat_exact_agg], ids=["hier", "flat"])
 
 
@@ -156,6 +162,31 @@ def test_avg_excludes_guard_nulled_from_denominator(spark, agg):
     df = spark.createDataFrame(rows, "k long, x double")
     out = agg(df, ["k"], avgs=[("a", "x")]).collect()
     assert out[0]["a"] == 3.0
+
+
+def test_flat_dedups_shared_avg_count_accumulator(spark):
+    """ADVICE r10: two avgs over the SAME source expression must share
+    one COUNT accumulator (keyed on the expr, like the micros dedup) —
+    and of course emit identical values."""
+    rows = [(i % 3, round(i * 0.37, 2)) for i in range(99)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    flat = flat_exact_agg(df, ["k"], avgs=[("a1", "x"), ("a2", "x")])
+    plan = flat._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("try_sum") == 1, plan
+    assert plan.count("count(CASE WHEN") == 1, plan
+    for r in flat.collect():
+        assert r["a1"] == r["a2"]
+
+
+@BOTH
+def test_internal_aliases_do_not_collide_with_caller_columns(spark, agg):
+    """ADVICE r10: generated aliases are __lhs_-prefixed so a caller
+    column literally named _m0 / _c0 / _pid cannot be captured by the
+    helper's groupBy/select name resolution."""
+    rows = [(1, 2.0, 7.0), (1, 4.0, 8.0)]
+    df = spark.createDataFrame(rows, "_m0 long, x double, _pid double")
+    out = agg(df, ["_m0"], sums=[("s", "x")], avgs=[("a", "_pid")]).collect()
+    assert out[0]["s"] == 6.0 and out[0]["a"] == 7.5
 
 
 def test_flat_dedups_shared_sum_avg_accumulator(spark):

@@ -685,7 +685,14 @@ def test_tfidf_reuses_tf_shuffle_stage(spark):
     AQE stage reuse materializes the tokenize+explode+count shuffle
     ONCE (the tautological tf >= 1 filter exists for exactly this;
     without it Catalyst prunes the count off the df branch and reuse
-    cannot fire — the corpus would be tokenized twice)."""
+    cannot fire — the corpus would be tokenized twice).
+
+    TRIAGE NOTE (ADVICE r10): a failure here is a PERFORMANCE fence
+    tripping, not data corruption — results stay correct; it means a
+    Spark upgrade (e.g. one that simplifies the tautological filter)
+    regressed plan-shape reuse and the tokenize pass now runs twice.
+    Fix the reuse (localCheckpoint the tf subtree is the fallback
+    lever), don't suspect the data."""
     from lambda_hive_spark.registry import all_ops
 
     df = all_ops()["text_tf_idf"].fn(spark, SF_DIR)
@@ -693,3 +700,40 @@ def test_tfidf_reuses_tf_shuffle_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedQueryStage") + plan.count("ReusedExchange") >= 1, plan[:800]
+
+
+# r11 (VERDICT r10 item 3): the five >25-static-Exchange diamond
+# pipelines rely on AQE RUNTIME stage reuse to execute their repeated
+# subtrees once — nothing pinned that until now. Minimums are the
+# counts probed at sf0.01 on Spark 4.1 (tools/r11_reuse_probe.py).
+_DIAMOND_REUSE_MIN = {
+    "text_lang_divergence_tv": 8,
+    "dedup_near_minhash": 6,
+    "sim_recall_eval": 4,
+    "customer_rfm_segments": 4,
+    "dedup_threshold_sweep": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DIAMOND_REUSE_MIN))
+def test_diamond_pipeline_stage_reuse(spark, name):
+    """AQE must reuse the diamond subtrees' shuffle stages at runtime.
+
+    TRIAGE NOTE: a failure here is a PERFORMANCE fence tripping, not
+    data corruption — results stay correct; it means a Spark upgrade
+    regressed exchange canonicalization/reuse and the repeated
+    subtrees (tokenize/shingle/band passes) now execute more than
+    once. The fallback lever is localCheckpoint on the shared subtree
+    (guide §3.3); apply it and record the A/B rather than suspecting
+    the data."""
+    from lambda_hive_spark.registry import all_ops
+
+    df = all_ops()[name].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    reuse = plan.count("ReusedQueryStage") + plan.count("ReusedExchange")
+    assert reuse >= _DIAMOND_REUSE_MIN[name], (
+        f"{name}: {reuse} reused stages < audited {_DIAMOND_REUSE_MIN[name]} "
+        "(perf fence, not a correctness failure)"
+    )
