@@ -900,8 +900,16 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain groupBy — the rolling variants need a per-day window over
     a (day × user) distinct projection, which at 100 TB is the same
     projection fed to a 7/30-day range frame."""
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("day")
+    # r11 (guide §6): the week/month join keys made Catalyst infer
+    # isnotnull(date_trunc(...cast(ts)...)) — unpushable derived
+    # expressions (PushedFilters stayed empty on all three scans). The
+    # base-column guard is semantics-identical (date_trunc of a
+    # non-null ts is never null; null-day rows were already dropped by
+    # the inner joins) and pushes IsNotNull(ts) into every scan.
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
     )
     dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     wau = ev.groupBy(F.date_trunc("week", "day").alias("week")).agg(

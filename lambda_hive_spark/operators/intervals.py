@@ -66,8 +66,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     All interval math is integer day numbers (datediff from epoch) —
     no timestamp arithmetic to drift between engines."""
     epoch = F.lit("1970-01-01").cast("date")
+    # r11 (guide §6): Catalyst infers isnotnull(datediff(to_date(
+    # o_orderdate), epoch)) from the bucket join key but cannot push a
+    # derived expression to the parquet scan (PushedFilters stayed
+    # empty). The base-column guard below is semantics-identical
+    # (datediff of a non-null date is never null, and null-key rows
+    # were already dropped by the inner bucket join) and DOES push —
+    # at 100 TB the scan skips all-null pages/row-groups via parquet
+    # null-count stats instead of materializing them.
     o = (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .select(
             "o_orderkey",
             F.datediff(F.to_date("o_orderdate"), epoch).alias("s_day"),

@@ -139,7 +139,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_intersect verify) ran 6.1 s vs 3.9 s here — its extra df
     join + per-doc window sort cost more than the avoided expansion at
     this duplication profile. It only pays when boilerplate shingles
-    create huge buckets, which the df-cap already bounds."""
+    create huge buckets, which the df-cap already bounds.
+
+    r11 (guide §1.2 "per-task work"): each bucket's i<j pair expansion
+    is two chained Generate nodes (posexplode over the sorted ids,
+    then explode over the j>i slice) instead of the former
+    interpreted nested transform+flatten that materialized the whole
+    pair-struct array per bucket before its own explode — same pair
+    stream, same order, but the per-pair construction runs in
+    codegen'd Generates rather than the interpreted HOF evaluator.
+    Interleaved A/B at the 10× corpus (real duplicates, 9× pair work):
+    1.21× at the one ≤3%-steal session, 1.09–1.31× across four
+    sessions, every session positive; parity EXACT at sf0.1 and 10×.
+
+    r11 measured + REJECTED (tools/r11_shuffle_bytes.py): xxhash64-
+    encoding shingles to int64 for the bucket exchange (VERDICT r10
+    item 1). The premise inverted under measurement: the PAIR exchange
+    dominates this op's shuffle — 20.4 MB / 1.27M rows / 16.1 B-per-row
+    compressed at sf0.1 vs the shingle exchange's 5.7 MB / 260k rows —
+    and it is already all-fixed-width. Hashing narrows only the
+    shingle exchange (22.0 → 15.7 B/row compressed, dataSize 13.2 →
+    8.3 MB), i.e. ~6% of the op's total shuffle bytes, is wall-clock
+    neutral-to-negative locally, and would trade away bit-exactness
+    (a 64-bit collision merges two buckets) on an op whose contract
+    says EXACT. Carrying na/nb in the pair rows stays cheaper than any
+    join-back: a sizes join would re-run the tokenize+shingle pass —
+    the dominant 100 TB cost — once more per side."""
     par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     max_df = int(os.environ.get("SPARK_GRAFT_JACCARD_MAX_DF", "10000"))
     sh = _docs_with_shingles(spark, sf_dir)
@@ -160,26 +185,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("d")).alias("ids"))
         .filter(F.size("ids").between(2, max_df))
     )
-    n = F.size("ids")
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), n - i - 1),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["n_sh"].alias("na"),
-                    y["n_sh"].alias("nb"),
-                ),
-            ),
-        )
+    # i<j pair expansion: posexplode picks each anchor (0-based i),
+    # the second explode walks the 1-based slice starting at i+2 —
+    # exactly the elements after the anchor in the sorted bucket.
+    t1 = buckets.select("ids", F.posexplode("ids").alias("i", "a"))
+    t2 = t1.select(
+        "a",
+        F.explode(
+            F.slice("ids", F.col("i") + F.lit(2), F.size("ids") - F.col("i") - 1)
+        ).alias("b"),
     )
     # na/nb are functionally dependent on doc_a/doc_b — adding them to
     # the grouping keys keeps cardinality identical.
     pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        t2.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .repartition(par, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))

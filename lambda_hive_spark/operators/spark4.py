@@ -216,7 +216,16 @@ def ts_spine_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth is ~30 here and ~36k for a century. Left-joining the daily
     counts zero-fills gaps; complements ts_gap_fill's
     sequence+explode formulation with the portable-SQL one."""
-    ev = table(spark, sf_dir, "events").select(F.to_date("ts").alias("day"))
+    # r11 (guide §6): the left join's right-side key made Catalyst
+    # infer isnotnull(cast(cast(ts))) — an unpushable cast chain. The
+    # base-column guard is semantics-identical (a null-day count group
+    # can never match the non-null spine; min/max ignore nulls) and
+    # pushes IsNotNull(ts) into the scan.
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"))
+    )
     d0, d1 = ev.agg(F.min("day"), F.max("day")).collect()[0]  # bounded 1-row fetch
     counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
     counts.createOrReplaceTempView("__spine_counts")

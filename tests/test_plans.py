@@ -436,6 +436,18 @@ def test_cache_reuse_serves_from_memory(spark):
         table(spark, SF_DIR, "customer").unpersist()
 
 
+def test_jaccard_pair_expansion_is_chained_generates(spark):
+    """r11: the i<j pair expansion must stay two chained Generate
+    nodes (posexplode anchor + explode of the j>i slice) — the codegen
+    path measured 1.2x over the interpreted nested-transform+flatten
+    form at the 10x corpus. A plan that regresses to a single Generate
+    over a flattened pair array re-enters the interpreted HOF
+    evaluator for every pair (perf fence, not a correctness failure)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "Generate posexplode" in plan, plan[:600]
+    assert plan.count("Generate ") >= 3  # shingle explode + anchor + slice
+
+
 def test_generate_has_no_inferred_prefilter(spark):
     """InferFiltersFromGenerate must stay excluded (session.py): it
     rewrites explode(expr) into a size()>0/isnotnull pre-filter that

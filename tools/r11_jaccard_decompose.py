@@ -110,8 +110,11 @@ def _tail_chained(buckets, par):
 
 
 def _full(spark, sf_dir, kind: str):
-    if kind == "d":
+    if kind == "d":  # hashed shingles + chained-explode expansion
         buckets, par = _buckets(spark, sf_dir, "b")
+        return _tail_chained(buckets, par)
+    if kind == "e":  # string shingles (committed) + chained expansion
+        buckets, par = _buckets(spark, sf_dir, "a")
         return _tail_chained(buckets, par)
     buckets, par = _buckets(spark, sf_dir, kind)
     return _tail(spark, sf_dir, buckets, par)
@@ -120,7 +123,9 @@ def _full(spark, sf_dir, kind: str):
 def main():
     spark = get_spark("r11_jaccard_decompose")
     sdirs = [(SF_DIR, "sf0.1")]
-    if len(sys.argv) <= 2 or sys.argv[2] == "10x":
+    if len(sys.argv) > 2 and sys.argv[2] == "10xonly":
+        sdirs = [(_scale_corpus(spark, SF_DIR), "scale10")]
+    elif len(sys.argv) <= 2 or sys.argv[2] == "10x":
         sdirs.append((_scale_corpus(spark, SF_DIR), "scale10"))
 
     builders = {
@@ -128,7 +133,9 @@ def main():
         "p2": lambda k, sd: _buckets(spark, sd, k)[0],
         "p3": lambda k, sd: _full(spark, sd, k),
     }
-    kinds = {"p1": ("a", "b", "c"), "p2": ("a", "b", "c"), "p3": ("a", "b", "c", "d")}
+    kinds = {"p1": ("a", "b", "c"), "p2": ("a", "b", "c"),
+             "p3": ("a", "b", "c", "d"), "p4": ("a", "b", "d", "e")}
+    builders["p4"] = builders["p3"]
     prefixes = (
         tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ("p1", "p2", "p3")
     )
@@ -160,11 +167,12 @@ def main():
                 + f"  steal {steal:.2f}%",
                 flush=True,
             )
-    # parity for c and d at sf0.1
-    a = sorted(map(tuple, _full(spark, SF_DIR, "a").collect()))
-    for k in ("c", "d"):
-        v = sorted(map(tuple, _full(spark, SF_DIR, k).collect()))
-        print(f"parity a=={k} @sf0.1: {'EXACT' if a == v else 'DRIFT'}")
+    # parity at every measured corpus
+    for sdir, tag in (sdirs if os.environ.get("SPARK_GRAFT_SKIP_PARITY") != "1" else []):
+        a = sorted(map(tuple, _full(spark, sdir, "a").collect()))
+        for k in ("c", "d", "e"):
+            v = sorted(map(tuple, _full(spark, sdir, k).collect()))
+            print(f"parity a=={k} @{tag}: {'EXACT' if a == v else 'DRIFT'}")
     spark.stop()
 
 

@@ -45,7 +45,9 @@ def _walk(node, out):
 
 
 def exchange_bytes(df) -> list[tuple[str, int, int]]:
-    df.write.format("noop").mode("overwrite").save()
+    # Execute through the DataFrame's OWN QueryExecution (a noop write
+    # plans a separate command whose metrics this df never sees).
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan()
     nodes: list = []
     _walk(plan, nodes)
